@@ -1,0 +1,87 @@
+"""Scalar/array expression helpers — all Catalyst built-ins, zero UDFs.
+
+These are the engine's equivalents of the reference's DAX idioms
+(``DIVIDE`` → :func:`safe_div`, see ``AQI.SemanticModel/definition/tables/
+fact_daily_air_quality.tmdl:89-91`` in the reference) plus the hashing /
+vector primitives the LLM-data extension operators are built from.
+
+Everything here compiles to JVM-side Catalyst expressions inside
+whole-stage codegen — no Python round-trips — so the same expression is
+safe in the hot path of a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def safe_div(num: Column, den: Column, alt=None) -> Column:
+    """DAX ``DIVIDE(num, den[, alt])``: null/zero-denominator-safe ratio.
+
+    Reference semantics: DIVIDE returns *alt* (default BLANK ≈ NULL) when
+    the denominator is 0 or missing instead of raising/±inf.
+    """
+    alt_col = F.lit(alt) if not isinstance(alt, Column) else alt
+    return F.when(den.isNull() | (den == 0), alt_col).otherwise(num / den)
+
+
+def md5_long(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit non-negative hash of a string column.
+
+    ``conv(substr(md5(x), 1, 15), 16, 10)`` — 15 hex chars = 60 bits, so
+    the value always fits a signed BIGINT. Used as the hash family for
+    MinHash / SimHash (salted per hash function) because ``md5`` is
+    available verbatim in every SQL engine the oracle harness may use,
+    unlike ``xxhash64``/``murmur3`` whose constants differ per engine.
+    """
+    if salt is not None:
+        col = F.concat(F.lit(salt), F.lit(":"), col)
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_array(text: Column) -> Column:
+    """Whitespace tokenization: ``split(trim(x), '\\s+')``.
+
+    Empty/blank input yields an empty array (not ``[""]``) so ``size``
+    is a true token count.
+    """
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string, as an array column.
+
+    The shingle set for MinHash / n-gram-Jaccard dedup. Strings shorter
+    than *n* shingle to the whole string so nothing hashes to an empty
+    set. Pure Catalyst: ``transform(sequence(...), i -> substring(...))``.
+    """
+    ln = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two numeric array columns (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm of a numeric array column."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric array columns, null-safe on zero
+    norms (returns NULL rather than NaN, matching DIVIDE semantics)."""
+    return safe_div(dot_product(a, b), l2_norm(a) * l2_norm(b))

@@ -1,0 +1,99 @@
+"""Row-cleaning operators: filters, trims, casts, deduplication.
+
+These are the Silver-layer building blocks of the reference
+(``Notebooks/Batch_Bronze_to_Silver.Notebook/notebook-content.py:55-170``
+and ``Automated_Bronze_to_Silver:72-172``): IN-list filters (F1),
+conjunctive validity predicates (F2), null filters (F3), trim (X1),
+casts (X2/X3), and keyed dedup (D1/D2). All parameterized so the same
+operator runs on any table.
+
+Scale notes
+-----------
+* Filters are plain Catalyst predicates → pushed to the parquet scan
+  (``PushedFilters`` in the physical plan) and prunable partitions.
+* ``dedup_first`` is the *deterministic* keyed dedup — a ``row_number``
+  over a hash-partitioned window. One shuffle on the key, same as
+  ``dropDuplicates``, but reproducible under re-execution (required for
+  oracle comparison; the reference's ``dropDuplicates`` keeps an
+  arbitrary row per key under shuffle).
+* ``dedup_any`` keeps the cheap nondeterministic variant for pipelines
+  that only need *a* representative row (map-side partial agg applies).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_in(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """F1 — IN-list filter (reference: 6 EPA pollutant standards)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def valid_rows(df: DataFrame, *conditions: Column) -> DataFrame:
+    """F2 — conjunctive validity predicate (reference:
+    ``validity_indicator=='Y' AND arithmetic_mean IS NOT NULL AND ...``).
+    """
+    pred = None
+    for c in conditions:
+        pred = c if pred is None else (pred & c)
+    return df if pred is None else df.filter(pred)
+
+
+def non_null(df: DataFrame, *cols: str) -> DataFrame:
+    """F3 — drop rows with nulls in any of *cols*."""
+    return valid_rows(df, *[F.col(c).isNotNull() for c in cols])
+
+
+def trim_cols(df: DataFrame, *cols: str) -> DataFrame:
+    """X1 — whitespace-trim string columns in place."""
+    for c in cols:
+        df = df.withColumn(c, F.trim(F.col(c)))
+    return df
+
+
+def cast_cols(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """X2/X3 — bulk column casts (``{"aqi": "int", "date_local": "date"}``)."""
+    return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items()})
+
+
+def dedup_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """D1 (deterministic) — keep exactly one row per natural key.
+
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_by) = 1``.
+    *order_by* defaults to the remaining columns, giving a total order
+    and therefore a reproducible survivor — unlike ``dropDuplicates``,
+    whose survivor depends on partitioning/scheduling.
+    """
+    order_cols: list = list(order_by) if order_by else [
+        c for c in df.columns if c not in set(keys)
+    ]
+    if not order_cols:  # keys cover every column: plain distinct
+        return df.distinct()
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """D1 (fast path) — ``dropDuplicates`` on the natural key. Catalyst
+    rewrites this to a hash aggregate with map-side combine; preferable
+    at 100 TB when any representative row will do."""
+    return df.dropDuplicates(list(keys))
+
+
+def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
+    """D2 — project-then-distinct (reference: distinct date_local audit)."""
+    return df.select(*cols).distinct()

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Training-data-pipeline extension (north star in BASELINE.json):
+approximate-nearest-neighbor retrieval over an embeddings table.
+
+Two strategies:
+
+* :func:`cosine_topk` — exact brute force: query-set ⨯ corpus with a
+  JVM-side cosine (``zip_with`` + ``aggregate``), ranked per query.
+  The query set is broadcast, so the corpus is scanned exactly once and
+  never shuffled — the right baseline when |queries| ≪ |corpus|.
+* :func:`sign_lsh_topk` — random-hyperplane-style LSH on the sign
+  pattern of leading dimensions: corpus and queries bucket by the sign
+  bit-string, candidates come from an equi-join on the bucket, then
+  exact cosine ranks within the bucket. At 100 TB the bucket join is a
+  standard hash shuffle and the quadratic term shrinks by ~2^bits.
+
+Embedding near-dup detection reuses :func:`cosine_pairs` with a
+threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import cosine_similarity
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)``; self-matches are
+    excluded; rank ties broken by neighbor id on the *rounded* cosine so
+    results are engine-reproducible.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 6) -> Column:
+    """LSH bucket id: the sign pattern of the first *bits* dimensions,
+    packed as a string like ``"101100"``. A fixed-hyperplane variant of
+    random-hyperplane LSH — deterministic and engine-portable."""
+    parts = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*parts)
+
+
+def sign_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 6,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine ranking within the bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 6,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs: same-bucket candidates with cosine ≥
+    *threshold* (near-dup vectors almost surely share the sign bucket)."""
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    left = v.select(
+        F.col("bucket"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+    )
+    right = v.select(
+        F.col("bucket"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+    )
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), sim_decimals),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (per the north star in BASELINE.json):
+language-ID, quality scoring, token counting and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table.
+
+All pure Catalyst expressions (split/transform/filter/aggregate on
+arrays + md5) — no Python UDFs, so they run JVM-side inside
+whole-stage codegen and scale linearly with the scan; the only shuffle
+any of these need is whatever aggregation the caller adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import safe_div, token_array
+
+#: Tiny per-language stopword lists for the n-gram/stopword LID heuristic.
+#: Deliberately small + deterministic so the oracle can mirror them.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens as an array column."""
+    return token_array(text)
+
+
+def token_count(text: Column) -> Column:
+    """Token count (whitespace + regex segmentation)."""
+    return F.size(token_array(text))
+
+
+def unique_token_ratio(text: Column) -> Column:
+    """|distinct tokens| / |tokens| — a repetition signal; NULL on empty."""
+    toks = token_array(text)
+    return safe_div(
+        F.size(F.array_distinct(toks)).cast("double"),
+        F.size(toks).cast("double"),
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Share of tokens that are (lowercase) stopwords; NULL on empty."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or ENGLISH_STOPWORDS)])
+    toks = F.transform(token_array(text), F.lower)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return safe_div(hits.cast("double"), F.size(toks).cast("double"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the LID feature vector)."""
+    toks = F.transform(token_array(text), F.lower)
+    out: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def predicted_lang(text: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits, ties broken by
+    language code order, 'und' when no list scores > 0."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie order
+    best = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        expr = expr.when(scores[lg] == best, F.lit(lg))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(text: Column, target_tokens: int = 100) -> Column:
+    """Composite quality score in [0, 1]:
+    0.4·min(tokens/target, 1) + 0.3·unique-token ratio + 0.3·stopword ratio.
+
+    Length, repetition and naturalness signals — the standard cheap
+    pre-filter trio for LLM corpus cleaning.
+    """
+    length_part = F.least(
+        token_count(text).cast("double") / F.lit(float(target_tokens)), F.lit(1.0)
+    )
+    return (
+        F.lit(0.4) * length_part
+        + F.lit(0.3) * F.coalesce(unique_token_ratio(text), F.lit(0.0))
+        + F.lit(0.3) * F.coalesce(stopword_ratio(text), F.lit(0.0))
+    )
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """Canonicalize: lowercase, strip non-alphanumerics."""
+    return F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. Exact-dup key."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-stat columns to a documents frame."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars_text": F.length(t),
+            "uniq_token_ratio": unique_token_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "lang_pred": predicted_lang(t),
+            "quality": quality_score(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

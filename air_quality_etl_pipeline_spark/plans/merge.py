@@ -1,0 +1,78 @@
+"""Incremental upsert (MERGE) semantics — pure-Spark formulation.
+
+The reference's automated path upserts dims and fact with Delta
+``MERGE ... WHEN NOT MATCHED INSERT`` after an anti-join and a
+high-water-mark re-key (``Notebooks/Automated_Silver_to_Gold.Notebook/
+notebook-content.py:271-394``). Delta isn't a hard dependency here: the
+insert-if-absent MERGE is exactly ``target ∪ (source ⟕anti target)``,
+which we implement with built-ins; when ``delta-spark`` is importable
+the same API routes to a real ``DeltaTable.merge``.
+
+Scale notes: the anti-join shuffles on the natural key — same cost
+class as MERGE's inner join; the high-water mark is a scalar agg
+(one collect of one value, reference A3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.plans.gold import surrogate_key
+
+
+def high_water_mark(df: DataFrame, key_col: str) -> int:
+    """A3 — ``agg(max(key)).collect()[0][0] or 0``."""
+    v = df.agg(F.max(key_col)).first()[0]
+    return int(v) if v is not None else 0
+
+
+def new_rows(source: DataFrame, target: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """D3/J8 — rows of *source* whose natural key is absent from *target*."""
+    return source.join(target.select(*keys), on=list(keys), how="left_anti")
+
+
+def merge_insert_if_absent(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    surrogate: str | None = None,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """K4 — insert-if-absent MERGE.
+
+    Optionally re-keys the inserted rows with a surrogate continuing
+    past the target's high-water mark (W2), like the reference's
+    ``row_number().over(w) + max_key``.
+    """
+    fresh = new_rows(source, target, keys)
+    if surrogate is not None:
+        hwm = high_water_mark(target, surrogate)
+        fresh = surrogate_key(fresh, order_by or list(keys), surrogate, offset=hwm)
+    return target.unionByName(fresh.select(*target.columns))
+
+
+def merge_into_table(
+    spark,
+    table: str,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """MERGE into a catalog table: Delta ``merge`` when available,
+    anti-join + append otherwise (identical insert-if-absent result)."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            DeltaTable.forName(spark, table)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    except Exception:
+        target = spark.table(table)
+        new_rows(source, target, keys).write.mode("append").saveAsTable(table)

@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+The reference runs on a managed Fabric Spark pool (Small_env, Spark 3.5,
+one 4-core/28 GB executor — see ``Small_env.Environment/Setting/
+Sparkcompute.yml:1-10`` in the reference). Here we build the session
+ourselves and turn on the knobs the reference leaves to Fabric:
+
+- AQE (runtime join-strategy + shuffle-partition coalescing + skew split)
+- dynamic partition overwrite (reference: ``automated_ingestion`` K2)
+- Arrow for any pandas interchange
+- UTC session timezone so date-part extraction is engine-independent
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "air_quality_etl_pipeline_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    On the test rig this is ``local[$SPARK_GRAFT_CPUS]``; on a real
+    cluster the master comes from the environment and the same confs
+    apply unchanged.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply this engine's runtime-settable confs to an externally
+    provided session (the driver harness passes us its own).
+
+    Only runtime-mutable confs here — static ones (memory, master)
+    cannot change post-start.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    return spark

@@ -1,0 +1,775 @@
+"""The query workload: every SURVEY §2 operator expressed as a named
+query over the driver's testdata tables, each with a DuckDB oracle twin.
+
+Layout: ``QUERIES[name] = (spark_fn, oracle_sql_or_None)`` where
+``spark_fn(spark, sf_dir) -> DataFrame``. ``__spark_entry__.py`` exposes
+these to the driver harness.
+
+Engine-portability rules used throughout (so order-insensitive value
+hashes match across Spark and DuckDB):
+
+* Monetary/metric sums go through ``DECIMAL(18,2)`` — exact, associative,
+  order-independent — and are cast to double only at the very end.
+* Averages are ``exact_decimal_sum / count`` (single double division),
+  never engine-native ``avg`` over doubles (accumulation-order hazard).
+* Dates are emitted as ``yyyy-MM-dd`` strings, booleans as 0/1 ints,
+  int-typed outputs as BIGINT on both engines.
+* Every computed column is aliased identically in both formulations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import safe_div
+from air_quality_etl_pipeline_spark.operators.buckets import (
+    binary_category,
+    bucketize,
+    flag_threshold,
+    map_by_lists,
+)
+from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first, keep_in, valid_rows
+from air_quality_etl_pipeline_spark.operators.dates import with_date_parts
+from air_quality_etl_pipeline_spark.plans import metrics
+from air_quality_etl_pipeline_spark.plans.gold import star_join, surrogate_key
+from air_quality_etl_pipeline_spark.plans.merge import merge_insert_if_absent
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+#: registry filled at import time: name -> (spark_fn, oracle_sql | None)
+QUERIES: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table loader: the driver's events.parquet stores
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read the
+    raw INT64 nanos (legacy conf) and convert exactly (integer DIV, not
+    float division: nanos ≈ 1.7e18 exceeds double's 2^53 integer range).
+    DuckDB's own nanos→micros truncation matches this semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _dec_sum(col, alias: str, scale: int = 2):
+    """Order-independent sum: decimal accumulate, double at the end."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+def _dec_avg(col, alias: str, decimals: int = 6):
+    """Deterministic average: exact decimal sum / count, one division."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double") / F.count("*"),
+        decimals,
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Silver-layer relational core (SURVEY §2.2/2.3: F1, F2, X1, X2, D1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "silver_filter_dedup",
+    """
+    WITH filtered AS (
+      SELECT * FROM lineitem
+      WHERE l_returnflag IN ('A', 'N')
+        AND l_quantity IS NOT NULL
+        AND l_discount BETWEEN 0.02 AND 0.08
+    ), dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+        FROM filtered) WHERE rn = 1
+    )
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM dedup GROUP BY l_returnflag
+    """,
+)
+def q_silver_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 IN-list + F2 conjunctive validity + D1 deterministic keyed dedup
+    (reference Bronze→Silver measurement build), aggregated for compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = keep_in(li, "l_returnflag", ["A", "N"])
+    df = valid_rows(
+        df,
+        F.col("l_quantity").isNotNull(),
+        F.col("l_discount").between(0.02, 0.08),
+    )
+    df = dedup_first(df, ["l_orderkey", "l_partkey"], order_by=["l_linenumber"])
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"), _dec_sum("l_quantity", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dim_date build (SURVEY X3-X6, W1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dim_date",
+    """
+    WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders)
+    SELECT row_number() OVER (ORDER BY date) AS date_key,
+           strftime(date, '%Y-%m-%d') AS date_str,
+           year(date) AS year,
+           month(date) AS month,
+           monthname(date) AS month_name,
+           day(date) AS day,
+           dayofweek(date) + 1 AS day_of_week,
+           dayname(date) AS day_name,
+           quarter(date) AS quarter,
+           CASE WHEN dayofweek(date) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+    FROM d
+    """,
+)
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dim_date: distinct dates → date parts, display
+    names, weekend flag (correct Sun/Sat semantics), surrogate key W1."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(F.to_date("o_orderdate").alias("date")).distinct()
+    d = with_date_parts(d, "date")
+    d = surrogate_key(d, ["date"], "date_key")
+    return d.select(
+        F.col("date_key"),
+        F.date_format("date", "yyyy-MM-dd").alias("date_str"),
+        F.col("year").cast("long").alias("year"),
+        F.col("month").cast("long").alias("month"),
+        F.col("month_name"),
+        F.col("day").cast("long").alias("day"),
+        F.col("day_of_week").cast("long").alias("day_of_week"),
+        F.col("day_name"),
+        F.col("quarter").cast("long").alias("quarter"),
+        F.col("is_weekend").cast("long").alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimension with surrogate key + categorical mapping (W1, X9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dim_part_category",
+    """
+    SELECT row_number() OVER (ORDER BY p_partkey) AS part_key,
+           p_partkey, p_type,
+           CASE WHEN p_type IN ('PROMO', 'ECONOMY')
+                THEN 'Value' ELSE 'Regular' END AS category
+    FROM part
+    """,
+)
+def q_dim_part_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 surrogate key + X9 two-way categorical split (the reference's
+    parameter_code → Particulate Matter / Gas mapping)."""
+    p = _t(spark, sf_dir, "part")
+    p = surrogate_key(p, ["p_partkey"], "part_key")
+    return p.select(
+        "part_key",
+        "p_partkey",
+        "p_type",
+        binary_category(F.col("p_type"), ["PROMO", "ECONOMY"], "Value", "Regular")
+        .alias("category"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-join fact build (J1-J3, X7, X10), aggregated (A2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gold_star_fact",
+    """
+    SELECT year(o.o_orderdate) AS year,
+           CASE WHEN l.l_extendedprice IS NULL THEN NULL
+                WHEN l.l_extendedprice <= 1000 THEN 'Low'
+                WHEN l.l_extendedprice <= 3000 THEN 'Mid'
+                WHEN l.l_extendedprice <= 5000 THEN 'High'
+                ELSE 'VeryHigh' END AS price_bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           sum(CASE WHEN l.l_extendedprice > 3000 THEN 1 ELSE 0 END) AS n_exceeds
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def q_gold_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gold fact build: broadcast star join of the big fact to three
+    dims (J1-J3), ordered bucketing X7 and exceedance flag X10, then an
+    aggregate A2 so the compare payload stays small."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    fact = star_join(
+        li,
+        [
+            (orders, ["l_orderkey"], "left"),
+            (part, ["l_partkey"], "left"),
+            (supplier, ["l_suppkey"], "left"),
+        ],
+    )
+    fact = fact.withColumns(
+        {
+            "price_bucket": bucketize(
+                F.col("l_extendedprice"),
+                [(1000, "Low"), (3000, "Mid"), (5000, "High")],
+                "VeryHigh",
+            ),
+            "exceeds": flag_threshold(F.col("l_extendedprice"), 3000),
+        }
+    )
+    return fact.groupBy(
+        F.year("o_orderdate").cast("long").alias("year"), "price_bucket"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum("l_extendedprice", "sum_price"),
+        F.sum(F.col("exceeds").cast("long")).alias("n_exceeds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metrics layer — the DAX measures (A4-A12, W3-W6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "avg_by_month",
+    """
+    SELECT year(o.o_orderdate) AS year, month(o.o_orderdate) AS month,
+           count(*) AS n_rows,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_avg_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — AVERAGE at the year×month grain (the reference's core
+    Avg-AQI measure), deterministic decimal-sum formulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    df = li.join(F.broadcast(o), on="l_orderkey")
+    return df.groupBy(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("long").alias("month"),
+    ).agg(F.count("*").alias("n_rows"), _dec_avg("l_extendedprice", "avg_price"))
+
+
+@register(
+    "filtered_count",
+    """
+    SELECT o_orderpriority,
+           count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — COUNTROWS(FILTER(...)) — the Unhealthy-Day-Count measure."""
+    o = _t(spark, sf_dir, "orders")
+    return metrics.filtered_count(
+        o, F.col("o_totalprice") > 200000, ["o_orderpriority"], alias="n_big"
+    )
+
+
+@register(
+    "filtered_distinct_count",
+    """
+    SELECT year(o_orderdate) AS year,
+           count(DISTINCT CASE WHEN o_totalprice > 200000
+                 THEN strftime(o_orderdate, '%Y-%m-%d') END) AS n_days
+    FROM orders GROUP BY 1
+    """,
+)
+def q_filtered_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — DISTINCTCOUNT under a predicate (Total Unhealthy Days)."""
+    o = _t(spark, sf_dir, "orders").withColumns(
+        {
+            "year": F.year("o_orderdate").cast("long"),
+            "day_str": F.date_format("o_orderdate", "yyyy-MM-dd"),
+        }
+    )
+    return metrics.filtered_distinct_count(
+        o, "day_str", F.col("o_totalprice") > 200000, ["year"], alias="n_days"
+    )
+
+
+@register(
+    "leading_group_top1",
+    """
+    WITH agg AS (
+      SELECT p.p_type,
+             round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS avg_price
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type)
+    SELECT p_type, avg_price FROM (
+      SELECT *, row_number() OVER (ORDER BY avg_price DESC, p_type ASC) AS rn
+      FROM agg) WHERE rn = 1
+    """,
+)
+def q_leading_group_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W4 — TOPN(1) by per-group average with tiebreak (the
+    Leading-Pollutant measure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    df = li.join(F.broadcast(p), on="l_partkey")
+    return metrics.top_n_by_agg(
+        df,
+        group_cols=["p_type"],
+        agg_expr=F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ),
+        agg_alias="avg_price",
+        n=1,
+        tiebreak=["p_type"],
+    )
+
+
+@register(
+    "argmax_with_ties",
+    """
+    WITH agg AS (
+      SELECT c.c_mktsegment, count(CASE WHEN o.o_totalprice > 150000 THEN 1 END) AS n_big
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment),
+    best AS (
+      SELECT * FROM (SELECT *, dense_rank() OVER (ORDER BY n_big DESC) AS rk FROM agg)
+      WHERE rk = 1)
+    SELECT n_big, string_agg(c_mktsegment, ', ' ORDER BY c_mktsegment) AS tied_groups
+    FROM best GROUP BY n_big
+    """,
+)
+def q_argmax_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — the Worst-State measure: argmax by filtered count, ties
+    rendered as a sorted comma list (CONCATENATEX)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    df = o.join(F.broadcast(c), on="o_custkey")
+    return metrics.argmax_with_ties(
+        df,
+        "c_mktsegment",
+        F.count(F.when(F.col("o_totalprice") > 150000, F.lit(1))),
+        "n_big",
+        list_alias="tied_groups",
+    )
+
+
+@register(
+    "mom_change",
+    """
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS avg_price
+      FROM orders GROUP BY 1, 2)
+    SELECT year, month, avg_price,
+           lag(avg_price, 1) OVER (ORDER BY year, month) AS prev_avg_price,
+           round((avg_price - lag(avg_price, 1) OVER (ORDER BY year, month))
+                 / nullif(lag(avg_price, 1) OVER (ORDER BY year, month), 0),
+                 6) AS change_pct
+    FROM monthly
+    """,
+)
+def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/A10 — MoM % change: monthly aggregate, lag(1), safe divide
+    (NULL for the first month, like DAX DIVIDE/BLANK)."""
+    o = _t(spark, sf_dir, "orders").withColumns(
+        {
+            "year": F.year("o_orderdate").cast("long"),
+            "month": F.month("o_orderdate").cast("long"),
+        }
+    )
+    out = metrics.period_over_period(
+        o,
+        time_cols=["year", "month"],
+        value_expr=F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ),
+        value_alias="avg_price",
+        lag_periods=1,
+        pct_alias="change_pct",
+    )
+    return out.withColumn("change_pct", F.round("change_pct", 6))
+
+
+@register(
+    "yoy_change",
+    """
+    WITH yearly AS (
+      SELECT year(o_orderdate) AS year,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 6) AS avg_price
+      FROM orders GROUP BY 1)
+    SELECT year, avg_price,
+           lag(avg_price, 1) OVER (ORDER BY year) AS prev_avg_price,
+           round((avg_price - lag(avg_price, 1) OVER (ORDER BY year))
+                 / nullif(lag(avg_price, 1) OVER (ORDER BY year), 0), 6) AS change_pct
+    FROM yearly
+    """,
+)
+def q_yoy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — YoY % change (SAMEPERIODLASTYEAR on a yearly frame)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate").cast("long")
+    )
+    out = metrics.period_over_period(
+        o,
+        time_cols=["year"],
+        value_expr=F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ),
+        value_alias="avg_price",
+        lag_periods=1,
+        pct_alias="change_pct",
+    )
+    return out.withColumn("change_pct", F.round("change_pct", 6))
+
+
+@register(
+    "ytd_cumulative",
+    """
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1, 2)
+    SELECT year, month, n_orders,
+           sum(n_orders) OVER (PARTITION BY year ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ytd
+    FROM monthly
+    """,
+)
+def q_ytd_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — DATESYTD: running count within each year."""
+    o = _t(spark, sf_dir, "orders").withColumns(
+        {
+            "year": F.year("o_orderdate").cast("long"),
+            "month": F.month("o_orderdate").cast("long"),
+        }
+    )
+    return metrics.cumulative_to_date(
+        o,
+        time_cols=["month"],
+        value_expr=F.count("*"),
+        value_alias="n_orders",
+        partition_cols=["year"],
+        cum_alias="ytd",
+    )
+
+
+@register(
+    "group_rank",
+    """
+    WITH agg AS (
+      SELECT n.n_name, count(*) AS n_customers
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, n_customers,
+           dense_rank() OVER (ORDER BY n_customers ASC) AS rank
+    FROM agg
+    """,
+)
+def q_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — RANKX(ALL(dim), measure,, ASC, DENSE) — the State-Rank measure."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    df = c.join(F.broadcast(n), on="c_nationkey")
+    return metrics.rank_groups(
+        df, "n_name", F.count("*"), "n_customers", ascending=True, rank_alias="rank"
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "per_100k",
+    """
+    WITH pop AS (
+      SELECT n.n_name, count(*) AS population
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    cnt AS (
+      SELECT n.n_name, count(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT cnt.n_name, cnt.n_orders, pop.population,
+           round(cnt.n_orders * 100000.0 / pop.population, 4) AS per_100k
+    FROM cnt LEFT JOIN pop ON cnt.n_name = pop.n_name
+    """,
+)
+def q_per_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — per-capita normalization (Unhealthy Days per 100k):
+    count joined to a population dim, scaled per 100 000."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    pop = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), on="c_nationkey")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("population"))
+    )
+    cnt = (
+        o.join(F.broadcast(c), on="o_custkey")
+        .join(F.broadcast(n), on="c_nationkey")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    out = metrics.per_100k(
+        cnt, pop, on=["n_name"], count_col="n_orders", pop_col="population"
+    )
+    return out.select(
+        "n_name", "n_orders", "population", F.round("per_100k", 4).alias("per_100k")
+    )
+
+
+@register(
+    "share_of_total",
+    """
+    WITH agg AS (
+      SELECT n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6)
+             AS share
+    FROM agg
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — score + share-of-total: the REMOVEFILTERS total as a window
+    sum over the exact-decimal per-group aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    aggd = (
+        o.join(F.broadcast(c), on="o_custkey")
+        .join(F.broadcast(n), on="c_nationkey")
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"))
+    )
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    return aggd.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double") / total.cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "segment_region_map",
+    """
+    SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD') THEN 'Consumer'
+                WHEN c_mktsegment IN ('MACHINERY', 'BUILDING') THEN 'Industrial'
+                WHEN c_mktsegment IN ('FURNITURE') THEN 'Trade'
+                ELSE 'Unknown' END AS segment_group,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def q_segment_region_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — IN-list label mapping (the census-region chain), aggregated."""
+    c = _t(spark, sf_dir, "customer")
+    mapped = c.withColumn(
+        "segment_group",
+        map_by_lists(
+            F.col("c_mktsegment"),
+            {
+                "Consumer": ["AUTOMOBILE", "HOUSEHOLD"],
+                "Industrial": ["MACHINERY", "BUILDING"],
+                "Trade": ["FURNITURE"],
+            },
+            default="Unknown",
+        ),
+    )
+    return mapped.groupBy("segment_group").agg(
+        F.count("*").alias("n_customers"), _dec_sum("c_acctbal", "sum_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental path (D3/J8 anti-join, K4 merge, A3 high-water mark)
+# ---------------------------------------------------------------------------
+
+@register(
+    "anti_join_new_keys",
+    """
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+    """,
+)
+def q_anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/J8 — left_anti incremental dedup: keys present after the
+    cutoff that never appeared before it."""
+    o = _t(spark, sf_dir, "orders")
+    after = o.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey").distinct()
+    before = o.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
+    return after.join(before, on="o_custkey", how="left_anti")
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    source AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+    merged AS (
+      SELECT * FROM target
+      UNION ALL
+      SELECT s.* FROM source s
+      WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey))
+    SELECT o_orderstatus, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — insert-if-absent MERGE via anti-join + union (the pure-Spark
+    formulation of Delta whenNotMatchedInsertAll), on overlapping
+    target/source windows."""
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    target = o.filter(F.col("o_orderdate") < "1998-01-01").select(*cols)
+    source = o.filter(F.col("o_orderdate") >= "1997-01-01").select(*cols)
+    merged = merge_insert_if_absent(target, source, keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / top-k / set ops (SURVEY §2.5 tail, §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_measures",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures at every grain — the BI layer's arbitrary-slicer
+    re-aggregation, expressed as CUBE (SURVEY §2.5 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), _dec_sum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 — deterministic top-k by sort + limit (TOPN measures).
+    Physically a TakeOrderedAndProject: no global sort materialization."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregation (streaming twin, batch form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_daily_window",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate over the event stream — the batch
+    twin of the Structured Streaming pipeline (same F.window operator
+    works under readStream + watermark; see streaming module)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dec_sum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
