@@ -26,6 +26,26 @@ def safe_div(num: Column, den: Column, alt=None) -> Column:
     return F.when(den.isNull() | (den == 0), alt_col).otherwise(num / den)
 
 
+def round_portable(col: Column, decimals: int) -> Column:
+    """Engine-portable decimal rounding: ``floor(x·10^d + 0.5) / 10^d``.
+
+    Engine-native ``round`` differs at half boundaries (Spark rounds the
+    exact binary double via BigDecimal HALF_UP; DuckDB multiplies then
+    rounds), which breaks value-hash comparison for structured rationals
+    like count ratios. This formulation uses only floor/multiply/add —
+    bit-identical in every engine. The SQL twin is
+    ``floor((x) * 1e<d> + 0.5) / 1e<d>``.
+    """
+    f = F.lit(float(10**decimals))
+    return F.floor(col * f + F.lit(0.5)) / f
+
+
+def sql_round(expr: str, decimals: int) -> str:
+    """The DuckDB-side twin of :func:`round_portable`."""
+    f = float(10**decimals)
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
 def md5_long(col: Column, salt: str | None = None) -> Column:
     """Deterministic 60-bit non-negative hash of a string column.
 
@@ -63,6 +83,25 @@ def char_shingles(text: Column, n: int = 3) -> Column:
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(1))),
         lambda i: text.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)
+
+
+def word_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct word n-grams (space-joined token windows) of a string.
+
+    The shingle set for MinHash near-dup detection. Word-level shingles
+    (à la Gopher / RefinedWeb dedup) separate true near-duplicates from
+    same-vocabulary noise far better than character n-grams: for docs
+    drawn from one vocabulary, char-3-gram Jaccard of unrelated pairs
+    sits at 0.4-0.6 (LSH buckets degenerate), while word-5-gram Jaccard
+    is ~0 for unrelated and ~1 for near-dup pairs. Docs shorter than *n*
+    tokens shingle to the whole text. Pure Catalyst expressions.
+    """
+    toks = token_array(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
     return F.array_distinct(grams)
 

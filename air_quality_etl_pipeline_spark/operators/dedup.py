@@ -29,6 +29,7 @@ from air_quality_etl_pipeline_spark.functions.core import (
     md5_long,
     safe_div,
     token_array,
+    word_shingles,
 )
 from air_quality_etl_pipeline_spark.operators.text import fingerprint
 
@@ -97,11 +98,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    text: Column, n: int = 3, num_hashes: int = 16
+    shingles: Column, num_hashes: int = 8
 ) -> Column:
-    """MinHash signature: array of per-hash-function minima over the
-    shingle set. Hash family = salted md5 (portable, deterministic)."""
-    shingles = char_shingles(text, n)
+    """MinHash signature: array of per-hash-function minima over a
+    shingle-set column. Hash family = salted md5 (portable,
+    deterministic)."""
     mins = [
         F.array_min(F.transform(shingles, lambda s, i=i: md5_long(s, salt=str(i))))
         for i in range(num_hashes)
@@ -113,30 +114,37 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 16,
+    n: int = 5,
+    num_hashes: int = 8,
     bands: int = 4,
-    threshold: float = 0.5,
+    threshold: float = 0.7,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup detection.
+    """MinHash + banded LSH near-dup detection over word-*n*-gram
+    shingles.
 
-    signature → split into *bands* of ``num_hashes/bands`` rows → band
-    hash → candidates = pairs sharing ANY (band_idx, band_hash) bucket →
-    verified with true n-gram Jaccard ≥ *threshold*.
+    shingle set → signature → split into *bands* of ``num_hashes/bands``
+    rows → band hash → candidates = id pairs sharing ANY
+    (band_idx, band_hash) bucket → verified with true Jaccard ≥
+    *threshold* by joining the candidate ids back to the precomputed
+    shingle sets (never recomputing shingles per pair, and never carrying
+    text/arrays through the band explode — the exploded relation is
+    just ``(id, band_idx, band_hash)``).
 
-    The bucket join replaces the all-pairs cross join: at 100 TB the
-    explode×band table shuffles on (band_idx, band_hash) and only
-    colliding rows ever meet.
+    At 100 TB: the signature pass is one linear scan; the bucket join
+    shuffles the slim banded relation on (band_idx, band_hash) so only
+    colliding rows meet; the verify joins shuffle candidate id pairs
+    (small) against the shingle table on id.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sh = df.select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
-        minhash_signature(F.col(text_col), n, num_hashes).alias("_sig"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
     )
     banded = sig.select(
         "_id",
-        "_text",
         F.explode(
             F.array(
                 *[
@@ -156,32 +164,28 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("_id", "_text", "band.band_idx", "band.band_hash")
+    ).select("_id", "band.band_idx", "band.band_hash")
 
-    left = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col("_id").alias("id_a"),
-        F.col("_text").alias("text_a"),
-    )
-    right = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col("_id").alias("id_b"),
-        F.col("_text").alias("text_b"),
-    )
     cands = (
-        left.join(right, on=["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    jac = jaccard_of_arrays(
-        char_shingles(F.col("text_a"), n), char_shingles(F.col("text_b"), n)
+    verified = (
+        cands.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), on="id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", jaccard_of_arrays(F.col("sh_a"), F.col("sh_b")))
     )
     return (
-        cands.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
+        verified.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -199,6 +203,8 @@ def simhash_bits(
         F.col(id_col).alias("_id"),
         F.explode(token_array(F.col(text_col))).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok")))
+    # shiftright/shiftleft need SQL-expression form: the PySpark function
+    # wrappers only accept a literal int shift amount, not a Column.
     bit_votes = (
         toks.select(
             "_id",
@@ -207,7 +213,7 @@ def simhash_bits(
         )
         .withColumn(
             "vote",
-            F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(F.lit(1)) == 1, 1)
+            F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1),
         )
         .groupBy("_id", "bit")
@@ -215,7 +221,7 @@ def simhash_bits(
     )
     packed = bit_votes.groupBy("_id").agg(
         F.sum(
-            F.when(F.col("votes") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit")))
+            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
             .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.functions.core import cosine_similarity
+from air_quality_etl_pipeline_spark.functions.core import cosine_similarity, round_portable
 
 
 def _as_double(c: Column) -> Column:
@@ -58,7 +58,7 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
+            round_portable(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -109,7 +109,7 @@ def sign_lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
+            round_portable(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -148,7 +148,7 @@ def cosine_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), sim_decimals),
+            round_portable(cosine_similarity(F.col("v_a"), F.col("v_b")), sim_decimals),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

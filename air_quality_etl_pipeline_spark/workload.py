@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.functions.core import safe_div
+from air_quality_etl_pipeline_spark.functions.core import round_portable, safe_div
 from air_quality_etl_pipeline_spark.operators.buckets import (
     binary_category,
     bucketize,
@@ -75,7 +75,7 @@ def _dec_sum(col, alias: str, scale: int = 2):
 
 def _dec_avg(col, alias: str, decimals: int = 6):
     """Deterministic average: exact decimal sum / count, one division."""
-    return F.round(
+    return round_portable(
         F.sum(F.col(col).cast("decimal(18,2)")).cast("double") / F.count("*"),
         decimals,
     ).alias(alias)
@@ -264,8 +264,8 @@ def q_gold_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT year(o.o_orderdate) AS year, month(o.o_orderdate) AS month,
            count(*) AS n_rows,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 6) AS avg_price
+           floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
     """,
@@ -327,8 +327,8 @@ def q_filtered_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
       SELECT p.p_type,
-             round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*), 6) AS avg_price
+             floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_type)
     SELECT p_type, avg_price FROM (
@@ -347,7 +347,7 @@ def q_leading_group_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.top_n_by_agg(
         df,
         group_cols=["p_type"],
-        agg_expr=F.round(
+        agg_expr=round_portable(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             / F.count("*"),
             6,
@@ -394,14 +394,13 @@ def q_argmax_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
       SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
-             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*), 6) AS avg_price
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price
       FROM orders GROUP BY 1, 2)
     SELECT year, month, avg_price,
            lag(avg_price, 1) OVER (ORDER BY year, month) AS prev_avg_price,
-           round((avg_price - lag(avg_price, 1) OVER (ORDER BY year, month))
-                 / nullif(lag(avg_price, 1) OVER (ORDER BY year, month), 0),
-                 6) AS change_pct
+           floor(((avg_price - lag(avg_price, 1) OVER (ORDER BY year, month))
+                 / nullif(lag(avg_price, 1) OVER (ORDER BY year, month), 0)) * 1000000.0 + 0.5) / 1000000.0 AS change_pct
     FROM monthly
     """,
 )
@@ -417,7 +416,7 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = metrics.period_over_period(
         o,
         time_cols=["year", "month"],
-        value_expr=F.round(
+        value_expr=round_portable(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
             / F.count("*"),
             6,
@@ -426,7 +425,7 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_periods=1,
         pct_alias="change_pct",
     )
-    return out.withColumn("change_pct", F.round("change_pct", 6))
+    return out.withColumn("change_pct", round_portable(F.col("change_pct"), 6))
 
 
 @register(
@@ -434,13 +433,13 @@ def q_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH yearly AS (
       SELECT year(o_orderdate) AS year,
-             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*), 6) AS avg_price
+             floor((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_price
       FROM orders GROUP BY 1)
     SELECT year, avg_price,
            lag(avg_price, 1) OVER (ORDER BY year) AS prev_avg_price,
-           round((avg_price - lag(avg_price, 1) OVER (ORDER BY year))
-                 / nullif(lag(avg_price, 1) OVER (ORDER BY year), 0), 6) AS change_pct
+           floor(((avg_price - lag(avg_price, 1) OVER (ORDER BY year))
+                 / nullif(lag(avg_price, 1) OVER (ORDER BY year), 0)) * 1000000.0 + 0.5) / 1000000.0 AS change_pct
     FROM yearly
     """,
 )
@@ -452,7 +451,7 @@ def q_yoy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = metrics.period_over_period(
         o,
         time_cols=["year"],
-        value_expr=F.round(
+        value_expr=round_portable(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
             / F.count("*"),
             6,
@@ -461,7 +460,7 @@ def q_yoy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_periods=1,
         pct_alias="change_pct",
     )
-    return out.withColumn("change_pct", F.round("change_pct", 6))
+    return out.withColumn("change_pct", round_portable(F.col("change_pct"), 6))
 
 
 @register(
@@ -533,7 +532,7 @@ def q_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name)
     SELECT cnt.n_name, cnt.n_orders, pop.population,
-           round(cnt.n_orders * 100000.0 / pop.population, 4) AS per_100k
+           floor((cnt.n_orders * 100000.0 / pop.population) * 10000.0 + 0.5) / 10000.0 AS per_100k
     FROM cnt LEFT JOIN pop ON cnt.n_name = pop.n_name
     """,
 )
@@ -563,7 +562,7 @@ def q_per_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt, pop, on=["n_name"], count_col="n_orders", pop_col="population"
     )
     return out.select(
-        "n_name", "n_orders", "population", F.round("per_100k", 4).alias("per_100k")
+        "n_name", "n_orders", "population", round_portable(F.col("per_100k"), 4).alias("per_100k")
     )
 
 
@@ -578,7 +577,7 @@ def q_per_100k(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.n_name)
     SELECT n_name,
            CAST(rev_dec AS DOUBLE) AS revenue,
-           round(CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE), 6)
+           floor((CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
              AS share
     FROM agg
     """,
@@ -603,7 +602,7 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggd.select(
         "n_name",
         F.col("rev_dec").cast("double").alias("revenue"),
-        F.round(
+        round_portable(
             F.col("rev_dec").cast("double") / total.cast("double"), 6
         ).alias("share"),
     )
@@ -773,3 +772,7 @@ def q_events_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# The LLM-data-pipeline workload registers itself into QUERIES on import.
+from air_quality_etl_pipeline_spark import workload_llm  # noqa: E402,F401

@@ -1,0 +1,427 @@
+"""LLM-data-pipeline workload: text analysis, dedup, similarity search,
+multimodal — each a registered query with a DuckDB oracle twin
+(generated programmatically where the SQL is formulaic, so the Spark
+operator and its oracle share one source of constants).
+
+Registered into the same ``QUERIES`` registry as the relational
+workload; ``workload`` imports this module at the end of its own
+definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import round_portable
+from air_quality_etl_pipeline_spark.operators import multimodal
+from air_quality_etl_pipeline_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits,
+    simhash_pairs,
+)
+from air_quality_etl_pipeline_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    sign_lsh_topk,
+)
+from air_quality_etl_pipeline_spark.operators.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    predicted_lang,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    unique_token_ratio,
+)
+from air_quality_etl_pipeline_spark.workload import _t, register
+
+# ---- shared SQL fragments -------------------------------------------------
+
+#: whitespace tokens, [] on blank — mirrors functions.core.token_array
+TOKS = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _shingles_sql(expr: str = "text", n: int = 3) -> str:
+    """Distinct char n-grams — mirrors functions.core.char_shingles."""
+    return (
+        f"list_distinct([substr({expr}, i, {n}) "
+        f"for i in range(1, greatest(len({expr}) - {n - 1}, 1) + 1)])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars_text,
+           floor((CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / nullif(len(toks), 0)) * 10000.0 + 0.5) / 10000.0 AS uniq_token_ratio,
+           floor((CAST(len(list_filter(toks,
+                   x -> list_contains({_sql_list(LANG_STOPWORDS["en"])}, lower(x))))
+                 AS DOUBLE) / nullif(len(toks), 0)) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + repetition + stopword signals per document —
+    pure Catalyst array expressions, no UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_text"),
+        round_portable(unique_token_ratio(t), 4).alias("uniq_token_ratio"),
+        round_portable(stopword_ratio(t), 4).alias("stopword_ratio"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    scores = ",\n           ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(LANG_STOPWORDS[lg])}, x)))"
+        f" AS s_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = "\n             ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform({TOKS}, x -> lower(x)) AS toks
+      FROM documents),
+    s AS (SELECT doc_id, lang,
+           {scores}
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN {best} <= 0 THEN 'und'
+             {cases}
+             ELSE 'und' END AS lang_pred
+    FROM s
+    """
+
+
+@register("lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax with deterministic
+    tie order) next to the labeled lang for accuracy inspection."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", predicted_lang(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           floor((0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / nullif(len(toks), 0), 0.0)
+               + 0.3 * coalesce(CAST(len(list_filter(toks,
+                     x -> list_contains({_sql_list(LANG_STOPWORDS["en"])}, lower(x))))
+                     AS DOUBLE) / nullif(len(toks), 0), 0.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length/repetition/naturalness)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", round_portable(quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: hash-groupBy, min-id survivor."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d, "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_shingles_sql()} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.8, blocked by language so
+    the pair space stays subquadratic. (Char-3-gram Jaccard of unrelated
+    same-vocabulary docs sits at 0.4-0.6 — 0.8 keeps only true
+    near-dups.)"""
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8, block_cols=["lang"]
+    )
+    return out.withColumn("jaccard", round_portable(F.col("jaccard"), 4))
+
+
+def _word_shingles_sql(n: int = 5) -> str:
+    """Distinct word n-grams over a ``toks`` array column — mirrors
+    functions.core.word_shingles (DuckDB list slice is inclusive, Spark
+    ``slice(toks, i, n)`` is start+length; both clamp at the end)."""
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(toks) - {n - 1}, 1) + 1)])"
+    )
+
+
+def _minhash_oracle(
+    num_hashes: int = 8, bands: int = 4, thr: float = 0.7, n: int = 5
+) -> str:
+    rows = num_hashes // bands
+    sig = ",\n           ".join(
+        f"list_min(list_transform(s, x -> "
+        f"('0x' || substr(md5('{i}:' || x), 1, 15))::BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(','"
+        + "".join(f", h{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_word_shingles_sql(n)} AS s FROM t),
+    sig AS (SELECT doc_id,
+           {sig}
+        FROM sh),
+    banded AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM cands JOIN sh a ON a.doc_id = cands.id_a
+                 JOIN sh b ON b.doc_id = cands.id_b)
+    SELECT id_a, id_b, floor((jaccard) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM verified WHERE jaccard >= {thr}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + 4-band LSH over word-5-gram shingles, candidates
+    verified with true Jaccard ≥ 0.7 via join-back to the shingle sets.
+    The bucket join replaces the all-pairs product."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        d, "doc_id", "text", n=5, num_hashes=8, bands=4, threshold=0.7
+    )
+    return out.withColumn("jaccard", round_portable(F.col("jaccard"), 4))
+
+
+@register(
+    "simhash_values",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+      FROM documents WHERE doc_id < 64),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM h, (SELECT unnest(range(0, 32)) AS bit) b
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) values themselves (first 64 docs) — validates the
+    relational explode→vote→bit-pack pipeline bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    return simhash_bits(d, "doc_id", "text", bits=32)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, lang, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+      FROM h, (SELECT unnest(range(0, 48)) AS bit) b
+      GROUP BY 1, 2, 3),
+    sh AS (
+      SELECT doc_id, lang,
+             sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+               AS simhash
+      FROM votes GROUP BY doc_id, lang)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(48-bit) near-dup pairs: Hamming ≤ 3 within language
+    blocks (Manku-style k=3; 48 bits separates same-vocabulary noise —
+    at 32 bits the Hamming histogram of unrelated pairs reaches down
+    to ≤3)."""
+    d = _t(spark, sf_dir, "documents")
+    out = simhash_pairs(
+        d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) / "
+    "(sqrt(list_sum(list_transform(qv, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(cv, x -> x * x))))"
+)
+
+_BUCKET = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(6)
+    )
+    + ")"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             floor(({_COS.replace("cv", "e.v")}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM q, e WHERE e.vec_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 8 query vectors: broadcast
+    queries ⨯ one corpus scan, JVM-side fold arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_sign_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             floor(({_COS.replace("cv", "e.v")}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: sign-pattern LSH bucket join then exact cosine
+    within the bucket — the scale path (≈2^6 × fewer candidates)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sign_lsh_topk(e, e.filter(F.col("vec_id") < 8), k=5, bits=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET} AS bucket
+               FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             floor(({_COS.replace("qv", "a.v").replace("cv", "b.v")}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.4)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, threshold=0.4, bits=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode_meta",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents)
+    SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+           CAST(64 + byte_len % 577 AS BIGINT) AS fake_width,
+           CAST(64 + (byte_len * 7) % 417 AS BIGINT) AS fake_height,
+           CAST(1 + byte_len % 30 AS BIGINT) AS n_frames
+    FROM b
+    """,
+)
+def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata decode via Arrow-batched mapInPandas —
+    the codec is a deterministic stub (container has no media libs), the
+    Spark plumbing (binary column, batch iterator, typed schema) is real."""
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.decode_meta(multimodal.attach_payload(d))

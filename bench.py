@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Per query we force a full materialization with ``df.count()`` after a
+``cache``-free run — timing covers plan + execution + result, the same
+work DuckDB does for the oracle. A tiny warmup query first so JVM/codegen
+startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational medallion core
+    "silver_filter_dedup",
+    "gold_star_fact",
+    "cube_measures",
+    "filtered_distinct_count",
+    "mom_change",
+    "group_rank",
+    "share_of_total",
+    "merge_upsert",
+    # LLM-data extensions
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from air_quality_etl_pipeline_spark.session import get_spark
+    from air_quality_etl_pipeline_spark.workload import QUERIES
+
+    spark = get_spark(app_name="bench")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()  # warmup
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    if missing:
+        print(f"bench: skipping unknown queries {missing}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
