@@ -1,0 +1,70 @@
+"""Sinks (SURVEY §2.1 K1-K3, K5, K6; K4 MERGE lives in plans.merge).
+
+The reference writes bronze as hive-partitioned parquet (append and
+dynamic-partition overwrite), silver/gold as managed-table overwrites,
+and copies gold → warehouse with truncate-and-load semantics
+(reference: ``Batch_ingestion...py:201``, ``automated_ingestion
+...py:212-213``, ``Automated Pipeline.DataPipeline/pipeline-content
+.json:82-177``).
+
+File-sizing at scale: repartition by the partition columns before a
+partitioned write so each task writes few files per partition (the
+reference's ``repartition('state')`` is this, with a mismatched key —
+we repartition on the actual partitionBy columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_append(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """K1: append-mode hive-partitioned parquet sink."""
+    (
+        df.repartition(*partition_cols)
+        .write.format("parquet")
+        .mode("append")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
+def write_partitioned_dynamic_overwrite(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """K2: overwrite ONLY the partitions present in *df* (idempotent
+    incremental re-runs), leaving other partitions untouched. Requires
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by the
+    session factory / tune_session)."""
+    (
+        df.repartition(*partition_cols)
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
+def save_table_overwrite(df: DataFrame, name: str) -> None:
+    """K3: managed-table overwrite (the Delta ``saveAsTable`` of the
+    reference; plain parquet tables in OSS Spark without delta-spark)."""
+    df.write.mode("overwrite").saveAsTable(name)
+
+
+def save_table_append(df: DataFrame, name: str) -> None:
+    """K6 Append update-method."""
+    df.write.mode("append").saveAsTable(name)
+
+
+def copy_tables(
+    spark: SparkSession, tables: dict[str, str]
+) -> None:
+    """K5: warehouse bulk copy, truncate-and-load — for each
+    ``src → dst``, TRUNCATE+COPY ≡ full overwrite of dst from src."""
+    for src, dst in tables.items():
+        spark.table(src).write.mode("overwrite").saveAsTable(dst)

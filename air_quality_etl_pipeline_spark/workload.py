@@ -96,7 +96,8 @@ def _dec_avg(col, alias: str, decimals: int = 6):
     ), dedup AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+          PARTITION BY l_orderkey, l_partkey
+          ORDER BY l_linenumber, l_quantity, l_extendedprice, l_suppkey) AS rn
         FROM filtered) WHERE rn = 1
     )
     SELECT l_returnflag,
@@ -115,7 +116,7 @@ def q_silver_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").isNotNull(),
         F.col("l_discount").between(0.02, 0.08),
     )
-    df = dedup_first(df, ["l_orderkey", "l_partkey"], order_by=["l_linenumber"])
+    df = dedup_first(df, ["l_orderkey", "l_partkey"], order_by=["l_linenumber", "l_quantity", "l_extendedprice", "l_suppkey"])
     return df.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"), _dec_sum("l_quantity", "sum_qty")
     )
@@ -774,5 +775,6 @@ def q_events_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The LLM-data-pipeline workload registers itself into QUERIES on import.
+# These register themselves into QUERIES on import.
 from air_quality_etl_pipeline_spark import workload_llm  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_sources  # noqa: E402,F401

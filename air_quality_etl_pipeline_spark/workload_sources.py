@@ -1,0 +1,249 @@
+"""Source/sink/orchestration/streaming workload: SURVEY §2.1 (S1-S7,
+K1-K2, K6), §2.8 streaming, §2.10 (C1-C6) as registered queries with
+DuckDB oracle twins.
+
+Sinks are validated as ROUND TRIPS: write through the sink under test
+into a scratch dir, read back, aggregate — the oracle computes the same
+aggregate straight from the source view, so a partitioning/typing bug
+in the sink shows up as a hash mismatch. Ingest uses a deterministic
+fake transport whose payload the oracle regenerates in SQL.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.plans.pipeline import Activity, run_pipeline
+from air_quality_etl_pipeline_spark.sources.ingest import (
+    coverage_gate,
+    ingest_distributed,
+)
+from air_quality_etl_pipeline_spark.sources.readers import cast_columns, read_csv
+from air_quality_etl_pipeline_spark.sources.writers import (
+    write_partitioned_append,
+    write_partitioned_dynamic_overwrite,
+)
+from air_quality_etl_pipeline_spark.streaming.jobs import (
+    daily_counts,
+    read_events_stream,
+    run_available_now,
+)
+from air_quality_etl_pipeline_spark.workload import _t, register
+
+SCRATCH = "/tmp/air_quality_etl_pipeline_spark_scratch"
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/C6 — REST-shaped ingest through the distributed fan-out path
+# ---------------------------------------------------------------------------
+
+_INGEST_STATES = 5
+_INGEST_YEARS = (2023, 2024)
+_INGEST_ROWS_PER_CALL = 10
+
+
+@register(
+    "ingest_rest_bronze",
+    f"""
+    WITH grid AS (
+      SELECT s.state, y.year
+      FROM (SELECT unnest(range(0, {_INGEST_STATES})) AS state) s,
+           (SELECT unnest([{", ".join(str(y) for y in _INGEST_YEARS)}]) AS year) y),
+    payload AS (
+      SELECT CAST(state AS VARCHAR) AS state_code, year,
+             (state * 31 + year) % 100 + i.i AS aqi
+      FROM grid, (SELECT unnest(range(0, {_INGEST_ROWS_PER_CALL})) AS i) i)
+    SELECT state_code, count(*) AS n_rows, sum(aqi) AS sum_aqi
+    FROM payload GROUP BY state_code
+    """,
+)
+def q_ingest_rest_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 distributed ingest + C6 coverage gate: the parameter grid fans
+    out via mapInPandas, the fake transport generates rows the oracle
+    regenerates in SQL. (sf_dir unused — the source is the grid.)
+
+    The fake fetch is nested (pickled BY VALUE) so executors unpickle
+    it without this package on sys.path."""
+
+    def fake_fetch(params: dict) -> list[dict]:
+        state = params["state"]
+        year = params["year"]
+        return [
+            {
+                "state_code": str(state),
+                "year": year,
+                "aqi": (state * 31 + year) % 100 + i,
+            }
+            for i in range(10)
+        ]
+
+    grid = [
+        {"state": s, "year": y}
+        for s in range(_INGEST_STATES)
+        for y in _INGEST_YEARS
+    ]
+    df = ingest_distributed(
+        spark,
+        fake_fetch,
+        grid,
+        schema="state_code string, year int, aqi int",
+        partitions=4,
+    )
+    df = coverage_gate(df, "state_code", _INGEST_STATES)
+    return df.groupBy("state_code").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("aqi").cast("long").alias("sum_aqi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1/K2 — partitioned parquet sinks, validated as round trips
+# ---------------------------------------------------------------------------
+
+@register(
+    "sink_partitioned_roundtrip",
+    """
+    SELECT year(o_orderdate) AS year, o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 append + K2 dynamic-partition overwrite: land orders
+    partitioned by (year, status), then overwrite every partition via
+    the dynamic path (append-then-overwrite makes the overwrite
+    observable: stale duplicate rows would survive a plain append and
+    break the hash), read back, aggregate."""
+    path = f"{SCRATCH}/orders_partitioned"
+    shutil.rmtree(path, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    write_partitioned_append(o, path, ["year", "o_orderstatus"])
+    write_partitioned_dynamic_overwrite(o, path, ["year", "o_orderstatus"])
+    back = spark.read.parquet(path)
+    return back.groupBy("year", "o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7/K6 — CSV with header promotion + typed casts, round trip
+# ---------------------------------------------------------------------------
+
+@register(
+    "csv_header_cast_roundtrip",
+    """
+    SELECT n_regionkey, count(*) AS n_nations,
+           sum(n_nationkey) AS key_sum
+    FROM nation GROUP BY 1
+    """,
+)
+def q_csv_header_cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: write nation as headered CSV (all strings on re-read), then
+    PromoteHeaders → TransformColumnTypes via cast_columns, aggregate."""
+    path = f"{SCRATCH}/nation_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    n = _t(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path)  # header promoted, all strings
+    back = cast_columns(
+        back, {"n_nationkey": "bigint", "n_regionkey": "bigint"}
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1-C3 — pipeline DAG run (ingest → silver → gold as activities)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_dag_run",
+    """
+    WITH silver AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY l_orderkey, l_partkey
+          ORDER BY l_linenumber, l_quantity, l_extendedprice, l_suppkey) AS rn
+        FROM lineitem WHERE l_quantity IS NOT NULL) WHERE rn = 1),
+    gold AS (
+      SELECT o.o_orderpriority, s.l_quantity
+      FROM silver s JOIN orders o ON s.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM gold GROUP BY 1
+    """,
+)
+def q_pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 sequential DAG with dependsOn-Succeeded: scan → silver
+    (dedup) → gold (star join) → aggregate, each an Activity passing
+    its DataFrame downstream through the run context."""
+    from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
+
+    def scan(ctx):
+        return _t(spark, sf_dir, "lineitem").filter(
+            F.col("l_quantity").isNotNull()
+        )
+
+    def silver(ctx):
+        return dedup_first(
+            ctx["scan"], ["l_orderkey", "l_partkey"], order_by=["l_linenumber", "l_quantity", "l_extendedprice", "l_suppkey"]
+        )
+
+    def gold(ctx):
+        orders = _t(spark, sf_dir, "orders")
+        return ctx["silver"].join(
+            orders, ctx["silver"]["l_orderkey"] == orders["o_orderkey"]
+        )
+
+    def aggregate(ctx):
+        return ctx["gold"].groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+
+    run = run_pipeline(
+        [
+            Activity("scan", scan),
+            Activity("silver", silver, depends_on=["scan"]),
+            Activity("gold", gold, depends_on=["silver"]),
+            Activity("aggregate", aggregate, depends_on=["gold"]),
+        ]
+    )
+    if not run.succeeded:
+        raise RuntimeError(f"pipeline failed: {run.results}")
+    return run.results["aggregate"].output
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — Structured Streaming twin of the daily-window aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_daily_window",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream file source + watermark + tumbling 1-day window,
+    availableNow trigger — the streaming result must equal the batch
+    oracle over the same files (exactly-once file-source semantics)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(daily_counts(stream), spark)

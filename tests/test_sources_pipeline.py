@@ -1,0 +1,142 @@
+"""Unit tests for the sources layer and the pipeline runner — the
+control-flow semantics (retry, skip-on-failure, coverage gate) that the
+oracle-parity harness can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from air_quality_etl_pipeline_spark.plans.pipeline import (
+    Activity,
+    foreach,
+    run_pipeline,
+)
+from air_quality_etl_pipeline_spark.sources.ingest import (
+    coverage_gate,
+    fetch_with_retry,
+    ingest,
+    rows_from_header_payload,
+)
+
+
+class FlakyFetch:
+    """Fails *fail_times* times, then returns the payload."""
+
+    def __init__(self, fail_times: int, payload):
+        self.fail_times = fail_times
+        self.calls = 0
+        self.payload = payload
+
+    def __call__(self, params):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise ConnectionError("transient")
+        return self.payload
+
+
+def test_retry_succeeds_after_transient_failures():
+    sleeps: list[float] = []
+    fetch = FlakyFetch(2, [{"a": 1}])
+    out = fetch_with_retry(fetch, {}, max_attempts=4, sleep=sleeps.append)
+    assert out == [{"a": 1}]
+    assert fetch.calls == 3
+    assert sleeps == [4.0, 8.0]  # exponential backoff
+
+
+def test_retry_exhaustion_raises():
+    fetch = FlakyFetch(10, [])
+    with pytest.raises(RuntimeError, match="after 4 attempts"):
+        fetch_with_retry(fetch, {"s": 1}, max_attempts=4, sleep=lambda _: None)
+
+
+def test_ingest_skips_empty_payloads_and_applies_schema(spark):
+    def fetch(params):
+        if params["state"] == "empty":
+            return []
+        return [{"state_code": params["state"], "aqi": 42}]
+
+    df = ingest(
+        spark,
+        fetch,
+        [{"state": "01"}, {"state": "empty"}, {"state": "02"}],
+        schema="state_code string, aqi int",
+        sleep=lambda _: None,
+    )
+    rows = {r["state_code"] for r in df.collect()}
+    assert rows == {"01", "02"}
+    assert dict(df.dtypes)["aqi"] == "int"
+
+
+def test_rows_from_header_payload(spark):
+    df = rows_from_header_payload(
+        spark, [["NAME", "POP"], ["Alabama", "5024279"], ["Alaska", "733391"]]
+    )
+    assert df.columns == ["NAME", "POP"]
+    assert df.count() == 2
+
+
+def test_coverage_gate_passes_and_fails(spark):
+    df = spark.createDataFrame(
+        [("01",), ("02",), ("03",)], "state_code string"
+    )
+    assert coverage_gate(df, "state_code", 3) is df
+    with pytest.raises(RuntimeError, match="coverage gate failed"):
+        coverage_gate(df, "state_code", 4)
+
+
+def test_pipeline_skips_downstream_of_failure():
+    ran: list[str] = []
+
+    def ok(name):
+        def fn(ctx):
+            ran.append(name)
+            return name
+
+        return fn
+
+    def boom(ctx):
+        raise ValueError("exploded")
+
+    run = run_pipeline(
+        [
+            Activity("a", ok("a")),
+            Activity("b", boom, depends_on=["a"]),
+            Activity("c", ok("c"), depends_on=["b"]),
+            Activity("d", ok("d"), depends_on=["a"]),
+        ]
+    )
+    assert run.results["a"].status == "succeeded"
+    assert run.results["b"].status == "failed"
+    assert "ValueError" in run.results["b"].error
+    assert run.results["c"].status == "skipped"
+    assert run.results["d"].status == "succeeded"  # independent branch runs
+    assert not run.succeeded
+    assert ran == ["a", "d"]
+
+
+def test_pipeline_retry_recovers():
+    attempts = {"n": 0}
+
+    def flaky(ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    run = run_pipeline([Activity("flaky", flaky, retry=2)])
+    assert run.succeeded
+    assert run.results["flaky"].attempts == 3
+
+
+def test_pipeline_context_passes_outputs():
+    run = run_pipeline(
+        [
+            Activity("x", lambda ctx: 21),
+            Activity("y", lambda ctx: ctx["x"] * 2, depends_on=["x"]),
+        ]
+    )
+    assert run.results["y"].output == 42
+
+
+def test_foreach_sequential_order():
+    assert foreach([3, 1, 2], lambda x: x * 10) == [30, 10, 20]
