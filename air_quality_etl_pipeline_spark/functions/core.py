@@ -46,6 +46,18 @@ def sql_round(expr: str, decimals: int) -> str:
     return f"floor(({expr}) * {f} + 0.5) / {f}"
 
 
+def md5_hex15(col: Column, salt: str | None = None) -> Column:
+    """Deterministic 60-bit hash as a FIXED-WIDTH lowercase hex string
+    (first 15 md5 chars). Lexicographic order on fixed-width hex equals
+    numeric order, so MinHash minima over these strings pick the same
+    elements as over the decoded integers — without paying the
+    string→BigInteger ``conv`` per hash. The SQL twin is
+    ``substr(md5('<salt>:' || x), 1, 15)``."""
+    if salt is not None:
+        col = F.concat(F.lit(salt), F.lit(":"), col)
+    return F.substring(F.md5(col), 1, 15)
+
+
 def md5_long(col: Column, salt: str | None = None) -> Column:
     """Deterministic 60-bit non-negative hash of a string column.
 
@@ -98,7 +110,18 @@ def word_shingles(text: Column, n: int = 5) -> Column:
     is ~0 for unrelated and ~1 for near-dup pairs. Docs shorter than *n*
     tokens shingle to the whole text. Pure Catalyst expressions.
     """
-    toks = token_array(text)
+    return word_shingles_of_tokens(token_array(text), n)
+
+
+def word_shingles_of_tokens(toks: Column, n: int = 5) -> Column:
+    """Word n-grams over an existing token-array column.
+
+    PERF: pass a *materialized column reference* (``withColumn("toks",
+    token_array(...))`` first), not the tokenization expression itself —
+    Catalyst does no common-subexpression elimination inside lambda
+    bodies, so an inlined ``split`` is re-evaluated for every sequence
+    element (measured 5× slower on the documents table).
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),

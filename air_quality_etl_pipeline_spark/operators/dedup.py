@@ -26,10 +26,11 @@ from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import (
     char_shingles,
+    md5_hex15,
     md5_long,
     safe_div,
     token_array,
-    word_shingles,
+    word_shingles_of_tokens,
 )
 from air_quality_etl_pipeline_spark.operators.text import fingerprint
 
@@ -72,11 +73,13 @@ def ngram_jaccard_pairs(
     subquadratic at scale. Returns ``(id_a, id_b, jaccard)`` above
     *threshold*.
     """
+    # Persisted: the relation is both sides of the self-join below, and
+    # recomputing the shingle arrays for each side doubles the scan.
     sh = df.select(
         F.col(id_col).alias("_id"),
         *[F.col(c) for c in block_cols],
         char_shingles(F.col(text_col), n).alias("_sh"),
-    )
+    ).persist()
     left = sh.select(
         *[F.col(c).alias(f"{c}") for c in block_cols],
         F.col("_id").alias("id_a"),
@@ -101,10 +104,11 @@ def minhash_signature(
     shingles: Column, num_hashes: int = 8
 ) -> Column:
     """MinHash signature: array of per-hash-function minima over a
-    shingle-set column. Hash family = salted md5 (portable,
-    deterministic)."""
+    shingle-set column. Hash family = salted md5, kept as fixed-width
+    hex strings (lexicographic min ≡ numeric min — see md5_hex15) so no
+    per-hash integer decode is paid."""
     mins = [
-        F.array_min(F.transform(shingles, lambda s, i=i: md5_long(s, salt=str(i))))
+        F.array_min(F.transform(shingles, lambda s, i=i: md5_hex15(s, salt=str(i))))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -136,14 +140,27 @@ def minhash_lsh_pairs(
     (small) against the shingle table on id.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_sh"),
+    # ONE persisted pass computes shingles AND signature: tokens are
+    # materialized as a column before shingling (Catalyst does no CSE
+    # inside lambda bodies), and the cached (_id, _sh, _sig) relation
+    # feeds the band self-join (both sides) and both verify join-backs —
+    # without it the tokenize→shingle→8×md5 scan re-runs four times.
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            token_array(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "_id", word_shingles_of_tokens(F.col("_toks"), n).alias("_sh")
+        )
+        .select(
+            "_id",
+            "_sh",
+            minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
+        )
+        .persist()
     )
-    sig = sh.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
-    )
-    banded = sig.select(
+    banded = sh.select(
         "_id",
         F.explode(
             F.array(
@@ -195,37 +212,34 @@ def simhash_bits(
 ) -> DataFrame:
     """SimHash in relational form → ``(id, simhash)``.
 
-    explode tokens → per (doc, bit) majority vote of token-hash bits →
-    pack set bits back into a LONG. Pure groupBy/aggregate pipeline:
-    scales as a token-count-linear shuffle, no windows, no UDFs.
+    explode tokens → ONE groupBy per doc computing all per-bit ones
+    counts as *bits* aggregate expressions (``sum((h >> b) & 1)``) →
+    set bit b when ones > tokens/2 (the majority vote), packed into a
+    LONG in the aggregate's projection.
+
+    One token-count-linear shuffle. The naive formulation (explode a
+    bit index per token, groupBy (doc, bit)) shuffles ``bits ×`` more
+    rows — at 48 bits that's a 48× heavier exchange for identical
+    output.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(token_array(F.col(text_col))).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok")))
-    # shiftright/shiftleft need SQL-expression form: the PySpark function
-    # wrappers only accept a literal int shift amount, not a Column.
-    bit_votes = (
-        toks.select(
-            "_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1),
-        )
-        .groupBy("_id", "bit")
-        .agg(F.sum("vote").alias("votes"))
+    ones = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    counted = toks.groupBy("_id").agg(F.count("*").alias("_n"), *ones)
+    packed_expr = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed_expr = term if packed_expr is None else packed_expr + term
+    return counted.select(
+        F.col("_id").alias(id_col), packed_expr.alias("simhash")
     )
-    packed = bit_votes.groupBy("_id").agg(
-        F.sum(
-            F.when(F.col("votes") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
-    return packed.select(F.col("_id").alias(id_col), "simhash")
 
 
 def simhash_pairs(
@@ -237,26 +251,72 @@ def simhash_pairs(
     block_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ *max_hamming*,
-    blocked by *block_cols* (same rationale as n-gram blocking)."""
-    sh = simhash_bits(
-        df.select(id_col, text_col, *block_cols), id_col, text_col, bits
-    ).join(df.select(id_col, *block_cols), on=id_col)
-    left = sh.select(
-        *block_cols,
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
+    blocked by *block_cols*.
+
+    Candidate generation is Manku-style banded LSH, not all-pairs: the
+    fingerprint splits into ``max_hamming + 1`` bit bands, and by
+    pigeonhole any pair within *max_hamming* differing bits agrees on
+    at least one whole band — so a self-join on (band_idx, band_value)
+    has PERFECT recall while meeting only rows that collide on ~12
+    exact bits. Within-block all-pairs is quadratic in block size; the
+    band join is near-linear until bands saturate.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    sh = (
+        simhash_bits(
+            df.select(id_col, text_col, *block_cols), id_col, text_col, bits
+        )
+        .join(df.select(id_col, *block_cols), on=id_col)
+        .persist()
     )
-    right = sh.select(
+    # band b = bits [b*width, (b+1)*width) — last band absorbs remainder
+    def band_val(b: int) -> Column:
+        w = width + (bits % n_bands if b == n_bands - 1 else 0)
+        mask = (1 << w) - 1
+        return F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+
+    banded = sh.select(
+        F.col(id_col).alias("_id"),
         *block_cols,
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_val(b).alias("band_value"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", *block_cols, "band.band_idx", "band.band_value")
+
+    cands = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            on=[
+                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols],
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_value") == F.col("b.band_value"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = left.join(right, on=list(block_cols)) if block_cols else left.crossJoin(right)
     return (
-        pairs.filter(F.col("id_a") < F.col("id_b"))
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")),
+            on="id_b",
+        )
         .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -208,9 +208,11 @@ def _minhash_oracle(
     num_hashes: int = 8, bands: int = 4, thr: float = 0.7, n: int = 5
 ) -> str:
     rows = num_hashes // bands
+    # fixed-width lowercase hex: lexicographic min ≡ numeric min, and it
+    # matches the Spark side's decode-free md5_hex15 hash family.
     sig = ",\n           ".join(
         f"list_min(list_transform(s, x -> "
-        f"('0x' || substr(md5('{i}:' || x), 1, 15))::BIGINT)) AS h{i}"
+        f"substr(md5('{i}:' || x), 1, 15))) AS h{i}"
         for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL\n      ".join(
