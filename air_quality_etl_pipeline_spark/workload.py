@@ -775,6 +775,189 @@ def q_events_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Wide star join (J10 semantic relationships / analysis view)
+# ---------------------------------------------------------------------------
+
+@register(
+    "star_join_wide",
+    """
+    SELECT r.r_name, count(*) AS n_rows,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_star_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — the full analysis view: fact chained through orders →
+    customer → nation → region. Big-big joins (orders, customer) shuffle
+    on their keys; the truly small dims (nation, region) broadcast so
+    they never force an exchange. Revenue is exact decimal arithmetic
+    end to end (product of decimals, summed), double only at the edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = star_join(
+        li,
+        [
+            (o, [li["l_orderkey"] == o["o_orderkey"]], "inner"),
+            (c, [o["o_custkey"] == c["c_custkey"]], "inner"),
+        ],
+        broadcast_dims=False,  # orders/customer scale with the fact
+    )
+    joined = star_join(
+        joined,
+        [
+            (n, [c["c_nationkey"] == n["n_nationkey"]], "inner"),
+            (r, [n["n_regionkey"] == r["r_regionkey"]], "inner"),
+        ],
+        broadcast_dims=True,  # nation/region are fixed-size smalls
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Display mapping + conditional color (X13, X14) over ranked aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "display_labels",
+    """
+    WITH agg AS (
+      SELECT r.r_name, n.n_name,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, dense_rank() OVER (ORDER BY revenue DESC) AS rnk FROM agg)
+    SELECT concat(r_name, ' - ', n_name) AS label, revenue,
+           CAST(rnk AS BIGINT) AS rnk,
+           CASE WHEN rnk <= 2 THEN 'green'
+                WHEN rnk <= 4 THEN 'yellow'
+                ELSE 'red' END AS color
+    FROM ranked
+    """,
+)
+def q_display_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 concat display label ("STATE - POLLUTANT" in the reference)
+    + X14 SWITCH(TRUE) rank→color flag, over a ranked aggregate (W3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    aggd = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(_dec_sum("o_totalprice", "revenue"))
+    )
+    ranked = aggd.withColumn(
+        "rnk", F.dense_rank().over(Window.orderBy(F.col("revenue").desc()))
+    )
+    return ranked.select(
+        F.concat_ws(" - ", "r_name", "n_name").alias("label"),
+        "revenue",
+        F.col("rnk").cast("long").alias("rnk"),
+        bucketize(F.col("rnk"), [(2, "green"), (4, "yellow")], "red").alias(
+            "color"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month truncation + union + distinct coverage (X12, O4, A13/D2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "month_rollup",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+             AS month_start,
+           monthname(o_orderdate) AS month_name,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 — Power Query's Date.StartOfMonth + Date.MonthName as
+    ``trunc(date, 'month')`` + month-name formatting."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.date_format("o_orderdate", "MMMM").alias("month_name"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "union_append",
+    """
+    WITH u AS (
+      SELECT * FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderstatus, count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM u GROUP BY 1
+    """,
+)
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — ``unionByName`` (by-name, not positional: column order must
+    not silently misalign) of two disjoint splits, re-aggregated."""
+    o = _t(spark, sf_dir, "orders")
+    evens = o.filter(F.col("o_orderkey") % 2 == 0)
+    odds = o.filter(F.col("o_orderkey") % 2 == 1)
+    u = evens.unionByName(odds)
+    return u.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "distinct_coverage",
+    """
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types
+    FROM events
+    """,
+)
+def q_distinct_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/D2 — coverage summary: distinct count + deterministic sorted
+    roster (the reference's states-covered QA set, made distributed)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+            "types"
+        ),
+    )
+
+
 # These register themselves into QUERIES on import.
 from air_quality_etl_pipeline_spark import workload_llm  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sources  # noqa: E402,F401
