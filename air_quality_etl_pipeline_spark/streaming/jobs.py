@@ -71,19 +71,98 @@ def daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window aggregate per user: Spark's native
+    ``session_window`` merges events closer than *gap* into one window.
+    Works identically under batch groupBy and streaming with watermark —
+    the batch twin is the gaps-and-islands SQL formulation."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running (count, decimal-cents sum) held in GroupState
+    across micro-batches, emitted as updates each batch.
+
+    This is the escape hatch for semantics window aggregates can't
+    express (custom eviction, cross-batch counters, ML feature state).
+    State size is O(distinct users); at 100 TB partition by user hash so
+    state shards across executors — GroupState is per-key, so that is
+    automatic under the groupBy.
+
+    The update function is SELF-CONTAINED (imports inside, no module
+    globals): executors unpickle it without this package installed.
+    Money is accumulated in integer cents — repeated float addition
+    across batches would drift versus the batch oracle.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, cents bigint"
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # round half-up per event to exact cents, like CAST(x AS
+            # DECIMAL(18,2)) does in the batch aggregate
+            cents += int(
+                (pdf["value"] * 100).round(0).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming aggregate over everything currently in the
     source and return the final result as a batch DataFrame.
 
     ``availableNow`` processes all existing files then stops — the
-    streaming-native incremental batch. Complete output mode to a named
-    memory sink; unique sink names keep repeated calls independent
-    within one session."""
+    streaming-native incremental batch. Output goes to a named memory
+    sink; unique sink names keep repeated calls independent within one
+    session. ``update`` mode may emit several rows per key (one per
+    micro-batch) — the caller keeps the final one."""
     name = f"stream_sink_{next(_sink_ids)}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

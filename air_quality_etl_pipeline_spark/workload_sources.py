@@ -26,10 +26,13 @@ from air_quality_etl_pipeline_spark.sources.writers import (
     write_partitioned_append,
     write_partitioned_dynamic_overwrite,
 )
+from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
 from air_quality_etl_pipeline_spark.streaming.jobs import (
     daily_counts,
     read_events_stream,
     run_available_now,
+    sessionize,
+    stateful_user_counts,
 )
 from air_quality_etl_pipeline_spark.workload import _t, register
 
@@ -247,3 +250,55 @@ def q_streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the same files (exactly-once file-source semantics)."""
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(daily_counts(stream), spark)
+
+
+@register(
+    "session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ``session_window`` (30-minute gap) per user — the
+    oracle is the classic gaps-and-islands formulation. The same
+    operator runs under streaming with a watermark; batch here so the
+    result is deterministic."""
+    from air_quality_etl_pipeline_spark.workload import _events
+
+    return sessionize(_events(spark, sf_dir), gap="30 minutes")
+
+
+@register(
+    "streaming_stateful_counts",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    GroupState accumulates (count, cents) across micro-batches in
+    update mode; the final emitted row per user must equal the batch
+    groupBy oracle. Counts are monotonic, so "final" = max n_events."""
+    stream = read_events_stream(spark, sf_dir)
+    updates = run_available_now(
+        stateful_user_counts(stream), spark, output_mode="update"
+    )
+    return dedup_first(
+        updates, ["user_id"], order_by=[F.col("n_events").desc()]
+    )
