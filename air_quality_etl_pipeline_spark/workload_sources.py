@@ -27,6 +27,7 @@ from air_quality_etl_pipeline_spark.sources.writers import (
     write_partitioned_dynamic_overwrite,
 )
 from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
+from air_quality_etl_pipeline_spark.operators.skew import salted_join, two_phase_agg
 from air_quality_etl_pipeline_spark.streaming.jobs import (
     daily_counts,
     read_events_stream,
@@ -228,6 +229,51 @@ def q_pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not run.succeeded:
         raise RuntimeError(f"pipeline failed: {run.results}")
     return run.results["aggregate"].output
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation: the salted rewrites must be result-identical
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salted_join",
+    """
+    WITH j AS (
+      SELECT o.o_orderpriority, l.l_quantity
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    agg AS (
+      SELECT o_orderpriority, count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM j GROUP BY 1)
+    SELECT * FROM agg
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join + two-phase aggregation: the hot-key-proof rewrites
+    must produce exactly the plain join/groupBy result (the oracle is
+    the naive formulation)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        buckets=8,
+    )
+    return two_phase_agg(
+        joined,
+        ["o_orderpriority"],
+        [
+            (F.count("*"), "n_rows", F.sum("n_rows").cast("long")),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                "sum_qty",
+                F.sum("sum_qty").cast("double"),
+            ),
+        ],
+        buckets=8,
+    )
 
 
 # ---------------------------------------------------------------------------
