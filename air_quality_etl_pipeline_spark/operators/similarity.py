@@ -122,6 +122,89 @@ def sign_lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 128,
+    nprobe: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k — the inverted-file architecture
+    (coarse quantizer → probe lists) expressed relationally:
+
+    1. *Centroids*: a deterministic sample of the corpus (every
+       ``centroid_stride``-th id; a k-means pass would slot in here —
+       determinism is what the oracle needs).
+    2. *Assignment*: every corpus vector joins its nearest centroid
+       (broadcast centroids ⨯ corpus, rank-1 by cosine) — this is the
+       inverted list: at scale you'd repartition + persist it keyed by
+       ``cid``, amortized over every later query.
+    3. *Probe*: each query ranks the same centroids and searches only
+       its ``nprobe`` nearest lists — the equi-join on ``cid`` replaces
+       the full corpus scan, cutting work by ~``nprobe/num_centroids``.
+
+    Ties everywhere break on the rounded cosine + id so the result is
+    engine-reproducible.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = F.broadcast(
+        c.filter(F.col("_id") % centroid_stride == 0).select(
+            F.col("_id").alias("cid"), F.col("_v").alias("cv")
+        )
+    )
+
+    def nearest(df: DataFrame, vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "_cos",
+            round_portable(
+                cosine_similarity(F.col(vec), F.col("cv")), sim_decimals
+            ),
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_cos").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .drop("cv", "_cos", "_rn")
+        )
+
+    assigned = nearest(c, "_v", 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cid"
+    )
+    probes = nearest(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ),
+        "qv",
+        nprobe,
+    )
+    scored = (
+        probes.join(assigned, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            round_portable(
+                cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -25,6 +25,7 @@ from air_quality_etl_pipeline_spark.operators.dedup import (
 from air_quality_etl_pipeline_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
+    ivf_topk,
     sign_lsh_topk,
 )
 from air_quality_etl_pipeline_spark.operators.text import (
@@ -385,6 +386,55 @@ def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the bucket — the scale path (≈2^6 × fewer candidates)."""
     e = _t(spark, sf_dir, "embeddings")
     out = sign_lsh_topk(e, e.filter(F.col("vec_id") < 8), k=5, bits=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_oracle(stride: int = 128, nprobe: int = 2, k: int = 5) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> x * x))))"
+        )
+
+    def r6(x: str) -> str:
+        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {stride} = 0),
+    assign AS (
+      SELECT vec_id AS neighbor_id, v AS nv, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {r6(cos('e.v', 'c.cv'))} DESC, c.cid ASC) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {r6(cos('q.v', 'c.cv'))} DESC, c.cid ASC) AS rn
+        FROM e q, cent c WHERE q.vec_id < 8) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT query_id, neighbor_id, {r6(cos('p.qv', 'a.nv'))} AS cosine
+      FROM probes p JOIN assign a
+        ON p.cid = a.cid AND a.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids → inverted-list
+    assignment → nprobe=2 probe join → exact cosine within the probed
+    lists. The scale path where the corpus is partitioned by centroid."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), k=5, centroid_stride=128, nprobe=2
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
