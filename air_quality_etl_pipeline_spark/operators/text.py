@@ -59,7 +59,13 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts (the LID feature vector)."""
-    toks = F.transform(token_array(text), F.lower)
+    return lang_scores_of_tokens(F.transform(token_array(text), F.lower))
+
+
+def lang_scores_of_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a (lowercased) token-array
+    column. PERF: pass a materialized column reference — Catalyst does
+    no CSE inside lambdas, so an inlined split re-evaluates per score."""
     out: dict[str, Column] = {}
     for lang, words in LANG_STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
@@ -68,15 +74,29 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def predicted_lang(text: Column) -> Column:
+    """Heuristic language ID from raw text — see
+    :func:`predicted_lang_of_tokens` (and prefer it with a materialized
+    token column in hot paths)."""
+    return predicted_lang_of_tokens(F.transform(token_array(text), F.lower))
+
+
+def predicted_lang_of_tokens(toks: Column) -> Column:
     """Heuristic language ID: argmax of stopword hits, ties broken by
-    language code order, 'und' when no list scores > 0."""
-    scores = lang_scores(text)
+    language code order, 'und' when no list scores > 0.
+
+    Implemented over a score ARRAY so the argmax is
+    ``array_position(scores, array_max(scores))`` (first match ⇒
+    deterministic tie order) — one evaluation per score, not a
+    when-chain that re-evaluates every score expression per branch.
+    """
+    scores = lang_scores_of_tokens(toks)
     langs = sorted(scores)  # deterministic tie order
-    best = F.greatest(*[scores[lg] for lg in langs])
-    expr = F.when(best <= 0, F.lit("und"))
-    for lg in langs:
-        expr = expr.when(scores[lg] == best, F.lit(lg))
-    return expr.otherwise(F.lit("und"))
+    score_arr = F.array(*[scores[lg].cast("int") for lg in langs])
+    lang_arr = F.array(*[F.lit(lg) for lg in langs])
+    best = F.array_max(score_arr)
+    return F.when(best <= 0, F.lit("und")).otherwise(
+        F.element_at(lang_arr, F.array_position(score_arr, best).cast("int"))
+    )
 
 
 def quality_score(text: Column, target_tokens: int = 100) -> Column:

@@ -123,9 +123,25 @@ def _lang_id_oracle() -> str:
 @register("lang_id", _lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-hit argmax with deterministic
-    tie order) next to the labeled lang for accuracy inspection."""
+    tie order) next to the labeled lang for accuracy inspection. The
+    lowercased token array is materialized once per row; the five
+    per-language scores read the column, not a re-inlined split."""
+    from air_quality_etl_pipeline_spark.functions.core import token_array
+    from air_quality_etl_pipeline_spark.operators.text import (
+        predicted_lang_of_tokens,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", predicted_lang(F.col("text")).alias("lang_pred"))
+    return (
+        d.withColumn(
+            "_toks", F.transform(token_array(F.col("text")), F.lower)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            predicted_lang_of_tokens(F.col("_toks")).alias("lang_pred"),
+        )
+    )
 
 
 @register(

@@ -27,13 +27,18 @@ HEADLINE = [
     "group_rank",
     "share_of_total",
     "merge_upsert",
+    "star_join_wide",
     # LLM-data extensions
     "text_stats",
+    "lang_id",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
+    # streaming twins
+    "session_windows",
 ]
 
 
