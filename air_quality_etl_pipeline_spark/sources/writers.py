@@ -68,3 +68,25 @@ def copy_tables(
     ``src → dst``, TRUNCATE+COPY ≡ full overwrite of dst from src."""
     for src, dst in tables.items():
         spark.table(src).write.mode("overwrite").saveAsTable(dst)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed + sorted managed table — the co-located-join layout.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle: each bucket file pair is already co-partitioned,
+    so the sort-merge join runs exchange-free (and sort-free when
+    *sort_cols* match the key). This is the pre-paid shuffle for
+    fact↔fact joins repeated across many queries — at 100 TB the win is
+    paying the exchange once at write time instead of per query.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

@@ -9,7 +9,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # keep the metastore + managed tables out of the repo tree
+            "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
+            "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/spark_graft_derby",
+        },
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,52 @@
+"""Bucketed-table co-located join: two tables bucketed on the same key
+with the same bucket count must sort-merge join with NO shuffle
+exchange — the physical plan is the test."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.sources.writers import write_bucketed_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed_table(
+        orders, "b_orders", ["o_orderkey"], num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        lineitem, "b_lineitem", ["l_orderkey"], num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan_of(joined)
+        assert "SortMergeJoin" in plan
+        # co-located layout: no shuffle of either side
+        assert "Exchange" not in plan, plan
+        # and the result matches the plain (shuffled) join
+        expected = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
