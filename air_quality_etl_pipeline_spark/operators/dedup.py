@@ -225,12 +225,26 @@ def simhash_bits(
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(token_array(F.col(text_col))).alias("tok"),
-    ).withColumn("h", md5_long(F.col("tok")))
+    )
+    # Hash the VOCABULARY, not every occurrence: token frequency follows
+    # Zipf, so distinct tokens ≪ occurrences — md5+decode runs once per
+    # vocab entry and broadcast-joins back (swap to a shuffle join only
+    # if the vocab outgrows the broadcast threshold). Per-(doc, token)
+    # counts pre-aggregate with map-side combine, so the vote
+    # aggregation reads weighted rows, not raw occurrences.
+    vocab = toks.select("tok").distinct().withColumn("h", md5_long(F.col("tok")))
+    weighted = (
+        toks.groupBy("_id", "tok")
+        .agg(F.count("*").alias("_cnt"))
+        .join(F.broadcast(vocab), on="tok")
+    )
     ones = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        F.sum(
+            F.col("_cnt") * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        ).alias(f"_b{b}")
         for b in range(bits)
     ]
-    counted = toks.groupBy("_id").agg(F.count("*").alias("_n"), *ones)
+    counted = weighted.groupBy("_id").agg(F.sum("_cnt").alias("_n"), *ones)
     packed_expr = None
     for b in range(bits):
         term = F.when(

@@ -64,12 +64,17 @@ def main() -> None:
     if missing:
         print(f"bench: skipping unknown queries {missing}", file=sys.stderr)
 
+    # best-of-2 per query: the environment shares CPUs with the harness,
+    # so a single sample conflates steady-state cost with scheduler noise
     timings: dict[str, float] = {}
     for name in names:
         fn, _ = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -22,6 +22,12 @@ def _plan_of(df) -> str:
 
 
 def test_bucketed_join_has_no_exchange(spark):
+    # location can survive a previous session whose metastore is gone
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark_graft_warehouse/{t}", ignore_errors=True)
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
     write_bucketed_table(
