@@ -1,7 +1,16 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
 
-Training-data-pipeline extensions (north star in BASELINE.json). The
-design goal at 100 TB is to never materialize the O(n²) pair space:
+Training-data-pipeline extensions (north star in BASELINE.json),
+following the published constructions: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", SEQUENCES
+1997) with banded LSH (Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3), SimHash random-projection fingerprints (Charikar,
+"Similarity estimation techniques from rounding algorithms", STOC
+2002) with the bit-band candidate trick from Manku/Jain/Sarma,
+"Detecting near-duplicates for web crawling" (WWW 2007). Word-shingle
+blocking mirrors the dedup recipes of large-corpus pipelines
+(Gopher/RefinedWeb). The design goal at 100 TB is to never materialize
+the O(n²) pair space:
 
 * exact       — hash-groupBy on a content fingerprint (one shuffle).
 * n-gram Jaccard — pairs only *within a blocking key* (e.g. language ×

@@ -1,9 +1,15 @@
 """Similarity search over embedding columns (``array<float>``).
 
 Training-data-pipeline extension (north star in BASELINE.json):
-approximate-nearest-neighbor retrieval over an embeddings table.
+approximate-nearest-neighbor retrieval over an embeddings table. The
+approximate strategies follow the published designs: sign-pattern
+bucketing is the random-hyperplane LSH of Charikar (STOC 2002); the
+inverted-file index (coarse quantizer → probe lists) follows
+Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+search" (TPAMI 2011) — minus the PQ compression, which is an encoding
+concern orthogonal to the relational plan.
 
-Two strategies:
+Strategies:
 
 * :func:`cosine_topk` — exact brute force: query-set ⨯ corpus with a
   JVM-side cosine (``zip_with`` + ``aggregate``), ranked per query.

@@ -776,6 +776,45 @@ def q_events_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rollup — the hierarchical-grain companion of cube_measures
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_measures",
+    """
+    SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS year,
+           coalesce(CAST(month(o_orderdate) AS VARCHAR), 'ALL') AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def q_rollup_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grain totals (year → year+month → grand total) via
+    ``rollup`` — the "measure valid at any grain of a hierarchy"
+    companion to the cube query. Null grouping slots are labeled 'ALL'
+    so the subtotal rows hash identically across engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+        .select(
+            F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("year"),
+            F.coalesce(F.col("m").cast("string"), F.lit("ALL")).alias("month"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Wide star join (J10 semantic relationships / analysis view)
 # ---------------------------------------------------------------------------
 
