@@ -174,3 +174,54 @@ def test_bucketize_null_label(spark):
         ).collect()
     ]
     assert got == ["missing", "low"]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=30
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_simhash_band_lsh_has_exact_recall(spark, texts):
+    """The bit-band candidate join must find EVERY pair within
+    max_hamming (pigeonhole: k differing bits can't touch all k+1
+    bands) — banded output ≡ brute-force all-pairs output."""
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        simhash_bits,
+        simhash_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(
+            df, "doc_id", "text", bits=16, max_hamming=3
+        ).collect()
+    }
+    sh = simhash_bits(df, "doc_id", "text", bits=16)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
