@@ -46,6 +46,25 @@ def sql_round(expr: str, decimals: int) -> str:
     return f"floor(({expr}) * {f} + 0.5) / {f}"
 
 
+def hash_of(col: Column, salt: str | None = None, family: str = "md5") -> Column:
+    """Salted deterministic hash with a selectable family.
+
+    ``"md5"`` (default) is engine-portable — required wherever a DuckDB
+    oracle must reproduce bucket/candidate decisions. ``"xxhash64"`` is
+    the production fast path: a JVM-native non-cryptographic hash,
+    ~5-10× cheaper per call, same distribution quality for
+    MinHash/SimHash purposes — but its constants are Spark-specific, so
+    nothing outside Spark can replay it.
+    """
+    if family == "xxhash64":
+        if salt is not None:
+            return F.xxhash64(F.lit(salt), col)
+        return F.xxhash64(col)
+    if family == "md5":
+        return md5_long(col, salt)
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
 def md5_hex15(col: Column, salt: str | None = None) -> Column:
     """Deterministic 60-bit hash as a FIXED-WIDTH lowercase hex string
     (first 15 md5 chars). Lexicographic order on fixed-width hex equals

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import (
     char_shingles,
+    hash_of,
     md5_hex15,
     md5_long,
     safe_div,
@@ -109,18 +110,51 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 8
-) -> Column:
-    """MinHash signature: array of per-hash-function minima over a
-    shingle-set column. Hash family = salted md5, kept as fixed-width
-    hex strings (lexicographic min ≡ numeric min — see md5_hex15) so no
-    per-hash integer decode is paid."""
-    mins = [
-        F.array_min(F.transform(shingles, lambda s, i=i: md5_hex15(s, salt=str(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Per-row MinHash signatures → ``(_id, _sh, _h0.._h{k-1})``.
+
+    LAMBDA-FREE formulation: shingles explode to rows and each hash
+    function is a plain ``min(salted_hash(shingle))`` aggregate — one
+    shuffle on id with map-side partial mins. This is deliberate: a
+    projection of N sibling ``array_min(transform(...))`` lambda
+    expressions over a computed array column silently produced WRONG,
+    run-to-run-unstable hash minima (nested-lambda variable resolution
+    after projection collapse); row-expression aggregates have no
+    lambda binding to corrupt. The aggregate form is also the shape
+    that scales — partial mins combine before the exchange.
+
+    ``hash_family="md5"`` (default, oracle-portable) keeps fixed-width
+    hex strings (lexicographic min ≡ numeric min — see md5_hex15);
+    ``"xxhash64"`` is the ~5-10× cheaper JVM-native production path
+    (not replayable outside Spark).
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            token_array(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "_id", word_shingles_of_tokens(F.col("_toks"), n).alias("_sh")
+        )
+    )
+    exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+
+    def one(i: int) -> Column:
+        if hash_family == "md5":
+            return md5_hex15(F.col("_s"), salt=str(i))
+        return hash_of(F.col("_s"), salt=str(i), family=hash_family)
+
+    sig = exploded.groupBy("_id").agg(
+        *[F.min(one(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    return sh.join(sig, on="_id")
 
 
 def minhash_lsh_pairs(
@@ -131,6 +165,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.7,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection over word-*n*-gram
     shingles.
@@ -149,26 +184,14 @@ def minhash_lsh_pairs(
     (small) against the shingle table on id.
     """
     rows_per_band = num_hashes // bands
-    # ONE persisted pass computes shingles AND signature: tokens are
-    # materialized as a column before shingling (Catalyst does no CSE
-    # inside lambda bodies), and the cached (_id, _sh, _sig) relation
-    # feeds the band self-join (both sides) and both verify join-backs —
-    # without it the tokenize→shingle→8×md5 scan re-runs four times.
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            token_array(F.col(text_col)).alias("_toks"),
-        )
-        .select(
-            "_id", word_shingles_of_tokens(F.col("_toks"), n).alias("_sh")
-        )
-        .select(
-            "_id",
-            "_sh",
-            minhash_signature(F.col("_sh"), num_hashes).alias("_sig"),
-        )
-        .persist()
-    )
+    # ONE persisted pass computes shingles AND signatures (see
+    # minhash_signatures for why the signature is aggregate-based); the
+    # cached relation feeds the band self-join (both sides) and both
+    # verify join-backs — without it the tokenize→shingle→hash scan
+    # re-runs four times.
+    sh = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, hash_family
+    ).persist()
     banded = sh.select(
         "_id",
         F.explode(
@@ -180,7 +203,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at("_sig", b * rows_per_band + r + 1)
+                                    F.col(f"_h{b * rows_per_band + r}")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -192,17 +215,21 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_hash")
 
+    # Self-join via RENAMED projections + join-by-name, NOT
+    # .alias("a")/.alias("b") with qualified F.col refs: when both sides
+    # share one unpersisted plan, Spark's self-join attribute
+    # de-duplication can mis-resolve the qualified columns and silently
+    # drop candidate pairs (observed: cold runs returned a subset).
+    left = banded.select(
+        "band_idx", "band_hash", F.col("_id").alias("id_a")
+    )
+    right = banded.select(
+        "band_idx", "band_hash", F.col("_id").alias("id_b")
+    )
     cands = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        left.join(right, on=["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
@@ -217,7 +244,11 @@ def minhash_lsh_pairs(
 
 
 def simhash_bits(
-    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """SimHash in relational form → ``(id, simhash)``.
 
@@ -241,7 +272,9 @@ def simhash_bits(
     # if the vocab outgrows the broadcast threshold). Per-(doc, token)
     # counts pre-aggregate with map-side combine, so the vote
     # aggregation reads weighted rows, not raw occurrences.
-    vocab = toks.select("tok").distinct().withColumn("h", md5_long(F.col("tok")))
+    vocab = toks.select("tok").distinct().withColumn(
+        "h", hash_of(F.col("tok"), family=hash_family)
+    )
     weighted = (
         toks.groupBy("_id", "tok")
         .agg(F.count("*").alias("_cnt"))
@@ -272,6 +305,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     block_cols: Sequence[str] = (),
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ *max_hamming*,
     blocked by *block_cols*.
@@ -288,7 +322,11 @@ def simhash_pairs(
     width = bits // n_bands
     sh = (
         simhash_bits(
-            df.select(id_col, text_col, *block_cols), id_col, text_col, bits
+            df.select(id_col, text_col, *block_cols),
+            id_col,
+            text_col,
+            bits,
+            hash_family,
         )
         .join(df.select(id_col, *block_cols), on=id_col)
         .persist()
@@ -315,18 +353,18 @@ def simhash_pairs(
         ).alias("band"),
     ).select("_id", *block_cols, "band.band_idx", "band.band_value")
 
+    # rename-style self-join (see minhash_lsh_pairs note on alias-style
+    # self-join mis-resolution)
+    left = banded.select(
+        *block_cols, "band_idx", "band_value", F.col("_id").alias("id_a")
+    )
+    right = banded.select(
+        *block_cols, "band_idx", "band_value", F.col("_id").alias("id_b")
+    )
     cands = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols],
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_value") == F.col("b.band_value"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        left.join(right, on=[*block_cols, "band_idx", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (

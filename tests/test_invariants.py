@@ -225,3 +225,100 @@ def test_simhash_band_lsh_has_exact_recall(spark, texts):
         .collect()
     }
     assert banded == brute
+
+
+def test_hash_family_fast_path_finds_same_pairs(spark):
+    """The xxhash64 production path changes only CANDIDATE generation;
+    verification filters on true Jaccard/Hamming, so on clearly-separated
+    data (near-identical vs unrelated docs) both families must emit the
+    same verified pair set."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base + " tail"),                      # near-dup of 0
+        (2, "completely different words here entirely unrelated content"),
+        (3, base.replace("quick", "slow")),       # near-dup of 0
+        (4, "another unrelated document about nothing in particular at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    mh = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for fam in ("md5", "xxhash64")
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, hash_family=fam
+        ).collect()
+    }
+    md5_only = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5, hash_family="md5"
+        ).collect()
+    }
+    assert mh == md5_only  # union equals md5's set → xxhash64 found the same
+    assert (0, 1) in md5_only and (0, 3) in md5_only
+
+    sim_sets = []
+    for fam in ("md5", "xxhash64"):
+        sim_sets.append(
+            {
+                tuple(sorted((r["id_a"], r["id_b"])))
+                for r in simhash_pairs(
+                    df, "doc_id", "text", bits=48, max_hamming=10,
+                    hash_family=fam,
+                ).collect()
+            }
+        )
+    # hamming VALUES differ per family; the banded recall property (all
+    # pairs within max_hamming found) holds for both — each family's set
+    # must contain the near-dup pairs
+    for s in sim_sets:
+        assert (0, 1) in s and (0, 3) in s
+
+
+def test_minhash_signatures_match_python_ground_truth(spark):
+    """Spark-computed MinHash signatures must equal a pure-Python
+    reimplementation — guards the hash pipeline against silent
+    expression-resolution corruption (sibling lambda transforms over a
+    computed array column once produced wrong, unstable minima)."""
+    import hashlib
+
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),
+        (2, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["_id"]: tuple(r[f"_h{i}"] for i in range(8))
+        for r in minhash_signatures(df, "doc_id", "text", n=5).collect()
+    }
+
+    def shingles(text: str) -> list[str]:
+        toks = text.split()
+        out: list[str] = []
+        for i in range(max(len(toks) - 4, 1)):
+            g = " ".join(toks[i : i + 5])
+            if g not in out:
+                out.append(g)
+        return out
+
+    def h15(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:15]
+
+    expected = {
+        doc_id: tuple(
+            min(h15(f"{i}:{s}") for s in shingles(text)) for i in range(8)
+        )
+        for doc_id, text in docs
+    }
+    assert got == expected
