@@ -249,6 +249,7 @@ def simhash_bits(
     text_col: str = "text",
     bits: int = 32,
     hash_family: str = "md5",
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """SimHash in relational form → ``(id, simhash)``.
 
@@ -264,6 +265,7 @@ def simhash_bits(
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
+        *[F.col(c) for c in carry_cols],
         F.explode(token_array(F.col(text_col))).alias("tok"),
     )
     # Hash the VOCABULARY, not every occurrence: token frequency follows
@@ -276,7 +278,7 @@ def simhash_bits(
         "h", hash_of(F.col("tok"), family=hash_family)
     )
     weighted = (
-        toks.groupBy("_id", "tok")
+        toks.groupBy("_id", *carry_cols, "tok")
         .agg(F.count("*").alias("_cnt"))
         .join(F.broadcast(vocab), on="tok")
     )
@@ -286,7 +288,9 @@ def simhash_bits(
         ).alias(f"_b{b}")
         for b in range(bits)
     ]
-    counted = weighted.groupBy("_id").agg(F.sum("_cnt").alias("_n"), *ones)
+    counted = weighted.groupBy("_id", *carry_cols).agg(
+        F.sum("_cnt").alias("_n"), *ones
+    )
     packed_expr = None
     for b in range(bits):
         term = F.when(
@@ -294,7 +298,9 @@ def simhash_bits(
         ).otherwise(F.lit(0).cast("long"))
         packed_expr = term if packed_expr is None else packed_expr + term
     return counted.select(
-        F.col("_id").alias(id_col), packed_expr.alias("simhash")
+        F.col("_id").alias(id_col),
+        *carry_cols,
+        packed_expr.alias("simhash"),
     )
 
 
@@ -320,17 +326,16 @@ def simhash_pairs(
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
-    sh = (
-        simhash_bits(
-            df.select(id_col, text_col, *block_cols),
-            id_col,
-            text_col,
-            bits,
-            hash_family,
-        )
-        .join(df.select(id_col, *block_cols), on=id_col)
-        .persist()
-    )
+    # block cols ride through the vote aggregation (functionally
+    # dependent on the id) — no second scan of df to re-attach them
+    sh = simhash_bits(
+        df.select(id_col, text_col, *block_cols),
+        id_col,
+        text_col,
+        bits,
+        hash_family,
+        carry_cols=block_cols,
+    ).persist()
     # band b = bits [b*width, (b+1)*width) — last band absorbs remainder
     def band_val(b: int) -> Column:
         w = width + (bits % n_bands if b == n_bands - 1 else 0)

@@ -776,6 +776,43 @@ def q_events_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact percentiles (distribution measures beyond the reference's DAX set)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantiles",
+    """
+    SELECT l_returnflag,
+           floor((quantile_cont(l_quantity, 0.5)) * 1000000.0 + 0.5)
+             / 1000000.0 AS median_qty,
+           floor((quantile_cont(l_quantity, 0.9)) * 1000000.0 + 0.5)
+             / 1000000.0 AS p90_qty,
+           floor((quantile_cont(l_extendedprice, 0.99)) * 1000000.0 + 0.5)
+             / 1000000.0 AS p99_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics on
+    both engines — linear interpolation between order statistics).
+    Exact percentile needs a per-group sort; at 100 TB swap in
+    ``approx_percentile`` (t-digest, one pass, no sort) and accept the
+    documented error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round_portable(F.expr("percentile(l_quantity, 0.5)"), 6).alias(
+            "median_qty"
+        ),
+        round_portable(F.expr("percentile(l_quantity, 0.9)"), 6).alias(
+            "p90_qty"
+        ),
+        round_portable(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias(
+            "p99_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rollup — the hierarchical-grain companion of cube_measures
 # ---------------------------------------------------------------------------
 
