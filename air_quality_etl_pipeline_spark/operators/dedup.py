@@ -102,6 +102,14 @@ def ngram_jaccard_pairs(
     )
     pairs = left.join(right, on=list(block_cols)) if block_cols else left.crossJoin(right)
     pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+    # size-bound prefilter (PPJoin-style length filter, Xiao et al.,
+    # WWW 2008): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    # sizes are further apart than the threshold can skip the expensive
+    # intersect/union entirely. Necessary condition ⇒ results unchanged.
+    sa, sb = F.size(F.col("sh_a")), F.size(F.col("sh_b"))
+    pairs = pairs.filter(
+        F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb)
+    )
     jac = jaccard_of_arrays(F.col("sh_a"), F.col("sh_b"))
     return (
         pairs.withColumn("jaccard", jac)
