@@ -140,3 +140,40 @@ def test_pipeline_context_passes_outputs():
 
 def test_foreach_sequential_order():
     assert foreach([3, 1, 2], lambda x: x * 10) == [30, 10, 20]
+
+
+def test_rest_param_grid_datasource(spark):
+    """Spark 4 Python Data Source expression of the REST ingest: one
+    InputPartition per param-grid entry, schema-enforced scan. (Needs
+    the package importable on executors — true under pytest; on a real
+    cluster ship it via --py-files / pip, as with any Python source.)"""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.sources.rest_datasource import (
+        RestParamGridDataSource,
+    )
+
+    spark.dataSource.register(RestParamGridDataSource)
+    grid = [{"state": s, "year": y} for s in range(3) for y in (2023, 2024)]
+    df = (
+        spark.read.format("rest_param_grid")
+        .schema("state_code string, year int, aqi int")
+        .option("param_grid_json", json.dumps(grid))
+        .option("fetcher_builtin", "demo")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == len(grid)
+    rows = df.groupBy("state_code").agg(F.count("*").alias("n")).collect()
+    assert {r["state_code"]: r["n"] for r in rows} == {
+        "0": 20, "1": 20, "2": 20,
+    }
+    total = df.agg(F.sum("aqi")).first()[0]
+    expected = sum(
+        (s * 31 + y) % 100 + i
+        for s in range(3)
+        for y in (2023, 2024)
+        for i in range(10)
+    )
+    assert total == expected
