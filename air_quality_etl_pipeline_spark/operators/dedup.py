@@ -279,25 +279,21 @@ def simhash_bits(
     # Hash the VOCABULARY, not every occurrence: token frequency follows
     # Zipf, so distinct tokens ≪ occurrences — md5+decode runs once per
     # vocab entry and broadcast-joins back (swap to a shuffle join only
-    # if the vocab outgrows the broadcast threshold). Per-(doc, token)
-    # counts pre-aggregate with map-side combine, so the vote
-    # aggregation reads weighted rows, not raw occurrences.
+    # if the vocab outgrows the broadcast threshold). The vote sums
+    # aggregate straight off the exploded rows: the final groupBy's
+    # map-side partial aggregation already collapses per-doc rows
+    # before the exchange, so a per-(doc, token) pre-count shuffle is
+    # pure overhead (measured 3× slower).
     vocab = toks.select("tok").distinct().withColumn(
         "h", hash_of(F.col("tok"), family=hash_family)
     )
-    weighted = (
-        toks.groupBy("_id", *carry_cols, "tok")
-        .agg(F.count("*").alias("_cnt"))
-        .join(F.broadcast(vocab), on="tok")
-    )
+    joined = toks.join(F.broadcast(vocab), on="tok")
     ones = [
-        F.sum(
-            F.col("_cnt") * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-        ).alias(f"_b{b}")
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
         for b in range(bits)
     ]
-    counted = weighted.groupBy("_id", *carry_cols).agg(
-        F.sum("_cnt").alias("_n"), *ones
+    counted = joined.groupBy("_id", *carry_cols).agg(
+        F.count("*").alias("_n"), *ones
     )
     packed_expr = None
     for b in range(bits):
