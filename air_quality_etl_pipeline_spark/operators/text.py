@@ -116,6 +116,38 @@ def quality_score(text: Column, target_tokens: int = 100) -> Column:
     )
 
 
+#: RE2-safe GPT-2-style pretokenizer (no lookahead, ASCII classes, so
+#: Spark's Java regex and DuckDB's RE2 agree): contraction suffixes,
+#: space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+URL_PATTERN = r"https?://[^\s]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretokenizer-level token count (the BPE-ish estimate of the
+    brief): counts GPT-2-style pretoken matches. A real BPE merge pass
+    only splits these further, so this bounds subword count from below
+    at ~linear cost — the standard cheap budget signal for corpus
+    sizing."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0))
+
+
+def scrub_text(text: Column) -> Column:
+    """URL/email scrubbing: replace matches with placeholder tags (the
+    minimal PII/noise pass every corpus pipeline runs before training).
+    Spark's regexp_replace replaces all matches (DuckDB needs the 'g'
+    flag for the same)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, URL_PATTERN, "<URL>"),
+        EMAIL_PATTERN,
+        "<EMAIL>",
+    )
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Canonicalize: lowercase, strip non-alphanumerics."""
     return F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")

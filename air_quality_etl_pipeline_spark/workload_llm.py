@@ -29,10 +29,15 @@ from air_quality_etl_pipeline_spark.operators.similarity import (
     sign_lsh_topk,
 )
 from air_quality_etl_pipeline_spark.operators.text import (
+    BPE_PRETOKEN_PATTERN,
+    EMAIL_PATTERN,
     LANG_STOPWORDS,
+    URL_PATTERN,
+    bpe_token_count,
     fingerprint,
     predicted_lang,
     quality_score,
+    scrub_text,
     stopword_ratio,
     token_count,
     unique_token_ratio,
@@ -164,6 +169,42 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", round_portable(quality_score(F.col("text")), 4).alias("quality")
     )
+
+
+@register(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '{BPE_PRETOKEN_PATTERN.replace("'", "''")}'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: GPT-2-style pretokenizer matches
+    (RE2-safe pattern so both engines' regex dialects agree)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "text_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{URL_PATTERN}', '<URL>', 'g'),
+                          '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email scrubbing with placeholder tags — the minimal
+    PII/noise pass before training; full-text output is hash-compared
+    so the replacement semantics must match exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", scrub_text(F.col("text")).alias("clean_text"))
 
 
 # ---------------------------------------------------------------------------
