@@ -378,6 +378,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
+@register(
+    "corpus_composition",
+    f"""
+    WITH t AS (SELECT source, lang, {TOKS} AS toks FROM documents)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           floor((CAST(sum(len(toks)) AS DOUBLE) / count(*)) * 10000.0 + 0.5)
+             / 10000.0 AS avg_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, language) document and
+    token volumes — the first table any dataset card or sampling-weight
+    computation needs."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select("source", "lang", token_count(t).alias("_n"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+            round_portable(
+                F.sum("_n").cast("double") / F.count("*"), 4
+            ).alias("avg_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -511,6 +542,42 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.4)."""
     e = _t(spark, sf_dir, "embeddings")
     return cosine_pairs(e, threshold=0.4, bits=6)
+
+
+@register(
+    "embedding_normalize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, v
+          FROM e)
+    SELECT vec_id,
+           floor((nrm) * 1000000.0 + 0.5) / 1000000.0 AS norm_before,
+           floor((sqrt(list_sum(list_transform(
+                 list_transform(v, x -> x / nrm), x -> x * x)))) * 1000000.0 + 0.5)
+             / 1000000.0 AS norm_after
+    FROM n
+    """,
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column (the prep step before
+    cosine = dot): emits pre/post norms; post must be exactly 1 at 6dp.
+    JVM-side array arithmetic, no UDF."""
+    from air_quality_etl_pipeline_spark.functions.core import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    # norm materialized as a column BEFORE the divide-transform: a
+    # lambda body referencing the aggregate-fold expression would nest
+    # lambdas (wrong results — see minhash_signatures) and re-evaluate
+    # the norm per element (no CSE in lambda bodies).
+    staged = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
+    normalized = F.transform(F.col("_v"), lambda x: x / F.col("_nrm"))
+    return staged.select(
+        "vec_id",
+        round_portable(F.col("_nrm"), 6).alias("norm_before"),
+        round_portable(l2_norm(normalized), 6).alias("norm_after"),
+    )
 
 
 # ---------------------------------------------------------------------------
