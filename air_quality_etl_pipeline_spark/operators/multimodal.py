@@ -84,6 +84,38 @@ def decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode, DECODE_META_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = 7) -> DataFrame:
+    """Frame sampling over the (stubbed) video payload: one output row
+    per sampled frame — the one-to-MANY ``mapInPandas`` shape (decode
+    emits a row per input; this explodes). Frames are every *stride*-th
+    index of the fake ``n_frames`` count; a real implementation would
+    seek keyframes in the container instead.
+
+    Self-contained closure (see decode_meta)."""
+
+    def sample(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, frames = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = 1 + len(payload) % 30  # matches decode_meta STUB
+                for idx in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    frames.append(idx)
+            yield _pd.DataFrame({"doc_id": ids, "frame_idx": frames})
+
+    return df.select(id_col, "payload").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
 def decode_image(df: DataFrame):
     """Pixel decode — NOT IMPLEMENTED in this container (no PIL/ffmpeg).
 

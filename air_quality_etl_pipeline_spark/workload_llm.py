@@ -601,3 +601,21 @@ def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plumbing (binary column, batch iterator, typed schema) is real."""
     d = _t(spark, sf_dir, "documents")
     return multimodal.decode_meta(multimodal.attach_payload(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id,
+                      1 + octet_length(encode(text)) % 30 AS n_frames
+               FROM documents)
+    SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx
+    FROM b, (SELECT unnest(range(0, 30)) AS i) i
+    WHERE i.i < n_frames AND i.i % 7 = 0
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: the one-to-many mapInPandas shape (each input
+    row yields a row per sampled frame index of the stubbed video)."""
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_payload(d), stride=7)
