@@ -77,12 +77,15 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec: Column, bits: int = 6) -> Column:
-    """LSH bucket id: the sign pattern of the first *bits* dimensions,
-    packed as a string like ``"101100"``. A fixed-hyperplane variant of
-    random-hyperplane LSH — deterministic and engine-portable."""
+def sign_bucket(vec: Column, bits: int = 6, offset: int = 0) -> Column:
+    """LSH bucket id: the sign pattern of *bits* dimensions starting at
+    *offset*, packed as a string like ``"101100"``. A fixed-hyperplane
+    variant of random-hyperplane LSH — deterministic and
+    engine-portable; different offsets give independent hash tables."""
     parts = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.element_at(vec, offset + i + 1) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
         for i in range(bits)
     ]
     return F.concat(*parts)
@@ -95,28 +98,46 @@ def sign_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 6,
+    tables: int = 4,
     sim_decimals: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine ranking within the bucket."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
-    scored = (
+    """Approximate top-k via MULTI-TABLE sign LSH: *tables* independent
+    hash tables, each bucketing on a different slice of dimensions;
+    candidates are the union of same-bucket pairs across tables (single
+    tables have poor recall — a true neighbor only has to disagree on
+    one of 6 signs to be lost; with L tables the miss probability
+    decays as ``(1-p)^L``). Exact cosine ranks the deduplicated
+    candidate set."""
+
+    def tabled(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sides = [
+            df.select(
+                F.col(id_col).alias(id_alias),
+                _as_double(F.col(vec_col)).alias(vec_alias),
+                F.lit(t).alias("tbl"),
+                sign_bucket(F.col(vec_col), bits, offset=t * bits).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(tables)
+        ]
+        out = sides[0]
+        for s in sides[1:]:
+            out = out.unionByName(s)
+        return out
+
+    q = tabled(queries, "query_id", "qv")
+    c = tabled(corpus, "neighbor_id", "cv")
+    cands = (
         F.broadcast(q)
-        .join(c, on="bucket")
+        .join(c, on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            round_portable(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
-        )
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        round_portable(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

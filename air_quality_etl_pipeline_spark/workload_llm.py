@@ -452,28 +452,55 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register(
-    "ann_sign_lsh_topk",
-    f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET} AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+def _sign_lsh_oracle(bits: int = 6, tables: int = 4, k: int = 5) -> str:
+    def bucket(col: str, t: int) -> str:
+        return (
+            "concat("
+            + ", ".join(
+                f"CASE WHEN {col}[{t * bits + i + 1}] >= 0 THEN '1' ELSE '0' END"
+                for i in range(bits)
+            )
+            + ")"
+        )
+
+    legs = "\n      UNION ALL\n      ".join(
+        f"SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id "
+        f"FROM q JOIN e ON {bucket('q.v', t)} = {bucket('e.v', t)} "
+        f"AND e.vec_id <> q.vec_id"
+        for t in range(tables)
+    )
+    cos = _COS.replace("qv", "qe.v").replace("cv", "ne.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id FROM (
+      {legs}
+      )),
     scored AS (
-      SELECT query_id, e.vec_id AS neighbor_id,
-             floor(({_COS.replace("cv", "e.v")}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
-      FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id)
+      SELECT c.query_id, c.neighbor_id,
+             floor(({cos}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+      FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+                  JOIN e ne ON ne.vec_id = c.neighbor_id)
     SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored)
-    WHERE rank <= 5
-    """,
-)
+    WHERE rank <= {k}
+    """
+
+
+@register("ann_sign_lsh_topk", _sign_lsh_oracle())
 def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5: sign-pattern LSH bucket join then exact cosine
-    within the bucket — the scale path (≈2^6 × fewer candidates)."""
+    """Approximate top-5: MULTI-TABLE sign LSH (4 tables × 6 sign bits
+    on disjoint dimension slices), union of bucket joins, exact cosine
+    on the deduplicated candidates — single-table recall is poor (a
+    true neighbor is lost by one flipped sign), L tables decay the miss
+    probability geometrically."""
     e = _t(spark, sf_dir, "embeddings")
-    out = sign_lsh_topk(e, e.filter(F.col("vec_id") < 8), k=5, bits=6)
+    out = sign_lsh_topk(
+        e, e.filter(F.col("vec_id") < 8), k=5, bits=6, tables=4
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
