@@ -1,0 +1,94 @@
+"""Corpus sampling & curation operators.
+
+Training-data-pipeline extensions (north star in BASELINE.json): a
+100 TB corpus is never trained on whole — it is sampled to a token
+budget, rebalanced across sources, and pruned to the best documents.
+The operators here are the standard building blocks:
+
+* hash sampling   — DETERMINISTIC Bernoulli sampling keyed on a stable
+  id (``md5(salt:key) mod 100 < rate``). Unlike ``df.sample()``, the
+  same row makes the same keep/drop decision on every run, on every
+  engine, regardless of partitioning — which makes samples
+  reproducible, join-compatible across tables sampled on the same key,
+  and incrementally stable as the corpus grows (the salt rotates the
+  sample). This is the sampling scheme large-corpus pipelines use for
+  held-out splits and ablation subsets.
+* stratified rates — per-stratum keep rates (e.g. up-sample rare
+  sources, down-sample crawl dumps) expressed as a literal CASE map so
+  the filter stays a Catalyst predicate on the scan.
+* top-k curation  — keep the best *k* rows per group by a score with a
+  deterministic tiebreak (quality pruning per domain/source).
+
+All pure built-in expressions: the sampling predicate pushes into the
+scan, the curation window shuffles once on the group key. No reference
+counterpart (the reference has no sampling surface) — cited as an
+extension in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import md5_long
+
+
+def sample_bucket(key: Column, salt: str = "sample") -> Column:
+    """Stable bucket in [0, 100) for a row key: ``md5(salt:key) % 100``.
+
+    SQL twin: ``('0x' || substr(md5('<salt>:' || key), 1, 15))::BIGINT
+    % 100``.
+    """
+    return md5_long(key.cast("string"), salt=salt) % 100
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate_pct: int, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~*rate_pct*% Bernoulli sample keyed on *key_col*."""
+    return df.filter(sample_bucket(F.col(key_col), salt) < F.lit(rate_pct))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates_pct: Mapping[str, int],
+    default_pct: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic sample with a per-stratum keep rate.
+
+    *rates_pct* maps stratum values to percentages; unlisted strata get
+    *default_pct*. The rate lookup is a literal CASE chain, so the whole
+    filter is one scan-level predicate.
+    """
+    rate: Column = F.lit(default_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(sample_bucket(F.col(key_col), salt) < rate)
+
+
+def keep_top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top-*k* rows of every group under a TOTAL order.
+
+    *order_by* must be deterministic (tiebreak on a unique id) — same
+    rule as :func:`~air_quality_etl_pipeline_spark.operators.cleaning.
+    dedup_first`, of which this is the k>1 generalization. One shuffle
+    on the group key; map-side nothing to combine (row-level rank), so
+    at scale prefer a pre-filter on a cheap score threshold before the
+    window when groups are huge.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    rk = F.row_number().over(w)
+    if rank_col is None:
+        return df.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")
+    return df.withColumn(rank_col, rk).filter(F.col(rank_col) <= k)

@@ -172,3 +172,36 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def tfidf_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-level TF-IDF vocabulary table:
+    ``(term, tf_total, df_docs, idf, tfidf)`` with
+    ``idf = ln(n_docs / df_docs)`` (Sparck Jones' inverse document
+    frequency) and ``tfidf = tf_total * idf``.
+
+    One explode + one groupBy: term counts and document frequencies come
+    out of a single aggregation (map-side partial), then the scalar
+    corpus size joins in by broadcast — at 100 TB this is one shuffle of
+    the (term, doc) pairs, and the output is vocabulary-sized, not
+    data-sized. Raw doubles; callers round for cross-engine comparison.
+    """
+    terms = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(token_array(F.col(text_col))).alias("_tok"),
+    ).select("_id", F.lower(F.col("_tok")).alias("term"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n_docs")
+    )
+    stats = terms.groupBy("term").agg(
+        F.count("*").alias("tf_total"),
+        F.countDistinct("_id").alias("df_docs"),
+    )
+    idf = F.log(F.col("_n_docs").cast("double") / F.col("df_docs"))
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "tf_total",
+        "df_docs",
+        idf.alias("idf"),
+        (F.col("tf_total") * idf).alias("tfidf"),
+    )

@@ -1,0 +1,137 @@
+"""Corpus curation workload: TF-IDF vocabulary, deterministic hash
+sampling, stratified sampling, and per-group top-k pruning — the
+sample/rebalance/prune stage of a training-data pipeline, each
+registered with a DuckDB oracle twin.
+
+Extensions beyond the reference surface (the reference has no sampling
+or curation operators); cited as such in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import round_portable
+from air_quality_etl_pipeline_spark.operators.sampling import (
+    hash_sample,
+    keep_top_k_per_group,
+    stratified_hash_sample,
+)
+from air_quality_etl_pipeline_spark.operators.text import tfidf_terms
+from air_quality_etl_pipeline_spark.workload import _t, register
+
+# SQL twin of operators.sampling.sample_bucket (md5_long % 100).
+_BUCKET_SQL = (
+    "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 100)"
+)
+
+#: whitespace tokens, [] on blank — mirrors functions.core.token_array
+_TOKS = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+@register(
+    "tfidf_terms",
+    f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    stats AS (SELECT term, count(*) AS tf_total,
+                     count(DISTINCT doc_id) AS df_docs
+              FROM terms GROUP BY 1)
+    SELECT term, tf_total, df_docs,
+           floor((ln(CAST(n_docs AS DOUBLE) / df_docs)) * 1000000.0 + 0.5)
+             / 1000000.0 AS idf,
+           floor((tf_total * ln(CAST(n_docs AS DOUBLE) / df_docs))
+                 * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+    FROM stats, n
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF vocabulary table: one explode + one groupBy (term
+    counts and document frequencies from a single aggregation), scalar
+    corpus size broadcast in. Output is vocabulary-sized, not
+    data-sized — the plan survives a 100× corpus."""
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_terms(d, "doc_id", "text")
+    return out.select(
+        "term",
+        "tf_total",
+        "df_docs",
+        round_portable(F.col("idf"), 6).alias("idf"),
+        round_portable(F.col("tfidf"), 6).alias("tfidf"),
+    )
+
+
+@register(
+    "sample_hash",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET_SQL} < 10
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on doc_id: same rows on
+    every run and every engine, predicate stays on the scan."""
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", rate_pct=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+#: per-source keep rates for the stratified sample (up-sample src0,
+#: near-drop src1, default 25%) — shared by the Spark op and its oracle.
+_STRATA_RATES = {"src0": 80, "src1": 5}
+_STRATA_DEFAULT = 25
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_BUCKET_SQL} <
+          (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 5
+           ELSE 25 END)
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum keep rates (rebalance sources to a token budget):
+    the rate lookup is a literal CASE chain so the whole filter is one
+    scan-level predicate — no join, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "source", _STRATA_RATES, _STRATA_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "curate_top_k",
+    """
+    SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 3
+    """,
+)
+def q_curate_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality pruning: keep the 3 largest documents per source under a
+    total order (n_chars desc, doc_id tiebreak) — one shuffle on the
+    group key."""
+    d = _t(spark, sf_dir, "documents")
+    out = keep_top_k_per_group(
+        d,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+        rank_col="rk",
+    )
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk")
+    )
