@@ -1038,3 +1038,4 @@ def q_distinct_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 from air_quality_etl_pipeline_spark import workload_llm  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sources  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_curation  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_temporal  # noqa: E402,F401

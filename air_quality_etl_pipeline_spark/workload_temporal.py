@@ -1,0 +1,175 @@
+"""Temporal/event workload: as-of join, interval (band) join, JSON
+property extraction, and event-type pivot over the events table — each
+with a DuckDB oracle twin.
+
+Timestamps are compared as epoch MICROSECONDS (BIGINT) on both engines:
+Spark reads the TIMESTAMP(NANOS) parquet via the nanos→micros loader
+(``workload._events``), DuckDB casts its TIMESTAMP_NS to TIMESTAMP —
+both truncate the same way, so the integers agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.joins import (
+    asof_join,
+    count_in_window,
+)
+from air_quality_etl_pipeline_spark.workload import _events, register
+
+
+@register(
+    "asof_join_signup",
+    """
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'signup')
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           m.event_id AS signup_event_id,
+           m.value AS signup_value,
+           epoch_us(p.ts) - epoch_us(m.ts) AS lag_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT s.event_id, s.value, s.ts FROM s
+      WHERE s.user_id = p.user_id AND s.ts <= p.ts
+      ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) m ON true
+    """,
+)
+def q_asof_join_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the user's latest
+    prior signup (id, value, lag). Spark side is the union+window
+    formulation — one shuffle on user_id; the oracle is the LATERAL
+    top-1 definition of the same semantics."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("purchase_us")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"),
+        "user_id",
+        F.col("value").alias("s_value"),
+        F.unix_micros("ts").alias("s_us"),
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="purchase_us",
+        right_ts="s_us",
+        payload_cols=["s_event_id", "s_value"],
+        tiebreak="s_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_us",
+        F.col("asof_s_event_id").alias("signup_event_id"),
+        F.col("asof_s_value").alias("signup_value"),
+        (F.col("purchase_us") - F.col("asof_s_us")).alias("lag_us"),
+    )
+
+
+@register(
+    "interval_join_follow",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t0
+               FROM events WHERE event_type = 'error'),
+    o AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t1, value
+          FROM events)
+    SELECT e.event_id, e.user_id,
+           count(o.user_id) AS n_follow,
+           CAST(coalesce(sum(CAST(o.value AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS sum_follow
+    FROM e LEFT JOIN o
+      ON o.user_id = e.user_id AND o.t1 > e.t0
+     AND o.t1 <= e.t0 + 600000000
+    GROUP BY 1, 2
+    """,
+)
+def q_interval_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: activity in the 10 minutes after each error by
+    the same user. Spark side is the banded equi-join (window-width
+    time bands, ≤2 bands per probe) — a hash join, not the nested-loop
+    plan a raw range predicate would get."""
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t0")
+    )
+    others = e.select(
+        "user_id", F.unix_micros("ts").alias("t1"), "value"
+    )
+    out = count_in_window(
+        errors,
+        others,
+        on=["user_id"],
+        probe_ts="t0",
+        event_ts="t1",
+        value_col=F.col("value"),
+        window_us=600_000_000,
+        probe_id=["event_id", "user_id"],
+    )
+    return out.select("event_id", "user_id", "n_follow", "sum_follow")
+
+
+@register(
+    "json_props_extract",
+    """
+    WITH k AS (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM k GROUP BY 1
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    string (JVM-side ``get_json_object``, no UDF) and aggregate —
+    integer-exact, so no rounding portability concerns."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_type",
+    """
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+           """
+    + ",\n           ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' "
+        f"THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: monthly value totals as one wide column per event type.
+    The pivot values are pinned (no extra distinct-scan job) and sums
+    go through DECIMAL for order-independence."""
+    e = _events(spark, sf_dir)
+    return (
+        e.withColumn("month", F.date_format("ts", "yyyy-MM"))
+        .groupBy("month")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )

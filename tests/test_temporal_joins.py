@@ -1,0 +1,115 @@
+"""Edge-case semantics for the temporal joins: as-of tie resolution,
+boundary inclusivity of the banded interval join, zero-match behavior,
+and the plan-shape guarantee (band join = hash/merge join, never the
+nested-loop plan a raw range predicate gets)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.joins import (
+    asof_join,
+    count_in_window,
+    interval_join,
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k long, lt long, lval string",
+    )
+    right = spark.createDataFrame(
+        # k=1: two rows at the same ts=100 (tie), one later at 200
+        [(1, 100, 10, 1.0), (1, 100, 11, 2.0), (1, 200, 12, 3.0),
+         (2, 60, 20, 4.0)],  # k=2: only AFTER the left row
+        "k long, rt long, rid long, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward_match_and_ties(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, ["k"], "lt", "rt", ["rid", "rv"], tiebreak="rid"
+    )
+    got = {r.lval: (r.asof_rid, r.asof_rv, r.asof_rt) for r in out.collect()}
+    assert got["a"] == (11, 2.0, 100)  # ts tie -> max tiebreak wins
+    assert got["b"] == (12, 3.0, 200)  # latest <= 205
+    assert got["c"] == (None, None, None)  # right row is in the future
+    assert got["d"] == (None, None, None)  # no right rows for key
+    assert out.count() == left.count()  # left-preserving
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, lt long")
+    right = spark.createDataFrame([(1, 100, 7)], "k long, rt long, rid long")
+    out = asof_join(left, right, ["k"], "lt", "rt", ["rid"], tiebreak="rid")
+    assert out.first().asof_rid == 7
+
+
+def test_interval_join_boundaries(spark):
+    left = spark.createDataFrame([(1, 1000, 1)], "k long, lt long, lid long")
+    right = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate([1000, 1001, 1500, 2000, 2001])],
+        "k long, rt long, rid long",
+    )
+    out = interval_join(left, right, ["k"], "lt", "rt", 0, 1000)
+    got = sorted(r.rt for r in out.collect())
+    assert got == [1001, 1500, 2000]  # strict lower, inclusive upper
+
+
+def test_interval_join_band_edges(spark):
+    # windows that straddle a band boundary must still match (the
+    # 2-band explode covers the overlap)
+    left = spark.createDataFrame([(1, 999, 1)], "k long, lt long, lid long")
+    right = spark.createDataFrame(
+        [(1, 1001, 0), (1, 1999, 1), (1, 2000, 2)],
+        "k long, rt long, rid long",
+    )
+    out = interval_join(left, right, ["k"], "lt", "rt", 0, 1000)
+    assert sorted(r.rt for r in out.collect()) == [1001, 1999]
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, t, t) for t in range(0, 50, 7)], "k long, lt long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, t, t) for t in range(0, 50)], "k long, rt long, rid long"
+    )
+    out = interval_join(left, right, ["k"], "lt", "rt", 0, 10)
+    rows = [(r.lid, r.rid) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # explode never double-matches
+    for lid, rid in rows:
+        assert lid < rid <= lid + 10
+
+
+def test_interval_join_plans_as_hash_join(spark):
+    import contextlib
+    import io
+
+    left, right = _frames(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        interval_join(left, right, ["k"], "lt", "rt", 0, 100).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_count_in_window_keeps_zero_match_probes(spark):
+    probe = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 200)], "pid long, k long, pt long"
+    )
+    events = spark.createDataFrame(
+        [(0, 150, 2.5), (0, 160, 1.5)], "k long, et long, v double"
+    )
+    out = count_in_window(
+        probe, events, ["k"], "pt", "et", F.col("v"), 100, ["pid", "k"]
+    )
+    got = {r.pid: (r.n_follow, r.sum_follow) for r in out.collect()}
+    assert got[1] == (2, 4.0)
+    assert got[2] == (0, 0.0)
