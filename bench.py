@@ -64,13 +64,13 @@ def main() -> None:
     if missing:
         print(f"bench: skipping unknown queries {missing}", file=sys.stderr)
 
-    # best-of-2 per query: the environment shares CPUs with the harness,
+    # best-of-3 per query: the environment shares CPUs with the harness,
     # so a single sample conflates steady-state cost with scheduler noise
     timings: dict[str, float] = {}
     for name in names:
         fn, _ = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
