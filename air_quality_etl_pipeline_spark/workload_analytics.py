@@ -1,0 +1,541 @@
+"""Advanced-analytics workload: the window-frame / multi-grain / data-
+quality operators a metrics layer needs beyond the reference's own
+measures (SURVEY §2.5-2.7 "our metrics layer will use them" note), each
+with a DuckDB oracle twin.
+
+New operators here:
+
+* GROUPING SETS at explicit grains (the third member of the
+  cube/rollup family — SURVEY §2.5 exposes "measure valid at any
+  grain"; this is the enumerated-grain variant a BI layer compiles to).
+* RANGE-frame moving aggregates (7-day revenue window — the frame-spec
+  capability called out in SURVEY §2.6 "our metrics layer will use
+  them").
+* ntile / cume_dist distribution buckets (decile tables for score
+  cutoffs — the curation primitive behind "keep the top X% by quality").
+* SCD2 validity intervals from a change log (the accumulating-dimension
+  twin of the reference's MERGE upsert, K4/J9 — as intervals instead of
+  insert-only rows).
+* EXISTS semi-join and correlated above-average filter (the semi-join
+  family the reference only uses as ``left_anti``, D3/J8).
+* Histogram binning + single-pass null/distinct profiling (the QA row
+  counts of ``Automated_Bronze_to_Silver...py:211-213`` generalized into
+  a data-quality operator).
+* Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  2003) — the guarantee-bearing variant of the rolling-hash
+  fingerprint in ``operators/text.py``.
+
+Scale notes: every query is one shuffle (a single groupBy or a single
+window partition key) except where noted; window partitions are
+per-user / per-doc (small, many) — never a global single-partition
+sort. All expressions are Catalyst built-ins (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import md5_hex15, token_array
+from air_quality_etl_pipeline_spark.workload import _dec_sum, _events, _t, register
+from air_quality_etl_pipeline_spark.workload_llm import TOKS
+
+# ---------------------------------------------------------------------------
+# Multi-grain: GROUPING SETS (complements cube_measures / rollup_measures)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_measures",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-grain aggregation: the BI layer's enumerated slicer
+    combinations compiled to ONE pass (Spark expands grouping sets in a
+    single Expand+Aggregate — one shuffle, not one job per grain).
+
+    Null grain markers are label-coalesced so the output is
+    self-describing (both grouping columns are non-null in the data,
+    so '(all)' is unambiguous)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+    return g.select(
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        "n_rows",
+        "sum_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame moving aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moving_avg_7d",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum(rev) OVER w AS DOUBLE) AS rev_7d,
+           CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', d)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue window over daily totals: a RANGE frame on
+    epoch-day (gaps in the calendar shrink the window — the correct
+    time-series semantics, unlike ROWS 6 PRECEDING which would span
+    gaps). Daily pre-aggregation first, so the window runs over ~2.4 k
+    rows, not 15 k orders; decimal sums keep the frame total exact.
+
+    Scale: the daily aggregate is one shuffle; the global-ordered window
+    over *days* stays small at any fact scale (days grow with time, not
+    data volume) — at 100 TB the pattern is identical because the window
+    input is the calendar, not the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_7d"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution buckets: ntile deciles + cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ntile_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT o_custkey, s,
+             ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile,
+             cume_dist() OVER (ORDER BY s DESC, o_custkey) AS cd
+      FROM spend)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_customers,
+           CAST(min(s) AS DOUBLE) AS min_spend,
+           CAST(max(s) AS DOUBLE) AS max_spend,
+           max(cd) AS max_cume_dist
+    FROM r GROUP BY decile
+    """,
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend deciles: ntile(10) + cume_dist with a deterministic
+    tiebreak (spend DESC, custkey ASC — exact decimal comparison, so the
+    bucket assignment is reproducible across engines). This is the
+    curation primitive behind quality-score percentile cutoffs.
+
+    Scale: the ranked window is global-ordered over *customers after
+    aggregation*; for 100 TB-scale ranking swap ntile for the two-pass
+    approx-quantile cutoff (operators/sampling.keep_top_k_per_group
+    documents the pattern) — here the exact form is the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    r = spend.select(
+        "s",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("s").cast("double").alias("min_spend"),
+        F.max("s").cast("double").alias("max_spend"),
+        F.max("cd").alias("max_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals from a change log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_intervals",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    marked AS (
+      SELECT *, lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      FROM e),
+    changes AS (SELECT * FROM marked
+                WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+           lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+           CAST(CASE WHEN lead(ts_us) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+             THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a change log: collapse consecutive
+    duplicate states per user (lag), then derive [valid_from, valid_to)
+    intervals (lead) with an is_current flag. This is the
+    interval-tracked twin of the reference's insert-only Delta MERGE
+    accumulation (``Automated_Silver_to_Gold...py:276-292``) — the
+    standard Kimball SCD2 shape.
+
+    One shuffle: both windows share the (user_id → ts, event_id)
+    partitioning, so Catalyst plans a single Exchange + two Window
+    nodes over the same sort."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.withColumn("prev_type", F.lag("event_type").over(w))
+    changes = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    out = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    return out.withColumn(
+        "is_current",
+        F.when(F.col("valid_to_us").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join family: EXISTS + correlated above-average filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_exists",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: customers with at least one urgent
+    order, profiled by segment. Completes the semi-join family the
+    reference only exercises as ``left_anti`` (D3/J8). The filtered
+    orders side streams through the join without deduplication —
+    left_semi short-circuits on first match."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    hit = c.join(urgent, on="c_custkey", how="left_semi")
+    return hit.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"), _dec_sum("c_acctbal", "sum_bal")
+    )
+
+
+@register(
+    "above_avg_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+      FROM orders)
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM r WHERE o_totalprice > cust_avg
+    GROUP BY o_orderpriority
+    """,
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (orders above their customer's own
+    average) decorrelated to a window aggregate — one shuffle on
+    o_custkey instead of a per-row subquery. The average is the
+    deterministic decimal-sum/count division, so the > comparison is
+    bit-identical across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    r = o.withColumn(
+        "cust_avg",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast(
+            "double"
+        )
+        / F.count("*").over(w),
+    )
+    return (
+        r.filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First/last per key in one pass (struct min/max)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "first_last_per_user",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT user_id,
+           max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+           max(CASE WHEN rn_a = 1 THEN ts_us END) AS first_us,
+           max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+           max(CASE WHEN rn_d = 1 THEN ts_us END) AS last_us,
+           count(*) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def q_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user in ONE aggregation pass: min/max over a
+    (ts, event_id, payload) struct — lexicographic struct comparison
+    with a unique (ts_us, event_id) prefix makes the pick deterministic
+    without a window sort. Partial aggregation (map-side combine) means
+    no per-user sort at all — strictly cheaper than the row_number
+    formulation the oracle uses, and the 100 TB-friendly way to express
+    "latest record per key"."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id", "event_type")).alias("fst"),
+        F.max(F.struct("ts_us", "event_id", "value")).alias("lst"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("fst.event_type").alias("first_type"),
+        F.col("fst.ts_us").alias("first_us"),
+        F.col("lst.value").alias("last_value"),
+        F.col("lst.ts_us").alias("last_us"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning + null/distinct profiling (data-quality operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_bins",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           floor(o_totalprice / 25000.0) * 25000.0 AS bin_lo,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: floor-division binning (one
+    shuffle on ~40 bins, partial-aggregated map-side so the exchange
+    carries bins, not rows). The profiling primitive for choosing
+    quality-score thresholds on a full corpus scan."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    return o.groupBy(
+        bin_col.cast("long").alias("bin"),
+        (bin_col * F.lit(25000.0)).alias("bin_lo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "profile_nulls",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           count(DISTINCT l_returnflag) AS distinct_returnflag,
+           count(DISTINCT l_linestatus) AS distinct_linestatus,
+           strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_shipdate,
+           strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_shipdate
+    FROM lineitem
+    """,
+)
+def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile: null counts, distinct
+    cardinalities, and value ranges in ONE scan + ONE aggregate — the
+    generalization of the reference's per-layer QA row counts
+    (``Automated_Bronze_to_Silver...py:211-213``). At 100 TB this is the
+    cheap pre-flight check before a pipeline run; everything partial-
+    aggregates except the two exact distinct counts (which Spark plans
+    as expand+two-phase — still one visible shuffle)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias(
+            "null_quantity"
+        ),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias(
+            "null_returnflag"
+        ),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
+            "null_shipdate"
+        ),
+        F.countDistinct("l_returnflag").cast("long").alias(
+            "distinct_returnflag"
+        ),
+        F.countDistinct("l_linestatus").cast("long").alias(
+            "distinct_linestatus"
+        ),
+        F.date_format(F.min(F.col("l_shipdate").cast("date")), "yyyy-MM-dd")
+        .alias("min_shipdate"),
+        F.date_format(F.max(F.col("l_shipdate").cast("date")), "yyyy-MM-dd")
+        .alias("max_shipdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # tokens per k-gram
+_WINNOW_W = 4  # hashes per winnowing window
+
+
+@register(
+    "winnow_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, len(toks) AS n FROM t
+          WHERE len(toks) >= {_WINNOW_K + _WINNOW_W - 1}),
+    g AS (SELECT doc_id,
+                 unnest(generate_series(1, n - {_WINNOW_K - 1})) AS i,
+                 n FROM s),
+    h AS (SELECT g.doc_id, g.i,
+                 substr(md5(array_to_string(
+                   s.toks[g.i:g.i + {_WINNOW_K - 1}], ' ')), 1, 15) AS h,
+                 g.n - {_WINNOW_K - 1} AS n_grams
+          FROM g JOIN s ON g.doc_id = s.doc_id),
+    w AS (SELECT doc_id, i, n_grams,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+                   AS fp
+          FROM h)
+    SELECT DISTINCT doc_id, fp
+    FROM w WHERE i <= n_grams - {_WINNOW_W - 1}
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    hash every token {k}-gram, slide a {w}-hash window, keep each
+    window's minimum, dedupe — guarantees any shared run of
+    k+w-1 = {kw} tokens between two documents yields at least one
+    shared fingerprint (the paper's local-minimum property), at ~2/(w+1)
+    of the positions. The plagiarism/near-dup fingerprint with a
+    *coverage guarantee*, unlike plain MinHash sampling.
+
+    Plan shape: explode k-gram positions (flat map, no shuffle) → ONE
+    window shuffle on doc_id → distinct (map-side partial). Hashes are
+    fixed-width md5 hex prefixes, so lexicographic MIN equals numeric
+    MIN and the DuckDB twin reproduces the exact fingerprint choice.
+    Documents shorter than k+w-1 tokens have no full window and are
+    excluded on both engines (production: fall back to whole-doc hash).
+    """.format(k=_WINNOW_K, w=_WINNOW_W, kw=_WINNOW_K + _WINNOW_W - 1)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_array(F.col("text")).alias("toks")
+    )
+    d = d.withColumn("n", F.size("toks")).filter(
+        F.col("n") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    grams = d.select(
+        "doc_id",
+        (F.col("n") - F.lit(_WINNOW_K - 1)).alias("n_grams"),
+        F.explode(
+            F.sequence(F.lit(1), F.col("n") - F.lit(_WINNOW_K - 1))
+        ).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        md5_hex15(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), _WINNOW_K))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    fps = grams.select(
+        "doc_id",
+        "i",
+        "n_grams",
+        F.min("h").over(w).alias("fp"),
+    ).filter(F.col("i") <= F.col("n_grams") - F.lit(_WINNOW_W - 1))
+    return fps.select("doc_id", "fp").distinct()
