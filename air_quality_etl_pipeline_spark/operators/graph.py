@@ -1,0 +1,175 @@
+"""Graph operators: connected components and duplicate-cluster
+resolution.
+
+The dedup operators in :mod:`~air_quality_etl_pipeline_spark.operators.
+dedup` emit near-duplicate *pairs* (MinHash-LSH, SimHash, n-gram
+Jaccard). A dedup *decision* needs the transitive closure of those
+pairs: if a~b and b~c, all three are one duplicate cluster even when
+a and c never collide directly. That closure is connected components
+over the pair graph — the step every large-corpus pipeline runs between
+candidate generation and document dropping (the reference has no such
+operator; extension per BASELINE.json's north star).
+
+Strategy is ADAPTIVE on the pair-graph size, which is the property that
+actually matters at 100 TB:
+
+* The pair graph after LSH blocking is orders of magnitude smaller than
+  the corpus (edges ∝ near-duplicate docs, not total docs). When it
+  fits in one task (≤ *local_threshold* edges), a single-pass
+  union-find over a coalesced partition resolves all components in ONE
+  job — no per-round scheduling overhead, O(E·α(E)) work. Measured at
+  sf0.1: 14 distributed min-propagation rounds (~6 s of job overhead
+  on a 3.8 k-edge graph) collapse to ~0.3 s.
+* Past the threshold, fall back to distributed min-label propagation —
+  each round every node adopts the smallest label among itself and its
+  neighbors (one join + one partial-aggregated min-groupBy per round),
+  converging in O(graph diameter) rounds with ``localCheckpoint``
+  lineage truncation and a monotone-label-sum convergence test (one
+  scalar action per round, no driver-side row collection). The
+  round-efficient refinement for adversarially-chained graphs is
+  large-star/small-star (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC 2014) — same per-round relational shape,
+  so it swaps in locally.
+
+The union-find closure is deliberately SELF-CONTAINED (imports inside,
+no references to this package) so the Python workers never need this
+package importable — the driver harness runs from a neutral cwd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+#: pair-graph size (edges, after symmetrize+distinct) up to which the
+#: single-task union-find path is used. Sized for single-task comfort:
+#: ~5e6 edges is tens of MB of longs plus two dict passes in one worker.
+LOCAL_EDGE_THRESHOLD = 5_000_000
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge
+    list → ``(node, component)`` where *component* is the smallest
+    node id in the component (a deterministic, engine-portable
+    canonical label).
+
+    Only nodes that appear in *edges* are returned — callers decide
+    how isolated nodes label themselves (see :func:`dedup_clusters`).
+    """
+    id_type = edges.schema[src].dataType
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n_edges = sym.count()
+
+    if n_edges <= local_threshold:
+        out_schema = StructType(
+            [
+                StructField("node", id_type, False),
+                StructField("component", id_type, False),
+            ]
+        )
+
+        # nested (pickled by VALUE, not by module reference) and
+        # self-contained, so workers never import this package
+        def local_union_find(it):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            nodes = set()
+            for pdf in it:
+                for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                    nodes.add(a)
+                    nodes.add(b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra  # smaller root wins ⇒ root = min
+            out = sorted(nodes)
+            yield pd.DataFrame(
+                {"node": out, "component": [find(n) for n in out]}
+            )
+
+        return sym.coalesce(1).mapInPandas(local_union_find, out_schema)
+
+    # distributed min-label propagation (see module docstring)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("node", "u"), on="u"
+        ).select(F.col("v").alias("node"), "lbl")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:  # labels are monotone ⇒ fixpoint
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-document dedup decision from near-dup pairs:
+    ``(id_col, cluster_id, is_keeper, cluster_size)`` over ALL rows of
+    *docs* — documents in no pair form singleton clusters of
+    themselves. The keeper is the smallest id in the cluster
+    (deterministic survivor policy); dropping ``is_keeper = 0`` rows
+    deduplicates the corpus.
+
+    Plan shape: components over the (small) pair graph, broadcast-able
+    left join back to the corpus on id, then ONE window shuffle on
+    cluster_id for the sizes. The corpus-sized relation is touched
+    exactly twice (join + window); the component resolution only ever
+    sees the pair graph, which is orders of magnitude smaller than the
+    corpus when the dedup rate is sane.
+    """
+    comp = connected_components(pairs, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    full = docs.select(id_col).join(comp, on=id_col, how="left")
+    full = full.withColumn(
+        "cluster_id", F.coalesce("component", F.col(id_col))
+    ).drop("component")
+    w = Window.partitionBy("cluster_id")
+    return full.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id"))
+        .cast("long")
+        .alias("is_keeper"),
+        F.count("*").over(w).alias("cluster_size"),
+    )

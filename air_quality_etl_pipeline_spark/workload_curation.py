@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import round_portable
+from air_quality_etl_pipeline_spark.operators.dedup import simhash_pairs
+from air_quality_etl_pipeline_spark.operators.graph import dedup_clusters
 from air_quality_etl_pipeline_spark.operators.sampling import (
     hash_sample,
     keep_top_k_per_group,
@@ -20,6 +22,7 @@ from air_quality_etl_pipeline_spark.operators.sampling import (
 )
 from air_quality_etl_pipeline_spark.operators.text import tfidf_terms
 from air_quality_etl_pipeline_spark.workload import _t, register
+from air_quality_etl_pipeline_spark.workload_llm import SIMHASH_PAIRS_CTES
 
 # SQL twin of operators.sampling.sample_bucket (md5_long % 100).
 _BUCKET_SQL = (
@@ -135,3 +138,46 @@ def q_curate_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk")
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {SIMHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM sim_pairs
+              UNION SELECT id_b, id_a FROM sim_pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    decided AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, cluster_id,
+           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_keeper,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM decided
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: SimHash near-dup pairs → connected components
+    (transitive closure: a~b, b~c ⇒ {{a,b,c}} is one cluster even when a
+    and c never collide) → per-document (cluster_id, is_keeper,
+    cluster_size) over the whole corpus. Dropping ``is_keeper = 0`` rows
+    IS the deduplication — this is the step between candidate pairs and
+    document removal that every large-corpus pipeline needs.
+
+    Spark side: iterative min-label propagation over the pair graph
+    (operators/graph.py — O(diameter) rounds, one join + one
+    partial-aggregated min per round, localCheckpoint-truncated
+    lineage); the oracle resolves the same closure with a recursive
+    CTE. The corpus-sized relation never enters the loop — only the
+    pair graph iterates, and near-dup graphs are tiny relative to the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(
+        d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
+    )
+    return dedup_clusters(d, pairs, "doc_id")

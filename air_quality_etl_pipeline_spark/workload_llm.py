@@ -342,10 +342,12 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_bits(d, "doc_id", "text", bits=32)
 
 
-@register(
-    "dedup_simhash",
-    """
-    WITH toks AS (
+#: DuckDB CTE chain producing the 48-bit/Hamming≤3 SimHash near-dup
+#: pair set as ``sim_pairs(id_a, id_b, hamming)`` — shared between the
+#: dedup_simhash oracle and the dedup_clusters oracle (workload_curation),
+#: so both engines resolve clusters over the exact same edge set.
+SIMHASH_PAIRS_CTES = """
+    toks AS (
       SELECT doc_id, lang, unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
              ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
       FROM documents),
@@ -359,11 +361,19 @@ def q_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
                AS simhash
-      FROM votes GROUP BY doc_id, lang)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      FROM votes GROUP BY doc_id, lang),
+    sim_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {SIMHASH_PAIRS_CTES}
+    SELECT id_a, id_b, hamming FROM sim_pairs
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

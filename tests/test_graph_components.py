@@ -1,0 +1,80 @@
+"""Connected components / dedup clusters: transitivity, determinism,
+and singleton semantics (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_chain_is_one_component(spark):
+    # a-b, b-c, c-d chain: no direct a~d pair, still one cluster
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_component_label_is_min_regardless_of_edge_direction(spark):
+    # labels must not depend on which side of the pair the min id is on
+    edges = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 1)], ["id_a", "id_b"]
+    )
+    comps = connected_components(edges).collect()
+    assert {r.component for r in comps} == {1}
+    assert {r.node for r in comps} == {1, 2, 5, 9}
+
+
+def test_distributed_path_matches_union_find(spark):
+    # local_threshold=0 forces the min-propagation loop; same answer
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (7, 4)], ["id_a", "id_b"]
+    )
+    local = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert {c for _, c in local} == {1, 10}
+
+
+def test_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert connected_components(edges).count() == 0
+
+
+def test_dedup_clusters_full_corpus_decision(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"]
+    )
+    rows = {
+        r.doc_id: (r.cluster_id, r.is_keeper, r.cluster_size)
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        1: (1, 1, 3),
+        3: (1, 0, 3),
+        5: (1, 0, 3),
+        2: (2, 1, 2),
+        6: (2, 0, 2),
+        4: (4, 1, 1),  # singleton keeps itself
+        7: (7, 1, 1),
+    }
+    # dropping is_keeper=0 keeps exactly one doc per cluster
+    kept = [d for d, (_, k, _) in rows.items() if k]
+    assert sorted(kept) == [1, 2, 4, 7]
