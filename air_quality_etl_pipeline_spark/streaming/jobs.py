@@ -71,6 +71,37 @@ def daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    length: str = "3 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding (overlapping) window per event_type: each event lands in
+    ``length/slide`` windows (here 3). Spark assigns all of them in one
+    pass — no self-join, no explode; state per key is bounded by the
+    watermark exactly as with tumbling windows. The batch oracle is the
+    explicit explode-by-offset formulation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session-window aggregate per user: Spark's native
     ``session_window`` merges events closer than *gap* into one window.

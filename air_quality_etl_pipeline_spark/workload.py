@@ -1040,3 +1040,4 @@ from air_quality_etl_pipeline_spark import workload_sources  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_curation  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_temporal  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_analytics  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_sketches  # noqa: E402,F401

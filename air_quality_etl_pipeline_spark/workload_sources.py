@@ -33,6 +33,7 @@ from air_quality_etl_pipeline_spark.streaming.jobs import (
     read_events_stream,
     run_available_now,
     sessionize,
+    sliding_counts,
     stateful_user_counts,
 )
 from air_quality_etl_pipeline_spark.workload import _t, register
@@ -296,6 +297,31 @@ def q_streaming_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the same files (exactly-once file-source semantics)."""
     stream = read_events_stream(spark, sf_dir)
     return run_available_now(daily_counts(stream), spark)
+
+
+@register(
+    "streaming_sliding_window",
+    """
+    WITH e AS (SELECT date_trunc('day', ts) AS d, event_type, value
+               FROM events),
+    w AS (SELECT d - to_days(CAST(o.off AS INTEGER)) AS w_start,
+                 event_type, value
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o)
+    SELECT strftime(w_start, '%Y-%m-%d') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream + watermark + SLIDING 3-day/1-day window: each event
+    contributes to 3 overlapping windows, assigned in one pass (no
+    self-join). The batch oracle explodes each event into its 3 window
+    starts explicitly — the streaming result over availableNow must
+    equal it exactly."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(sliding_counts(stream), spark)
 
 
 @register(

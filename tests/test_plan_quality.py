@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans — broadcast star
+joins, scan-level predicate pushdown, and column pruning. A regression
+here is a silent 100×-at-scale problem even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from air_quality_etl_pipeline_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    # fact ⟕ 4 dims: every dim side must be a broadcast hash join —
+    # a sort-merge join here means a fact-table shuffle per dim at scale
+    df, _ = QUERIES["gold_star_fact"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hash_sample_is_shuffle_free(spark):
+    # deterministic sampling is scan + filter only (the md5-bucket
+    # predicate is computed, so it can't be a parquet-native pushed
+    # filter — but it must run pre-shuffle): no Exchange anywhere
+    df, _ = QUERIES["sample_hash"]
+    plan = _plan_of(df(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan
+
+
+def test_filtered_count_prunes_columns(spark):
+    # a 2-column aggregate over lineitem must not read all 16 columns
+    df, _ = QUERIES["filtered_count"]
+    plan = _plan_of(df(spark, SF))
+    scan = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    n_cols = scan.count(":") - 1  # struct<a:t,b:t,...> → field count
+    assert n_cols <= 4, scan
+
+
+def test_silver_filter_pushes_predicates(spark):
+    # the isin + notnull silver filters should reach the parquet scan
+    df, _ = QUERIES["silver_filter_dedup"]
+    plan = _plan_of(df(spark, SF))
+    assert "PushedFilters" in plan
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert any("IsNotNull" in p or "In(" in p for p in pushed), pushed
