@@ -54,6 +54,26 @@ def merge_insert_if_absent(
     return target.unionByName(fresh.select(*target.columns))
 
 
+def upsert_replace(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Full MERGE semantics — ``WHEN MATCHED UPDATE SET * / WHEN NOT
+    MATCHED INSERT *`` — as pure Spark: source rows win wholesale on
+    key match, unmatched target rows survive, unmatched source rows
+    insert. Extends the reference's insert-only MERGE (K4) to the
+    update case Delta expresses with ``whenMatchedUpdateAll``.
+
+    ``source ∪ (target ⟕anti source)`` — ONE anti-join shuffle on the
+    natural key (same cost class as MERGE's inner join) + a shuffle-free
+    union. Requires *source* unique per key (standard MERGE
+    precondition; enforce upstream with dedup_first when the feed may
+    carry retractions)."""
+    survivors = target.join(
+        source.select(*keys), on=list(keys), how="left_anti"
+    )
+    return source.select(*target.columns).unionByName(survivors)
+
+
 def merge_into_table(
     spark,
     table: str,

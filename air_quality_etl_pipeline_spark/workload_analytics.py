@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import md5_hex15, token_array
+from air_quality_etl_pipeline_spark.plans.merge import upsert_replace
 from air_quality_etl_pipeline_spark.workload import _dec_sum, _events, _t, register
 from air_quality_etl_pipeline_spark.workload_llm import TOKS
 
@@ -376,6 +377,141 @@ def q_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lst.value").alias("last_value"),
         F.col("lst.ts_us").alias("last_us"),
         "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full MERGE (update + insert) and set operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_update",
+    """
+    WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+    src AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT t.* FROM tgt t
+      WHERE NOT EXISTS (SELECT 1 FROM src s
+                        WHERE s.o_orderkey = t.o_orderkey))
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT (full MERGE, the
+    update case the reference's insert-only Delta MERGE never
+    exercises): a corrections feed (doubled totals for every 3rd order)
+    upserts into a target missing every 7th order — source rows replace
+    on key match, unmatched target rows survive, new keys insert.
+    plans/merge.upsert_replace = one anti-join shuffle + union."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    merged = upsert_replace(tgt, src, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "set_ops_cohorts",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(CAST(o_orderdate AS DATE)) = 1994),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+    SELECT 'both' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'only_1994', count(*)
+    FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'only_1995', count(*)
+    FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+    """,
+)
+def q_set_ops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort analysis (retained vs churned vs new
+    customers across years) — the set-operator family SURVEY §2.7 notes
+    as absent from the reference. Spark plans both as aggregate-based
+    set ops (hash, not sort); each leg is one shuffle on the
+    already-distinct key sets."""
+    o = _t(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            o.filter(F.year(F.col("o_orderdate").cast("date")) == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = cohort(1994), cohort(1995)
+    rows = [
+        ("both", a.intersect(b)),
+        ("only_1994", a.subtract(b)),
+        ("only_1995", b.subtract(a)),
+    ]
+    parts = [
+        s.agg(
+            F.lit(tag).alias("cohort"),
+            F.count("*").alias("n_customers"),
+        )
+        for tag, s in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "distinct_to_date",
+    """
+    WITH first_seen AS (
+      SELECT o_custkey,
+             min(date_trunc('month', CAST(o_orderdate AS DATE))) AS m
+      FROM orders GROUP BY 1),
+    per_month AS (
+      SELECT m, count(*) AS new_customers FROM first_seen GROUP BY 1)
+    SELECT strftime(m, '%Y-%m') AS month,
+           new_customers,
+           sum(new_customers) OVER (ORDER BY m
+             ROWS UNBOUNDED PRECEDING) AS cum_customers
+    FROM per_month
+    """,
+)
+def q_distinct_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count to date (W6's distinct variant — the
+    running 'customers acquired so far' a DAX DISTINCTCOUNT+DATESYTD
+    pair computes): distinct-to-date ≡ running SUM of first-occurrence
+    counts, which needs one aggregate per key + one tiny month-level
+    window — never a giant collect_set state. The window input is the
+    calendar, so the plan is identical at any fact scale."""
+    o = _t(spark, sf_dir, "orders")
+    first_seen = o.groupBy("o_custkey").agg(
+        F.min(F.trunc(F.col("o_orderdate").cast("date"), "month")).alias("m")
+    )
+    per_month = first_seen.groupBy("m").agg(
+        F.count("*").alias("new_customers")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return per_month.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "new_customers",
+        F.sum("new_customers").over(w).alias("cum_customers"),
     )
 
 
