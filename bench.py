@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
