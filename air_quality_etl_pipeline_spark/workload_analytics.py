@@ -596,6 +596,99 @@ def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-sequence analytics: journeys and funnels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_journey",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events)
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts_us, event_id) AS journey,
+           count(*) AS n_events
+    FROM e GROUP BY user_id
+    """,
+)
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event path ("view>click>purchase>..."): the
+    sequence-analytics primitive behind funnel mining and
+    next-event-prediction features. ONE aggregation —
+    collect_list(struct) + array_sort + transform + array_join, all
+    Catalyst built-ins: the struct's (ts, event_id) prefix makes the
+    sort total, so the path string is deterministic on both engines.
+    No window sort: partial aggregation collects per-partition lists
+    and merges — at 100 TB the per-user state is the user's own events,
+    never a partition-wide sort buffer."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    agg = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+        ).alias("seq"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "user_id",
+        F.array_join(
+            F.transform(F.col("seq"), lambda x: x["event_type"]), ">"
+        ).alias("journey"),
+        "n_events",
+    )
+
+
+@register(
+    "funnel_steps",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+           count(CASE WHEN t_view < t_click AND t_click < t_purchase
+                      THEN 1 END) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): first
+    occurrence of each step per user, then ordering constraints between
+    the step timestamps. Two aggregations, both partial-aggregated —
+    the classic funnel without any per-user sort or self-join (the
+    naive formulation is 2 self-joins on a corpus-sized table)."""
+    e = _events(spark, sf_dir)
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_view") < F.col("t_click"), 1)).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003)
 # ---------------------------------------------------------------------------
 

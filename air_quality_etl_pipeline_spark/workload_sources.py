@@ -355,6 +355,31 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    """
+    WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type
+               FROM events ORDER BY event_id)
+    SELECT event_type, count(*) AS n_events
+    FROM d GROUP BY event_type
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicates`` on event_id
+    under a watermark (state holds only ids younger than the watermark
+    — bounded, unlike batch global dedup), availableNow trigger, then a
+    batch count by type over the deduped sink. The oracle is batch
+    DISTINCT ON the same key."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicates(
+        ["event_id"]
+    )
+    rows = run_available_now(
+        deduped.select("event_id", "event_type"), spark, output_mode="append"
+    )
+    return rows.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+@register(
     "streaming_stateful_counts",
     """
     SELECT user_id, count(*) AS n_events,

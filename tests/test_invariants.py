@@ -25,7 +25,10 @@ from air_quality_etl_pipeline_spark.operators.buckets import (
 from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
 from air_quality_etl_pipeline_spark.operators.dates import with_date_parts
 from air_quality_etl_pipeline_spark.plans.gold import dense_id, surrogate_key
-from air_quality_etl_pipeline_spark.plans.merge import merge_insert_if_absent
+from air_quality_etl_pipeline_spark.plans.merge import (
+    merge_insert_if_absent,
+    upsert_replace,
+)
 
 SETTINGS = settings(
     max_examples=12,
@@ -76,6 +79,25 @@ def test_merge_is_idempotent_and_monotonic(spark, rows):
     assert {r["k"] for r in base.collect()} | {99} == {
         r["k"] for r in merged.collect()
     }
+
+
+@given(rows=row_strategy)
+@SETTINGS
+def test_upsert_replace_source_wins_target_survives(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, ord int, v int")
+    base = dedup_first(df, ["k"], order_by=["ord", "v"])
+    # source rows replace matched keys wholesale; v+1000 marks them
+    src = base.limit(1).withColumn("v", F.col("v") + 1000)
+    merged = upsert_replace(base, src, ["k"])
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    base_rows = {r["k"]: r["v"] for r in base.collect()}
+    src_rows = {r["k"]: r["v"] for r in src.collect()}
+    assert got == {**base_rows, **src_rows}
+    # idempotent: upserting the same source twice changes nothing
+    again = upsert_replace(merged, src, ["k"])
+    assert sorted(again.collect()) == sorted(merged.collect())
 
 
 @given(n=st.integers(min_value=0, max_value=40))

@@ -9,6 +9,8 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+from pyspark.sql import functions as F
+
 from air_quality_etl_pipeline_spark.workload import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -47,6 +49,23 @@ def test_filtered_count_prunes_columns(spark):
     scan = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
     n_cols = scan.count(":") - 1  # struct<a:t,b:t,...> → field count
     assert n_cols <= 4, scan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    # hive-partitioned layout + partition-column predicate ⇒ the scan's
+    # PartitionFilters must carry the predicate (pruned at planning,
+    # non-matching directories never read) — the property the bronze
+    # year/month/state layout exists for
+    src = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "o_year", F.year(F.col("o_orderdate").cast("date"))
+    )
+    path = str(tmp_path / "part_orders")
+    src.write.partitionBy("o_year").parquet(path)
+    df = spark.read.parquet(path).filter("o_year = 1995")
+    plan = _plan_of(df)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "1995" in pf, pf
 
 
 def test_silver_filter_pushes_predicates(spark):
