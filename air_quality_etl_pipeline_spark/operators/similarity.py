@@ -232,6 +232,55 @@ def ivf_topk(
     )
 
 
+def label_centroid_micro(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid accumulation via ``applyInPandas`` (grouped
+    map): each label's vectors arrive as ONE Arrow batch, numpy sums
+    them dimension-wise → ``(label, dim, sum_micro, n_vectors)``
+    (centroid = sum_micro / n_vectors / 1e6). This is the k-means
+    update step / class-prototype builder, and the grouped-map exemplar
+    of the engine: vectorized BLAS work per group where per-element
+    Catalyst lambdas would be interpreted.
+
+    Values are accumulated in integer MICRO-units (``floor(x·1e6 +
+    0.5)`` per element, then int64 sums) — exact, associative, and
+    bit-identical across engines, so the op is fully oracle-verifiable
+    despite running in Python (float64 sums would depend on summation
+    order). One shuffle on label; group state is that label's vectors.
+
+    The closure is self-contained (imports inside, no module refs):
+    workers never import this package.
+    """
+    out_schema = (
+        "label long, dim long, sum_micro long, n_vectors long"
+    )
+
+    def centroid(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        micro = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        d = mat.shape[1]
+        return pd.DataFrame(
+            {
+                "label": np.full(d, int(pdf["_l"].iloc[0]), dtype=np.int64),
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "sum_micro": micro.sum(axis=0),
+                "n_vectors": np.full(d, len(pdf), dtype=np.int64),
+            }
+        )
+
+    prepped = df.select(
+        F.col(label_col).cast("long").alias("_l"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    return prepped.groupBy("_l").applyInPandas(centroid, out_schema)
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -596,6 +596,52 @@ def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pure Spark SQL entry point (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's ``spark.sql`` entry point, exercised with the
+    TPC-H Q1 pricing summary: identical ANSI SQL text runs on both
+    engines (temp view over the parquet scan). Catalyst gets the same
+    logical plan the DataFrame API builds — one scan with pushed date
+    filter, one partial-aggregated groupBy on a 4-ish-row key space."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event-sequence analytics: journeys and funnels
 # ---------------------------------------------------------------------------
 

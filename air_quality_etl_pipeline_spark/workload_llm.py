@@ -26,6 +26,7 @@ from air_quality_etl_pipeline_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    label_centroid_micro,
     sign_lsh_topk,
 )
 from air_quality_etl_pipeline_spark.operators.text import (
@@ -579,6 +580,28 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.4)."""
     e = _t(spark, sf_dir, "embeddings")
     return cosine_pairs(e, threshold=0.4, bits=6)
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(i.i AS BIGINT) AS dim,
+           sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS sum_micro,
+           count(*) AS n_vectors
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    GROUP BY 1, 2
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid sums via applyInPandas + numpy (the grouped-
+    map path: one Arrow batch per label, BLAS-style column sums).
+    Integer micro-unit accumulation makes the Python path exactly
+    reproducible by the SQL oracle — see
+    operators/similarity.label_centroid_micro."""
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroid_micro(e)
 
 
 @register(
