@@ -118,6 +118,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_dist: int = 10,
+    block_cols: Sequence[str] = (),
+    band_width: int | None = None,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded Levenshtein edit distance.
+
+    Returns ``(id_a, id_b, edit_dist)`` for pairs with
+    ``levenshtein ≤ max_dist`` within the same *block_cols* group.
+    Candidate generation is blocking + LENGTH BANDING, never all-pairs:
+
+    * ``|len(a) − len(b)| > max_dist ⇒ dist > max_dist`` (each unmatched
+      character costs ≥1 edit), so rows bucket by
+      ``floor(len / band_width)`` with ``band_width = max_dist + 1``;
+      a qualifying pair's buckets differ by at most 1, so the right side
+      is exploded into ``{bucket, bucket+1}`` and an equi-join on
+      (block, bucket) has perfect recall.
+    * The distance itself uses Spark's BOUNDED ``levenshtein(l, r, k)``
+      — O(len·k) banded DP instead of O(len²), returning −1 past the
+      bound so non-matches exit early. (The oracle's unbounded
+      ``levenshtein() <= k`` filter keeps identical results.)
+
+    At 100 TB: one scan to band, one hash shuffle on (block, bucket),
+    and the quadratic term is confined to same-bucket rows — the same
+    shape as the MinHash/SimHash candidate joins.
+    """
+    w = band_width or (max_dist + 1)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in block_cols],
+        F.col(text_col).alias("_txt"),
+        F.floor(F.length(text_col) / F.lit(w)).alias("_bkt"),
+    ).persist()
+    left = base.select(
+        *block_cols,
+        F.col("_bkt").alias("_join_bkt"),
+        F.col("_id").alias("ida"),
+        F.col("_txt").alias("ta"),
+    )
+    right = base.select(
+        *block_cols,
+        F.explode(F.array(F.col("_bkt"), F.col("_bkt") + 1)).alias("_join_bkt"),
+        F.col("_id").alias("idb"),
+        F.col("_txt").alias("tb"),
+    )
+    cands = (
+        left.join(right, on=[*block_cols, "_join_bkt"])
+        .filter(F.col("ida") != F.col("idb"))
+        # length prefilter: cheap necessary condition before the DP
+        .filter(
+            F.abs(F.length("ta") - F.length("tb")) <= F.lit(max_dist)
+        )
+        .withColumn("edit_dist", F.levenshtein("ta", "tb", max_dist))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "edit_dist",
+        )
+        # same-bucket pairs meet at both bucket entries; canonicalize + dedup
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -232,6 +232,39 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector max-abs int8 scalar quantization:
+    ``q_i = floor(x_i / s · 127 + 0.5)`` with ``s = max_i |x_i|``
+    (zero vectors quantize to zeros). Returns
+    ``(id, scale, q: array<int>)``.
+
+    The standard 4× memory/bandwidth reduction for ANN at scale —
+    int8 corpora keep 100 TB of fp32 embeddings in a quarter of the
+    shuffle/cache footprint, and dot products stay integer until the
+    final rescale. Pure Catalyst ``transform`` over the array: no
+    Python, no shuffle, runs inside the scan. The rounding is
+    floor(x+0.5) rather than engine-native round() so any SQL engine
+    reproduces the codes bit-for-bit.
+    """
+    v = _as_double(F.col(vec_col))
+    s = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        s == 0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(v, lambda x: F.floor(x / s * 127 + F.lit(0.5)).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        s.alias("scale"),
+        q.alias("q"),
+    )
+
+
 def label_centroid_micro(
     df: DataFrame,
     label_col: str = "label",

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.functions.core import safe_div, token_array
+from air_quality_etl_pipeline_spark.functions.core import (
+    round_portable,
+    safe_div,
+    token_array,
+)
 
 #: Tiny per-language stopword lists for the n-gram/stopword LID heuristic.
 #: Deliberately small + deterministic so the oracle can mirror them.
@@ -96,6 +100,69 @@ def predicted_lang_of_tokens(toks: Column) -> Column:
     best = F.array_max(score_arr)
     return F.when(best <= 0, F.lit("und")).otherwise(
         F.element_at(lang_arr, F.array_position(score_arr, best).cast("int"))
+    )
+
+
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent word 2-grams of a token array (``"t[i] t[i+1]"``);
+    empty array below 2 tokens. Pure Catalyst — guard matters because
+    ``sequence(1, 0)`` DESCENDS in Spark rather than yielding empty."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(grams)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", decimals: int = 4
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", app. A1.1: duplicate-n-gram filters), as
+    three appended columns:
+
+    * ``dup_word_frac``   — 1 − |distinct tokens| / |tokens|
+    * ``top_word_share``  — occurrences of the most frequent token / |tokens|
+    * ``dup_bigram_frac`` — 1 − |distinct 2-grams| / |2-grams|
+
+    All row-local array expressions — ZERO shuffles, the filter runs
+    inside the scan. ``top_word_share`` is O(|distinct|·|tokens|) per
+    row via filter-count; for book-length documents switch to the
+    explode → count → max aggregate (two shuffles) instead.
+    """
+    toks = token_array(F.col(text_col))
+    df = df.withColumn("_toks", toks).withColumn(
+        "_grams", word_bigrams(F.col("_toks"))
+    )
+    n = F.size("_toks").cast("double")
+    ng = F.size("_grams").cast("double")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("_toks"),
+            lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)),
+        )
+    ).cast("double")
+    return (
+        df.withColumn(
+            "dup_word_frac",
+            round_portable(
+                F.lit(1.0) - safe_div(F.size(F.array_distinct("_toks")).cast("double"), n),
+                decimals,
+            ),
+        )
+        .withColumn("top_word_share", round_portable(safe_div(top_cnt, n), decimals))
+        .withColumn(
+            "dup_bigram_frac",
+            round_portable(
+                F.lit(1.0)
+                - safe_div(F.size(F.array_distinct("_grams")).cast("double"), ng),
+                decimals,
+            ),
+        )
+        .drop("_toks", "_grams")
     )
 
 

@@ -70,6 +70,34 @@ def copy_tables(
         spark.table(src).write.mode("overwrite").saveAsTable(dst)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet layout —
+    the data-skipping ("z-order lite") sink.
+
+    ``repartitionByRange`` samples the sort key and assigns contiguous
+    key ranges to partitions; ``sortWithinPartitions`` then makes each
+    row group's parquet min/max stats TIGHT and NON-OVERLAPPING across
+    files. A later scan with a predicate on *sort_cols* skips whole
+    files/row groups from footer stats alone — at 100 TB, a selective
+    date/key filter reads ~(selectivity × data) instead of everything.
+    One range-exchange at write time buys that for every later query.
+    """
+    parts = df.repartitionByRange(
+        *(([num_partitions] if num_partitions else []) + list(sort_cols))
+    )
+    (
+        parts.sortWithinPartitions(*sort_cols)
+        .write.format("parquet")
+        .mode("overwrite")
+        .save(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

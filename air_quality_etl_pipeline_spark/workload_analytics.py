@@ -814,3 +814,64 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").over(w).alias("fp"),
     ).filter(F.col("i") <= F.col("n_grams") - F.lit(_WINNOW_W - 1))
     return fps.select("doc_id", "fp").distinct()
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier detection (data-cleaning pre-filter)
+# ---------------------------------------------------------------------------
+
+@register(
+    "iqr_outliers",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN o.o_totalprice < b.q1 - 1.5 * (b.q3 - b.q1)
+                           OR o.o_totalprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor((b.q1 - 1.5 * (b.q3 - b.q1)) * 100.0 + 0.5) / 100.0 AS lo_fence,
+           floor((b.q3 + 1.5 * (b.q3 - b.q1)) * 100.0 + 0.5) / 100.0 AS hi_fence
+    FROM orders o JOIN b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, b.q1, b.q3
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profiling per group: exact q1/q3 (linear-
+    interpolation percentile, same formula both engines), 1.5-IQR
+    fences, outlier counts. Two passes over the fact — one percentile
+    aggregation (tiny result), broadcast back for the counting scan —
+    the standard shape for 'compute stats, then filter by them' at any
+    scale: the stats never ride along the big shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = fences.select(
+        "o_orderpriority",
+        (F.col("q1") - 1.5 * iqr).alias("lo"),
+        (F.col("q3") + 1.5 * iqr).alias("hi"),
+    )
+    out = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        o.join(F.broadcast(fences), on="o_orderpriority")
+        .groupBy("o_orderpriority", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_total",
+            "n_outliers",
+            (F.floor(F.col("lo") * 100 + F.lit(0.5)) / 100).alias("lo_fence"),
+            (F.floor(F.col("hi") * 100 + F.lit(0.5)) / 100).alias("hi_fence"),
+        )
+    )

@@ -17,6 +17,7 @@ from air_quality_etl_pipeline_spark.functions.core import round_portable
 from air_quality_etl_pipeline_spark.operators import multimodal
 from air_quality_etl_pipeline_spark.operators.dedup import (
     exact_dup_groups,
+    fuzzy_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_bits,
@@ -27,6 +28,7 @@ from air_quality_etl_pipeline_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     label_centroid_micro,
+    quantize_int8,
     sign_lsh_topk,
 )
 from air_quality_etl_pipeline_spark.operators.text import (
@@ -38,6 +40,7 @@ from air_quality_etl_pipeline_spark.operators.text import (
     fingerprint,
     predicted_lang,
     quality_score,
+    repetition_stats,
     scrub_text,
     stopword_ratio,
     token_count,
@@ -679,3 +682,101 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row yields a row per sampled frame index of the stubbed video)."""
     d = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(d), stride=7)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy edit-distance dedup / repetition signals / int8 quantization
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_fuzzy_edit",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE abs(len(a.text) - len(b.text)) <= 80
+      AND levenshtein(a.text, b.text) <= 80
+    """,
+)
+def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded Levenshtein distance within
+    (lang, source) blocks. The engine side length-bands candidates
+    (bucket join, perfect recall) and runs the O(len·k) bounded DP;
+    the oracle brute-forces the block pair space with unbounded
+    levenshtein — same result set, quadratic cost it can afford only
+    at oracle scale."""
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_pairs(
+        d, "doc_id", "text", max_dist=80, block_cols=("lang", "source")
+    )
+
+
+@register(
+    "doc_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+                 [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS grams
+          FROM t)
+    SELECT doc_id,
+           floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / nullif(len(toks), 0)) * 10000.0 + 0.5) / 10000.0
+             AS dup_word_frac,
+           floor((CAST(list_max([len(list_filter(toks, x -> x = t2))
+                                 for t2 in list_distinct(toks)]) AS DOUBLE)
+                  / nullif(len(toks), 0)) * 10000.0 + 0.5) / 10000.0
+             AS top_word_share,
+           floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                        / nullif(len(grams), 0)) * 10000.0 + 0.5) / 10000.0
+             AS dup_bigram_frac
+    FROM g
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (duplicate-word
+    fraction, most-frequent-word share, duplicate-bigram fraction) —
+    all row-local array expressions inside the scan, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "dup_word_frac", "top_word_share", "dup_bigram_frac"
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS s,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT vec_id,
+           CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+           CAST(list_aggregate([CAST(floor(x / s * 127.0 + 0.5) AS BIGINT)
+                                for x in v], 'sum') AS BIGINT) AS q_sum,
+           CAST(list_min([CAST(floor(x / s * 127.0 + 0.5) AS BIGINT)
+                          for x in v]) AS BIGINT) AS q_min,
+           CAST(list_max([CAST(floor(x / s * 127.0 + 0.5) AS BIGINT)
+                          for x in v]) AS BIGINT) AS q_max
+    FROM q WHERE s > 0
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs int8 scalar quantization of the embedding corpus (the 4x
+    ANN memory/bandwidth saver), verified through exact integer
+    aggregates of the codes (sum/min/max per vector) plus the micro-unit
+    scale — bit-identical across engines because rounding is
+    floor(x+0.5), never engine round()."""
+    e = _t(spark, sf_dir, "embeddings")
+    qd = quantize_int8(e)
+    return qd.filter(F.col("scale") > 0).select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6 + F.lit(0.5)).cast("long").alias("scale_micro"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+    )

@@ -25,6 +25,7 @@ from air_quality_etl_pipeline_spark.sources.readers import cast_columns, read_cs
 from air_quality_etl_pipeline_spark.sources.writers import (
     write_partitioned_append,
     write_partitioned_dynamic_overwrite,
+    write_range_sorted,
 )
 from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
 from air_quality_etl_pipeline_spark.operators.skew import salted_join, two_phase_agg
@@ -398,4 +399,47 @@ def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_first(
         updates, ["user_id"], order_by=[F.col("n_events").desc()]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-sorted data-skipping layout (z-order lite)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_layout_roundtrip",
+    """
+    SELECT year(l_shipdate) AS ship_year, count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def q_sort_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned + within-partition-sorted layout: land lineitem
+    ordered by l_shipdate, then run a selective date-range scan over the
+    files. Because ranges are contiguous and sorted, parquet footer
+    min/max stats eliminate non-matching files/row groups before any IO
+    — the aggregate is correct (oracle scans the raw table) AND the
+    physical scan touches only the ~8%% of data in range. The pytest
+    twin asserts the per-file min/max intervals truly don't overlap."""
+    path = f"{SCRATCH}/lineitem_range_sorted"
+    shutil.rmtree(path, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem")
+    write_range_sorted(li, path, ["l_shipdate"], num_partitions=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
     )

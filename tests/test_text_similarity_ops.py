@@ -1,0 +1,157 @@
+"""Unit tests for fuzzy edit-distance dedup, repetition signals,
+int8 quantization, and the range-sorted data-skipping layout."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.dedup import fuzzy_pairs
+from air_quality_etl_pipeline_spark.operators.similarity import quantize_int8
+from air_quality_etl_pipeline_spark.operators.text import repetition_stats
+from air_quality_etl_pipeline_spark.sources.writers import write_range_sorted
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_pairs(rows, max_dist):
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        d = lev(ta, tb)
+        if d <= max_dist:
+            out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+def test_fuzzy_pairs_perfect_recall_across_length_bands(spark):
+    # texts engineered so qualifying pairs span adjacent AND same
+    # length buckets (band width = max_dist + 1 = 4)
+    rows = [
+        (1, "abcd"),        # len 4  bucket 1
+        (2, "abcde"),       # len 5  bucket 1 — dist(1,2)=1
+        (3, "abcdefg"),     # len 7  bucket 1
+        (4, "abcdefgh"),    # len 8  bucket 2 — dist(3,4)=1, crosses buckets
+        (5, "zzzzzzzz"),    # len 8  bucket 2 — far from everything
+        (6, "abce"),        # len 4  bucket 1 — dist(1,6)=1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_pairs(df, "doc_id", "text", max_dist=3).collect()
+    }
+    assert got == _brute_force_pairs(rows, 3)
+
+
+def test_fuzzy_pairs_respects_blocking(spark):
+    rows = [(1, "same text", "en"), (2, "same text", "de")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = fuzzy_pairs(
+        df, "doc_id", "text", max_dist=3, block_cols=("lang",)
+    ).collect()
+    assert got == []  # identical texts, different blocks → no pair
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_values_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),        # 1 distinct / 4 toks
+            (2, "a b c d"),        # all distinct
+            (3, "x"),              # single token: no bigrams
+            (4, ""),               # empty: all NULL
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].dup_word_frac == 0.75
+    assert rows[1].top_word_share == 1.0
+    assert rows[1].dup_bigram_frac == pytest.approx(1 - 1 / 3, abs=1e-4)
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].top_word_share == 0.25
+    assert rows[2].dup_bigram_frac == 0.0
+    assert rows[3].dup_bigram_frac is None  # no bigrams
+    assert rows[3].dup_word_frac == 0.0
+    assert rows[4].dup_word_frac is None  # empty doc
+    assert rows[4].top_word_share is None
+
+
+# ---------------------------------------------------------------------------
+# quantize_int8
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_reconstruction_and_zero_vector(spark):
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    for vid, vec in vecs:
+        r = out[vid]
+        if r.scale == 0:
+            assert all(q == 0 for q in r.q)
+            continue
+        assert max(abs(q) for q in r.q) == 127  # maxabs maps to full range
+        for x, q in zip(vec, r.q):
+            # dequantization error bounded by half a quantization step
+            assert abs(x - q * r.scale / 127) <= r.scale / 254 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# write_range_sorted: files must carry disjoint key ranges
+# ---------------------------------------------------------------------------
+
+
+def test_range_sorted_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "li_sorted")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_range_sorted(li, path, ["l_shipdate"], num_partitions=8)
+    intervals = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        lo = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        intervals.append((lo, hi))
+    assert len(intervals) > 1
+    intervals.sort()
+    for (_, hi_prev), (lo_next, _) in zip(intervals, intervals[1:]):
+        # contiguous ranges may touch at the boundary value but not overlap
+        assert lo_next >= hi_prev
+
+    # and the roundtrip preserves every row
+    assert spark.read.parquet(path).count() == li.count()
