@@ -30,11 +30,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.functions.core import cosine_similarity, round_portable
+from air_quality_etl_pipeline_spark.functions.core import (
+    dot_product,
+    l2_norm,
+    round_portable,
+    safe_div,
+)
 
 
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
+
+
+def _norm_expr(v: str) -> Column:
+    """L2 norm as ONE ``F.expr`` SQL string — constructing the fold
+    through the Python Column API costs dozens of py4j round trips per
+    call site; a string parses JVM-side in a single call. (Same lesson
+    as simhash_bits: for sub-second queries, plan CONSTRUCTION is the
+    dominant term, and these operators build the expression 2-4×.)"""
+    return F.expr(f"sqrt(aggregate(`{v}`, 0.0D, (acc, x) -> acc + x * x))")
+
+
+def _pair_cosine(
+    av: str, an: str, bv: str, bn: str, dims: int | None, decimals: int
+) -> Column:
+    """Per-pair cosine from PRECOMPUTED norms: dot(av,bv)/(an·bn).
+    The norms are 2/3 of a cosine's flops and don't depend on the pair
+    — computing them once per ROW instead of once per PAIR is the
+    difference between O(rows·dims) and O(pairs·dims) norm work. Same
+    doubles as cosine_similarity (same fold order, same sqrt, same
+    DIVIDE null semantics), built as one SQL string (see
+    :func:`_norm_expr` for why). *dims* kept for the unrolled-codegen
+    experiment in functions.core — measured: unrolling wins ~2× on
+    execution but loses 3× on plan construction at bench query sizes,
+    so the fold string is the default."""
+    f = float(10**decimals)
+    dot = (
+        f"aggregate(zip_with(`{av}`, `{bv}`, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+    den = f"(`{an}` * `{bn}`)"
+    cos = (
+        f"CASE WHEN {den} IS NULL OR {den} = 0.0D THEN NULL "
+        f"ELSE ({dot}) / {den} END"
+    )
+    # literal suffix D matters: bare `1000000.0` parses as DECIMAL in
+    # Spark SQL (unlike F.lit), silently retyping the output column
+    return F.expr(f"floor(({cos}) * {f}D + 0.5D) / {f}D")
 
 
 def cosine_topk(
@@ -44,27 +86,31 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     sim_decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
     Returns ``(query_id, neighbor_id, cosine, rank)``; self-matches are
     excluded; rank ties broken by neighbor id on the *rounded* cosine so
-    results are engine-reproducible.
+    results are engine-reproducible. Pass *dims* for fixed-width
+    embeddings: the dot product unrolls into codegen and norms
+    precompute per row (see :func:`_pair_cosine`).
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qn", _norm_expr("qv"))
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm_expr("cv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine",
-            round_portable(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
+            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -100,6 +146,7 @@ def sign_lsh_topk(
     bits: int = 6,
     tables: int = 4,
     sim_decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign LSH: *tables* independent
     hash tables, each bucketing on a different slice of dimensions;
@@ -110,12 +157,17 @@ def sign_lsh_topk(
     candidate set."""
 
     def tabled(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(id_alias),
+            _as_double(F.col(vec_col)).alias(vec_alias),
+        ).withColumn(f"{vec_alias}_n", _norm_expr(vec_alias))
         sides = [
-            df.select(
-                F.col(id_col).alias(id_alias),
-                _as_double(F.col(vec_col)).alias(vec_alias),
+            base.select(
+                id_alias,
+                vec_alias,
+                f"{vec_alias}_n",
                 F.lit(t).alias("tbl"),
-                sign_bucket(F.col(vec_col), bits, offset=t * bits).alias(
+                sign_bucket(F.col(vec_alias), bits, offset=t * bits).alias(
                     "bucket"
                 ),
             )
@@ -132,12 +184,11 @@ def sign_lsh_topk(
         F.broadcast(q)
         .join(c, on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "qv_n", "neighbor_id", "cv", "cv_n")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
-        "cosine",
-        round_portable(cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals),
+        "cosine", _pair_cosine("qv", "qv_n", "cv", "cv_n", dims, sim_decimals)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -158,6 +209,7 @@ def ivf_topk(
     centroid_stride: int = 128,
     nprobe: int = 2,
     sim_decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k — the inverted-file architecture
     (coarse quantizer → probe lists) expressed relationally:
@@ -178,19 +230,18 @@ def ivf_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
-    )
+    ).withColumn("_n", _norm_expr("_v"))
     cents = F.broadcast(
         c.filter(F.col("_id") % centroid_stride == 0).select(
-            F.col("_id").alias("cid"), F.col("_v").alias("cv")
+            F.col("_id").alias("cid"),
+            F.col("_v").alias("centv"),
+            F.col("_n").alias("centn"),
         )
     )
 
-    def nearest(df: DataFrame, vec: str, keep: int) -> DataFrame:
+    def nearest(df: DataFrame, vec: str, norm: str, keep: int) -> DataFrame:
         scored = df.crossJoin(cents).withColumn(
-            "_cos",
-            round_portable(
-                cosine_similarity(F.col(vec), F.col("cv")), sim_decimals
-            ),
+            "_cos", _pair_cosine(vec, norm, "centv", "centn", dims, sim_decimals)
         )
         w = Window.partitionBy(df.columns[0]).orderBy(
             F.col("_cos").desc(), F.col("cid").asc()
@@ -198,28 +249,50 @@ def ivf_topk(
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= keep)
-            .drop("cv", "_cos", "_rn")
+            .drop("centv", "centn", "_cos", "_rn")
         )
 
-    assigned = nearest(c, "_v", 1).select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "cid"
+    # Assignment is rank-1, so it needs no window sort at all: max_by
+    # over the broadcast-joined scores aggregates map-side (partial
+    # max per corpus id collapses before any exchange), so the shuffle
+    # carries ONE row per corpus vector instead of the whole
+    # corpus × centroid scored relation with its vectors. The ordering
+    # struct (cos, −cid) reproduces the window's (cos DESC, cid ASC)
+    # tie-break exactly.
+    scored_c = c.crossJoin(cents).withColumn(
+        "_cos", _pair_cosine("_v", "_n", "centv", "centn", dims, sim_decimals)
+    )
+    assigned = (
+        scored_c.groupBy("_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("_v"), F.col("_n"), F.col("cid")),
+                F.struct(F.col("_cos"), (-F.col("cid")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_b._v").alias("cv"),
+            F.col("_b._n").alias("cn"),
+            F.col("_b.cid").alias("cid"),
+        )
     )
     probes = nearest(
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
-        ),
+        ).withColumn("qn", _norm_expr("qv")),
         "qv",
+        "qn",
         nprobe,
     )
+    # queries × nprobe is tiny — broadcast it so the inverted lists
+    # stream through the probe join without shuffling the corpus.
     scored = (
-        probes.join(assigned, on="cid")
+        F.broadcast(probes).join(assigned, on="cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine",
-            round_portable(
-                cosine_similarity(F.col("qv"), F.col("cv")), sim_decimals
-            ),
+            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -321,6 +394,7 @@ def cosine_pairs(
     threshold: float = 0.95,
     bits: int = 6,
     sim_decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: same-bucket candidates with cosine ≥
     *threshold* (near-dup vectors almost surely share the sign bucket)."""
@@ -328,19 +402,24 @@ def cosine_pairs(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
-    )
+    ).withColumn("_n", _norm_expr("_v"))
     left = v.select(
-        F.col("bucket"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+        F.col("bucket"),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"),
     )
     right = v.select(
-        F.col("bucket"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+        F.col("bucket"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
     )
     return (
         left.join(right, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine",
-            round_portable(cosine_similarity(F.col("v_a"), F.col("v_b")), sim_decimals),
+            "cosine", _pair_cosine("v_a", "n_a", "v_b", "n_b", dims, sim_decimals)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -462,7 +462,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 for 8 query vectors: broadcast
     queries ⨯ one corpus scan, JVM-side fold arithmetic."""
     e = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    out = cosine_topk(e, e.filter(F.col("vec_id") < 8), k=5, dims=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -513,7 +513,7 @@ def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability geometrically."""
     e = _t(spark, sf_dir, "embeddings")
     out = sign_lsh_topk(
-        e, e.filter(F.col("vec_id") < 8), k=5, bits=6, tables=4
+        e, e.filter(F.col("vec_id") < 8), k=5, bits=6, tables=4, dims=64
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -562,7 +562,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists. The scale path where the corpus is partitioned by centroid."""
     e = _t(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        e, e.filter(F.col("vec_id") < 8), k=5, centroid_stride=128, nprobe=2
+        e,
+        e.filter(F.col("vec_id") < 8),
+        k=5,
+        centroid_stride=128,
+        nprobe=2,
+        dims=64,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -582,7 +587,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets (cos ≥ 0.4)."""
     e = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs(e, threshold=0.4, bits=6)
+    return cosine_pairs(e, threshold=0.4, bits=6, dims=64)
 
 
 @register(
