@@ -87,6 +87,46 @@ def dedup_first(
     )
 
 
+def dedup_first_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """D1 (deterministic, aggregate form) — same survivor as
+    :func:`dedup_first` (min of the *order_by* tuple per key), computed
+    as ``min_by(struct(<other cols>), struct(<order_by>))`` instead of
+    a ranking window.
+
+    The window form SORTS each key group after a full-width shuffle;
+    this form is an aggregate whose partial min_by combines map-side,
+    so the exchange carries at most one row per key per input
+    partition. WHEN TO USE WHICH (measured at sf0.1/local[32]): with a
+    low duplicate rate the window form is ~15%% FASTER (codegen'd sort
+    of pruned columns beats the interpreted struct-compare in min_by's
+    buffer) — it stays the default. The aggregate form wins when the
+    duplicate rate is high (partial combine collapses rows before the
+    exchange) or key groups are too large to sort in memory. Column
+    order is preserved. (Rows that tie on the whole *order_by* tuple
+    have an unspecified survivor in BOTH forms.)
+    """
+    keyset = set(keys)
+    others = [c for c in df.columns if c not in keyset]
+    if not others:
+        return df.distinct()
+    out = df.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in others]),
+            F.struct(*[F.col(c) for c in order_by]),
+        ).alias("__r")
+    )
+    return out.select(
+        *[
+            F.col(c) if c in keyset else F.col(f"__r.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """D1 (fast path) — ``dropDuplicates`` on the natural key. Catalyst
     rewrites this to a hash aggregate with map-side combine; preferable

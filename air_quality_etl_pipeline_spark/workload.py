@@ -51,8 +51,22 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+#: scan-plan cache: (session, sf_dir, table) -> resolved DataFrame.
+#: spark.read.parquet re-lists the directory and re-reads footers for
+#: schema on EVERY call (~0.1 s/table on the driver) — a catalog-backed
+#: engine resolves a table once; this dict is that catalog. DataFrame
+#: plans are immutable, so reuse is safe. Keying on the session object
+#: itself (kept alive by the dict) scopes entries to a live session.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark, sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,9 +75,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw INT64 nanos (legacy conf) and convert exactly (integer DIV, not
     float division: nanos ≈ 1.7e18 exceeds double's 2^53 integer range).
     DuckDB's own nanos→micros truncation matches this semantics."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    key = (spark, sf_dir, "events:converted")
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = e.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def _dec_sum(col, alias: str, scale: int = 2):

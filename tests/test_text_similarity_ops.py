@@ -155,3 +155,25 @@ def test_range_sorted_files_have_disjoint_minmax(spark, sf_dir, tmp_path):
 
     # and the roundtrip preserves every row
     assert spark.read.parquet(path).count() == li.count()
+
+
+# ---------------------------------------------------------------------------
+# dedup_first_agg ≡ dedup_first (same survivor, different plan)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_first_agg_matches_window_form(spark, sf_dir):
+    from air_quality_etl_pipeline_spark.operators.cleaning import (
+        dedup_first,
+        dedup_first_agg,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    keys = ["l_orderkey", "l_partkey"]
+    ob = ["l_linenumber", "l_quantity", "l_returnflag"]
+    a = sorted(map(tuple, dedup_first(li, keys, ob).collect()))
+    b = sorted(map(tuple, dedup_first_agg(li, keys, ob).collect()))
+    assert a == b
+    assert dedup_first_agg(li, keys, ob).columns == li.columns
