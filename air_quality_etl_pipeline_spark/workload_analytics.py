@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import md5_hex15, token_array
-from air_quality_etl_pipeline_spark.plans.merge import upsert_replace
+from air_quality_etl_pipeline_spark.plans.merge import table_diff, upsert_replace
 from air_quality_etl_pipeline_spark.workload import _dec_sum, _events, _t, register
 from air_quality_etl_pipeline_spark.workload_llm import TOKS
 
@@ -875,3 +875,149 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("hi") * 100 + F.lit(0.5)) / 100).alias("hi_fence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (the linear-cost DAU/WAU formulation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    cov AS (SELECT user_id, d + CAST(i.i AS INTEGER) AS as_of
+            FROM ud, (SELECT unnest(range(0, 7)) AS i) i)
+    SELECT as_of, count(DISTINCT user_id) AS active_users
+    FROM cov GROUP BY 1
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve).
+
+    Windowed COUNT(DISTINCT) doesn't exist in Spark (or most engines),
+    and the naive dates x events range join is O(days * events). This is
+    the linear formulation: distinct (user, activity_day) pairs each
+    COVER the 7 as-of days they contribute to, so an explode by 7 +
+    one distinct-count aggregation computes every day's window in one
+    pass — O(events + 7 * active_pairs), all map-side until the final
+    groupBy. The same shape computes any trailing-k-distinct metric at
+    100 TB without a quadratic join."""
+    e = _events(spark, sf_dir)
+    ud = e.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    cov = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("as_of"),
+    )
+    return cov.groupBy("as_of").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency (funnel timing, exact percentiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "conversion_latency",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    lat AS (
+      SELECT CAST(date_diff('microsecond', t_view, t_purchase) AS DOUBLE)
+               / 1000000.0 AS latency_s
+      FROM per_user WHERE t_view IS NOT NULL AND t_purchase > t_view)
+    SELECT count(*) AS n_converted,
+           floor(quantile_cont(latency_s, 0.5) * 100.0 + 0.5) / 100.0
+             AS p50_s,
+           floor(quantile_cont(latency_s, 0.9) * 100.0 + 0.5) / 100.0
+             AS p90_s
+    FROM lat
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from first view to first subsequent purchase, summarized as
+    exact p50/p90. One groupBy(user) with conditional-min partials (no
+    self-join over the event log), then a scalar percentile aggregate
+    over the per-user latencies — the per-user relation is |users|-sized
+    no matter how many raw events feed it."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    lat = per_user.filter(
+        F.col("t_view").isNotNull() & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        (
+            (
+                F.unix_micros("t_purchase") - F.unix_micros("t_view")
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        (
+            F.floor(F.percentile("latency_s", F.lit(0.5)) * 100 + F.lit(0.5)) / 100
+        ).alias("p50_s"),
+        (
+            F.floor(F.percentile("latency_s", F.lit(0.9)) * 100 + F.lit(0.5)) / 100
+        ).alias("p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC primitive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0)
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+           END AS diff_status
+    FROM v1 a FULL OUTER JOIN v2 b USING (o_orderkey)
+    WHERE (a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+           OR a.o_totalprice <> b.o_totalprice)
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: v2 simulates the next load (1/97 of
+    keys deleted, 1/101 repriced, 1/103 cloned as new keys) and
+    plans/merge.table_diff classifies added/removed/changed via one
+    full-outer join + one md5 per row. The oracle classifies by direct
+    value comparison — so this checks the diff SEMANTICS, not the hash
+    implementation."""
+    key = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    v2 = o.filter(key % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(key % 101 == 0, F.col("o_totalprice") + 1.5).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = o.filter(key % 103 == 0).withColumn(
+        "o_orderkey", key + F.lit(10000000)
+    )
+    v2 = v2.unionByName(added)
+    return table_diff(o, v2, ["o_orderkey"], compare_cols=["o_totalprice"])

@@ -177,3 +177,23 @@ def test_dedup_first_agg_matches_window_form(spark, sf_dir):
     b = sorted(map(tuple, dedup_first_agg(li, keys, ob).collect()))
     assert a == b
     assert dedup_first_agg(li, keys, ob).columns == li.columns
+
+
+# ---------------------------------------------------------------------------
+# table_diff
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_classifies_all_cases(spark):
+    from air_quality_etl_pipeline_spark.plans.merge import table_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "x"]
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (4, "d", 40.0)], ["k", "s", "x"]
+    )
+    got = {(r.k, r.diff_status) for r in table_diff(v1, v2, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+    # identical snapshots diff to empty
+    assert table_diff(v1, v1, ["k"]).collect() == []
