@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned_append(
@@ -92,6 +93,72 @@ def write_range_sorted(
     )
     (
         parts.sortWithinPartitions(*sort_cols)
+        .write.format("parquet")
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 10,
+    num_partitions: int | None = None,
+) -> None:
+    """Z-order (Morton-curve) layout over two or more numeric/date
+    columns — multi-column data skipping, same idea as Delta's
+    ``OPTIMIZE ZORDER BY``.
+
+    A single-column range sort (:func:`write_range_sorted`) makes one
+    column's file min/max tight and leaves the others spanning the full
+    domain. Interleaving the bit-planes of each column's normalized
+    rank makes files cluster in ALL dimensions at once: with F files,
+    each file covers ~F^(-1/k) of every column's range, so selective
+    predicates on ANY of the k columns (or several) skip most files
+    from footer stats. The curve key is built in one pass: min/max per
+    column (one scalar agg), linear normalization to ``bits``-bit ints,
+    bit interleave as a single JVM-parsed SQL expression, then
+    range-partition + sort on the key. The key is dropped before
+    writing — it's layout, not data.
+    """
+    cols = list(cols)
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).first()
+    parts: list[str] = []
+    scale = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
+        # dates/timestamps normalize through their numeric cast
+        span = f"(CAST(`{c}` AS DOUBLE) - CAST('{lo}' AS DOUBLE))"
+        width = float(hi) if isinstance(hi, (int, float)) else None
+        if width is not None:
+            denom = float(hi) - float(lo)
+            norm = f"0L" if denom == 0 else (
+                f"CAST({span} / {denom} * {scale} AS LONG)"
+            )
+        else:  # date-like: diff in days
+            norm = (
+                f"CAST(datediff(`{c}`, DATE '{lo}') / "
+                f"greatest(datediff(DATE '{hi}', DATE '{lo}'), 1) "
+                f"* {scale} AS LONG)"
+            )
+        parts.append(norm)
+    k = len(cols)
+    interleave = " + ".join(
+        f"(((({p}) >> {b}) & 1) << {b * k + i})"
+        for i, p in enumerate(parts)
+        for b in range(bits)
+    )
+    z = df.withColumn("__z", F.expr(interleave))
+    z = z.repartitionByRange(
+        *(([num_partitions] if num_partitions else []) + ["__z"])
+    )
+    (
+        z.sortWithinPartitions("__z")
+        .drop("__z")
         .write.format("parquet")
         .mode("overwrite")
         .save(path)

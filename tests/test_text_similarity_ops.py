@@ -197,3 +197,49 @@ def test_table_diff_classifies_all_cases(spark):
     assert got == {(2, "changed"), (3, "removed"), (4, "added")}
     # identical snapshots diff to empty
     assert table_diff(v1, v1, ["k"]).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# write_zorder: every file narrow in EVERY z-ordered dimension
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_files_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
+    from air_quality_etl_pipeline_spark.sources.writers import write_zorder
+
+    path = str(tmp_path / "li_zorder")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_orderkey", "l_partkey"]
+    write_zorder(li, path, cols, bits=10, num_partitions=8)
+
+    glob_lo_hi = li.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    spans = {
+        c: glob_lo_hi[f"hi_{c}"] - glob_lo_hi[f"lo_{c}"] for c in cols
+    }
+
+    fracs = {c: [] for c in cols}
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) > 4
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for c in cols:
+            idx = md.schema.names.index(c)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            fracs[c].append((hi - lo) / spans[c])
+    # a z-ordered file is narrow in BOTH dimensions (a plain sort would
+    # leave the second column spanning ~100% of its range per file)
+    for c in cols:
+        avg = sum(fracs[c]) / len(fracs[c])
+        assert avg < 0.6, (c, avg)
+
+    assert spark.read.parquet(path).count() == li.count()
