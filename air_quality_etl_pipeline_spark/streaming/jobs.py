@@ -178,6 +178,54 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_attrib_join(
+    events: DataFrame,
+    attrib_window: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the view
+    events that preceded it within *attrib_window*, per user.
+
+    Both sides are the SAME input stream filtered two ways — Spark
+    buffers each side's rows in watermark-bounded state and emits a row
+    whenever a (view, purchase) pair lands inside the interval. The
+    time-bound condition is what makes unbounded stream↔stream joins
+    feasible: the watermark plus the interval upper bound lets the
+    engine evict view-state older than ``watermark + attrib_window``
+    and purchase-state older than ``watermark``, so state is O(traffic
+    in the window), not O(history). Append-only output (required for
+    stream-stream inner joins).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + INTERVAL {attrib_window}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id"
+    )
+
+
 def run_available_now(
     result: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

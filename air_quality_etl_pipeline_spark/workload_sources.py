@@ -443,3 +443,31 @@ def q_sort_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (view -> purchase attribution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under availableNow: every purchase
+    attributed to same-user views in the preceding hour. The watermark
+    + interval bound is what keeps both join-state buffers finite on an
+    unbounded stream; the batch oracle is the equivalent self-join."""
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        stream_stream_attrib_join,
+    )
+
+    e = read_events_stream(spark, sf_dir)
+    joined = stream_stream_attrib_join(e, "1 hour", "1 day")
+    return run_available_now(joined, spark, output_mode="append")
