@@ -305,6 +305,67 @@ def ivf_topk(
     )
 
 
+def kmeans_update_step(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 128,
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """One Lloyd (k-means) iteration, fully relational:
+
+    1. *Assign*: each vector to its nearest centroid by squared
+       euclidean distance (broadcast centroids, ``min_by`` aggregate —
+       map-side partials, no window sort; ties break on centroid id).
+    2. *Update*: new centroid sums per (cluster, dimension) via
+       posexplode + one groupBy — returns
+       ``(cid, dim, sum_micro, n_points)``; the caller divides
+       ``sum_micro / n_points / 1e6`` for the new means and feeds them
+       back for the next iteration.
+
+    Accumulation is integer micro-units, so the update is exact,
+    associative, and oracle-reproducible. At 100 TB each iteration is:
+    one broadcast of k centroids, one scan with a k-way distance
+    argmin, one (k·dims)-sized aggregation — the textbook scalable
+    k-means loop (distances rounded to *dist_decimals* so the argmin is
+    engine-portable).
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = F.broadcast(
+        v.filter(F.col("_id") % centroid_stride == 0).select(
+            F.col("_id").alias("cid"), F.col("_v").alias("centv")
+        )
+    )
+    f = float(10**dist_decimals)
+    dist = F.expr(
+        "floor(aggregate(zip_with(_v, centv, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x) * {f}D + 0.5D) / {f}D"
+    )
+    assigned = (
+        v.crossJoin(cents)
+        .withColumn("_dist", dist)
+        .groupBy("_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cid"), F.col("_v")),
+                F.struct(F.col("_dist"), F.col("cid")),
+            ).alias("_b")
+        )
+        .select("_id", F.col("_b.cid").alias("cid"), F.col("_b._v").alias("_v"))
+    )
+    exploded = assigned.select(
+        "cid", F.posexplode("_v").alias("_pos", "_x")
+    )
+    return exploded.groupBy("cid", (F.col("_pos") + 1).alias("dim")).agg(
+        F.sum(F.floor(F.col("_x") * 1e6 + F.lit(0.5)).cast("long")).alias(
+            "sum_micro"
+        ),
+        F.count("*").alias("n_points"),
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

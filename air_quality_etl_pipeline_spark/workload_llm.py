@@ -27,6 +27,7 @@ from air_quality_etl_pipeline_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    kmeans_update_step,
     label_centroid_micro,
     quantize_int8,
     sign_lsh_topk,
@@ -785,3 +786,36 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("q").cast("long").alias("q_min"),
         F.array_max("q").cast("long").alias("q_max"),
     )
+
+
+@register(
+    "kmeans_update_step",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id % 128 = 0),
+    d AS (SELECT v.vec_id, c.cid,
+                 floor(list_sum(list_transform(range(1, 65),
+                       i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))) * 1000000.0
+                       + 0.5) / 1000000.0 AS dist
+          FROM v, c),
+    asn AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d) WHERE rn = 1)
+    SELECT a.cid, CAST(i.i AS BIGINT) AS dim,
+           sum(CAST(floor(vv[i.i] * 1000000.0 + 0.5) AS BIGINT)) AS sum_micro,
+           count(*) AS n_points
+    FROM asn a JOIN v USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i
+    GROUP BY 1, 2
+    """,
+)
+def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One relational Lloyd iteration over the embedding corpus:
+    broadcast-centroid argmin assignment (min_by aggregate) + exact
+    integer-micro centroid update sums. The oracle replays assignment
+    with a ranking window and the update with an unnest-based sum."""
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_update_step(e, centroid_stride=128)

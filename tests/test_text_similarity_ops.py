@@ -243,3 +243,35 @@ def test_zorder_files_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
         assert avg < 0.6, (c, avg)
 
     assert spark.read.parquet(path).count() == li.count()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs property: banded candidates == brute force, always
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcxyz ", min_size=0, max_size=24),
+        min_size=2,
+        max_size=10,
+    ),
+    max_dist=st.integers(min_value=1, max_value=6),
+)
+def test_fuzzy_pairs_recall_property(spark, texts, max_dist):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in fuzzy_pairs(df, "doc_id", "text", max_dist=max_dist).collect()
+    }
+    assert got == _brute_force_pairs(rows, max_dist)
