@@ -1021,3 +1021,85 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = v2.unionByName(added)
     return table_diff(o, v2, ["o_orderkey"], compare_cols=["o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (delta refresh of a daily rollup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta refresh: the daily rollup is computed for
+    history (ts < split) and for the new delta (ts >= split) SEPARATELY,
+    then merged by re-aggregating the partial aggregates — counts add,
+    decimal sums add. The oracle recomputes from scratch; matching
+    proves the merge is lossless, which is the property that lets a
+    100 TB gold table refresh by touching only the new partition
+    instead of rescanning history. (Algebraic aggregates only — avg
+    must be maintained as sum+count, never averaged averages.)"""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    split = F.lit("2024-02-01")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_value"),
+        )
+
+    hist = rollup(e.filter(F.col("day") < split))
+    delta = rollup(e.filter(F.col("day") >= split))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("dec_value").cast("double").alias("sum_value"),
+        )
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide measures -> long)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_measures",
+    """
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem)
+    SELECT measure, count(*) AS n_rows,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM long GROUP BY measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): three wide measure columns become (measure,
+    value) rows via Spark's native unpivot — a single generate step in
+    the scan, not three self-unions of the table — then aggregate per
+    measure. The oracle IS the three-way union, proving equivalence."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
