@@ -311,6 +311,7 @@ def kmeans_update_step(
     vec_col: str = "embedding",
     centroid_stride: int = 128,
     dist_decimals: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """One Lloyd (k-means) iteration, fully relational:
 
@@ -334,7 +335,9 @@ def kmeans_update_step(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
     cents = F.broadcast(
-        v.filter(F.col("_id") % centroid_stride == 0).select(
+        centroids
+        if centroids is not None
+        else v.filter(F.col("_id") % centroid_stride == 0).select(
             F.col("_id").alias("cid"), F.col("_v").alias("centv")
         )
     )
@@ -364,6 +367,88 @@ def kmeans_update_step(
         ),
         F.count("*").alias("n_points"),
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 128,
+    iterations: int = 3,
+    dist_decimals: int = 6,
+) -> tuple[DataFrame, list[float]]:
+    """Full Lloyd loop: iterate :func:`kmeans_update_step`, rebuilding
+    the centroid set between iterations, and track the within-cluster
+    SSE per pass. Returns ``(centroids_df(cid, centv), sse_history)``.
+
+    Driver/executor split follows graph.py's pattern for iterative
+    algorithms: the DATA never leaves the cluster — each iteration is
+    one broadcast + one scan + one (k·dims)-row aggregate; only the
+    k·dims centroid SUMS (a few KB regardless of corpus size) come to
+    the driver to rebuild the next broadcast. SSE is monotonically
+    non-increasing — the classic convergence certificate, asserted in
+    tests.
+    """
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    cents = v.filter(F.col("_id") % centroid_stride == 0).select(
+        F.col("_id").alias("cid"), F.col("_v").alias("centv")
+    )
+    f = float(10**dist_decimals)
+    dist = F.expr(
+        "floor(aggregate(zip_with(_v, centv, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x) * {f}D + 0.5D) / {f}D"
+    )
+    sse_history: list[float] = []
+    for _ in range(iterations):
+        scored = v.crossJoin(F.broadcast(cents)).withColumn("_dist", dist)
+        assigned = scored.groupBy("_id").agg(
+            F.min(F.col("_dist")).alias("_best"),
+            F.min_by(
+                F.struct(F.col("cid"), F.col("_v")),
+                F.struct(F.col("_dist"), F.col("cid")),
+            ).alias("_b"),
+        )
+        stats = (
+            assigned.select(
+                F.col("_b.cid").alias("cid"),
+                F.col("_best"),
+                F.posexplode("_b._v").alias("_pos", "_x"),
+            )
+            .groupBy("cid", "_pos")
+            .agg(
+                F.sum(F.floor(F.col("_x") * 1e6 + F.lit(0.5)).cast("long")).alias(
+                    "s"
+                ),
+                F.count("*").alias("n"),
+                F.sum("_best").alias("sse_part"),
+            )
+            .collect()
+        )
+        # k·dims rows on the driver: rebuild centroid arrays
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        sse = 0.0
+        for r in stats:
+            by_cid.setdefault(r.cid, {})[r._pos] = (r.s, r.n)
+            if r._pos == 0:
+                sse += r.sse_part
+        sse_history.append(sse)
+        rows = [
+            (
+                cid,
+                [
+                    dims[p][0] / dims[p][1] / 1e6
+                    for p in sorted(dims)
+                ],
+            )
+            for cid, dims in sorted(by_cid.items())
+        ]
+        cents = spark.createDataFrame(
+            rows, "cid long, centv array<double>"
+        )
+    return cents, sse_history
 
 
 def quantize_int8(

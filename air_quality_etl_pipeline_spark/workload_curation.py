@@ -181,3 +181,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
     )
     return dedup_clusters(d, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation: scrub -> quality gate -> exact dedup -> budget report
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_curation_e2e",
+    f"""
+    WITH scrubbed AS (
+      SELECT doc_id, source,
+             regexp_replace(regexp_replace(text,
+                 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g') AS text
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, text, {_TOKS} AS toks FROM scrubbed),
+    gated AS (
+      SELECT doc_id, source, text, toks,
+             0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / nullif(len(toks), 0), 0.0)
+             + 0.3 * coalesce(CAST(len(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to'], lower(x))))
+                   AS DOUBLE) / nullif(len(toks), 0), 0.0) AS q
+      FROM scored),
+    kept AS (SELECT * FROM gated WHERE q >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, source, toks,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                 ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed Spark plan: scrub
+    URLs/emails -> composite quality gate (>= 0.5) -> exact dedup on the
+    normalized-content fingerprint (min doc_id survives) -> per-source
+    document and token budget report. Everything fuses into a single
+    scan + one dedup shuffle + one aggregation — the operators compose
+    as Catalyst expressions rather than materialized stages, which is
+    exactly how the 100 TB pipeline should run (no intermediate
+    tables, full pushdown through every stage)."""
+    from air_quality_etl_pipeline_spark.functions.core import token_array
+    from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
+    from air_quality_etl_pipeline_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        scrub_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scrubbed = d.select(
+        "doc_id", "source", scrub_text(F.col("text")).alias("text")
+    )
+    gated = scrubbed.filter(quality_score(F.col("text")) >= 0.5)
+    keyed = gated.select(
+        "doc_id",
+        "source",
+        F.size(token_array(F.col("text"))).alias("n_toks"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    deduped = dedup_first(keyed, ["fp"], order_by=["doc_id"])
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )

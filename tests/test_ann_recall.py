@@ -49,3 +49,18 @@ def test_ann_recall_floors(spark):
     # and every query must return a full k unless its bucket is tiny
     assert all(len(v) > 0 for v in lsh.values())
     assert all(len(v) > 0 for v in ivf.values())
+
+
+def test_kmeans_fit_sse_non_increasing(spark, sf_dir):
+    from air_quality_etl_pipeline_spark.operators.similarity import kmeans_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, sse = kmeans_fit(e, centroid_stride=16, iterations=3)
+    assert len(sse) == 3
+    # Lloyd's algorithm: within-cluster SSE never increases
+    assert sse[0] >= sse[1] >= sse[2]
+    assert sse[0] > 0
+    # centroids remain k-sized with full-dimension means
+    rows = cents.collect()
+    assert len(rows) >= 2
+    assert all(len(r.centv) == 64 for r in rows)
