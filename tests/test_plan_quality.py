@@ -77,3 +77,40 @@ def test_silver_filter_pushes_predicates(spark):
         line for line in plan.splitlines() if "PushedFilters" in line
     ]
     assert any("IsNotNull" in p or "In(" in p for p in pushed), pushed
+
+
+def test_fuzzy_pairs_avoids_cartesian_product(spark):
+    # length banding must surface as an equi-join (hash/broadcast), not
+    # a CartesianProduct / BroadcastNestedLoopJoin over the corpus
+    df, _ = QUERIES["dedup_fuzzy_edit"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_iqr_outliers_broadcasts_fences(spark):
+    # per-group fences are k rows — they must broadcast back to the
+    # counting scan, never shuffle the fact side for the join
+    df, _ = QUERIES["iqr_outliers"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_probe_join_broadcasts_probes(spark):
+    # the probe side (queries x nprobe) broadcasts so inverted lists
+    # stream through without an extra corpus shuffle
+    df, _ = QUERIES["ann_ivf_topk"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_active_users_single_aggregation_shuffle(spark):
+    # cover-explode formulation: exactly two exchanges total (the
+    # distinct pre-agg and the final count-distinct), never a
+    # dates x events range join
+    df, _ = QUERIES["rolling_active_users"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("Generate") >= 1  # the explode is a Generate node
