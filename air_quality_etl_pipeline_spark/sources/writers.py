@@ -165,6 +165,44 @@ def write_zorder(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction (Delta ``OPTIMIZE``-style bin packing):
+    rewrite a parquet directory into ``ceil(total_bytes /
+    target_file_bytes)`` files. Returns the new file count.
+
+    Small files are the silent killer of 100 TB scans — every file
+    costs a task, a footer read, and an open/close round trip; a
+    streaming or per-partition-append sink can easily leave millions
+    of KB-sized files. Compaction is IO-bound and embarrassingly
+    parallel: one read + one round-robin repartition + one write.
+    The rewrite lands in a temp dir first and swaps in atomically-ish
+    (rename) so a crash never leaves the directory half-written.
+    """
+    import math
+    import os
+    import shutil as _shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{path}__compacting"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

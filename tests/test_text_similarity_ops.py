@@ -275,3 +275,74 @@ def test_fuzzy_pairs_recall_property(spark, texts, max_dist):
         for r in fuzzy_pairs(df, "doc_id", "text", max_dist=max_dist).collect()
     }
     assert got == _brute_force_pairs(rows, max_dist)
+
+
+# ---------------------------------------------------------------------------
+# compact_files / schema evolution / runtime bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_compact_files_bin_packs_small_files(spark, sf_dir, tmp_path):
+    from air_quality_etl_pipeline_spark.sources.writers import compact_files
+
+    path = str(tmp_path / "fragmented")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_rows = li.count()
+    li.repartition(64).write.parquet(path)  # simulate a small-file mess
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    after = compact_files(spark, path, target_file_bytes=8 * 1024 * 1024)
+    assert after < before / 4
+    assert spark.read.parquet(path).count() == n_rows
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    # append a v2 batch with an extra column; mergeSchema unions the
+    # schemas and backfills nulls — the additive-evolution contract
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], ["id", "s"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "s", "score"])
+    v1.write.parquet(f"{path}/batch=1")
+    v2.write.parquet(f"{path}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"id", "s", "score", "batch"}
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_runtime_bloom_filter_prunes_big_side(spark, sf_dir):
+    # a selective filter on the orders side should inject a bloom
+    # filter (might_contain) into the lineitem scan when broadcast is
+    # off — Spark's runtime row-group pruning for shuffle joins
+    import io
+    from contextlib import redirect_stdout
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
