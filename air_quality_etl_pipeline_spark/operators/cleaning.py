@@ -134,6 +134,55 @@ def dedup_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.dropDuplicates(list(keys))
 
 
+def quality_report(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    in_set: dict[str, Sequence] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    unique: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """Data-quality expectations report (the reference's C6 row-count
+    gate generalized into a declarative contract): one row per rule →
+    ``(rule, n_violations)``.
+
+    All row-level rules (not-null, in-set, range) evaluate in a SINGLE
+    aggregation pass over one scan — adding a rule adds an expression,
+    not a job. Uniqueness needs its own ``count - countDistinct``
+    aggregate per key set (a distinct shuffle each); at 100 TB run
+    those off the same cached scan. The report is data for a gate
+    (``assert report.filter(n_violations > 0).isEmpty()``), not a
+    side effect — composable into pipelines and oracle-checkable.
+    """
+    aggs = []
+    for c in not_null:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
+        )
+    for c, vals in (in_set or {}).items():
+        bad = ~F.col(c).isin(list(vals)) | F.col(c).isNull()
+        aggs.append(F.sum(bad.cast("long")).alias(f"in_set:{c}"))
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = ~F.col(c).between(lo, hi) | F.col(c).isNull()
+        aggs.append(F.sum(bad.cast("long")).alias(f"range:{c}"))
+    wide = df.agg(*aggs) if aggs else None
+    long = (
+        wide.unpivot([], list(wide.columns), "rule", "n_violations")
+        if wide is not None
+        else None
+    )
+    for keys in unique:
+        keys = list(keys)
+        dup = df.agg(
+            (F.count("*") - F.countDistinct(*[F.col(k) for k in keys]))
+            .cast("long")
+            .alias("n_violations")
+        ).select(
+            F.lit("unique:" + ",".join(keys)).alias("rule"), "n_violations"
+        )
+        long = dup if long is None else long.unionByName(dup)
+    return long
+
+
 def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
     """D2 — project-then-distinct (reference: distinct date_local audit)."""
     return df.select(*cols).distinct()

@@ -1103,3 +1103,52 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (C6 generalized)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quality_expectations",
+    """
+    SELECT 'not_null:l_quantity' AS rule,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set:l_returnflag',
+           CAST(sum(CASE WHEN l_returnflag IS NULL
+                          OR l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_discount',
+           CAST(sum(CASE WHEN l_discount IS NULL
+                          OR l_discount < 0.0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over lineitem: not-null,
+    in-set, range, and key-uniqueness expectations evaluated as ONE
+    aggregation pass (plus one distinct shuffle for uniqueness),
+    reported as (rule, n_violations) rows a pipeline gate can assert
+    on. The reference's 45-states ingest gate (C6) is the special case
+    of one rule."""
+    from air_quality_etl_pipeline_spark.operators.cleaning import quality_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quality_report(
+        li,
+        not_null=["l_quantity"],
+        in_set={"l_returnflag": ["A", "N", "R"]},
+        ranges={"l_discount": (0.0, 0.1)},
+        unique=[["l_orderkey", "l_linenumber"]],
+    ).withColumn("n_violations", F.col("n_violations").cast("long"))
