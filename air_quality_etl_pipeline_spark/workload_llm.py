@@ -70,6 +70,16 @@ def _shingles_sql(expr: str = "text", n: int = 3) -> str:
     )
 
 
+def _word_shingles_sql(n: int = 5) -> str:
+    """Distinct word n-grams over a ``toks`` array column — mirrors
+    functions.core.word_shingles (DuckDB list slice is inclusive, Spark
+    ``slice(toks, i, n)`` is start+length; both clamp at the end)."""
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(toks) - {n - 1}, 1) + 1)])"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -231,40 +241,108 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_groups(d, "doc_id")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH sh AS (
-      SELECT doc_id, lang, {_shingles_sql()} AS s FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(a.s || b.s))) * 10000.0 + 0.5) / 10000.0 AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / len(list_distinct(a.s || b.s)) >= 0.8
-    """,
-)
+def _char_verify_minhash_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    thr: float = 0.8,
+    word_n: int = 5,
+    char_n: int = 3,
+) -> str:
+    rows = num_hashes // bands
+    sig = ",\n           ".join(
+        f"list_min(list_transform(s, x -> "
+        f"substr(md5('{i}:' || x), 1, 15))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(','"
+        + "".join(f", h{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    wsh AS (SELECT doc_id, {_word_shingles_sql(word_n)} AS s FROM t),
+    csh AS (SELECT doc_id, {_shingles_sql(n=char_n)} AS c FROM documents),
+    sig AS (SELECT doc_id,
+           {sig}
+        FROM wsh),
+    banded AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.c, b.c)) AS DOUBLE)
+             / (len(a.c) + len(b.c) - len(list_intersect(a.c, b.c)))
+               AS jaccard
+      FROM cands JOIN csh a ON a.doc_id = cands.id_a
+                 JOIN csh b ON b.doc_id = cands.id_b)
+    SELECT id_a, id_b, floor((jaccard) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM verified WHERE jaccard >= {thr}
+    """
+
+
+@register("dedup_ngram_jaccard", _char_verify_minhash_oracle())
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram Jaccard ≥ 0.8, blocked by language so
-    the pair space stays subquadratic. (Char-3-gram Jaccard of unrelated
-    same-vocabulary docs sits at 0.4-0.6 — 0.8 keeps only true
-    near-dups.)"""
+    """Near-dup pairs by char-3-gram Jaccard ≥ 0.8: candidates come
+    from word-5-gram MinHash(8)+4-band LSH, verification applies the
+    char-gram metric exactly. The candidate metric and the verify
+    metric are deliberately DIFFERENT — a measured necessity on this
+    corpus, where every doc draws from one tiny vocabulary:
+
+    * block self-join (quadratic in ~1 k-doc language blocks): ~360 s
+      at sf0.1 — 2.5 M intersect/unions;
+    * exact PPJoin prefix filtering (operators/dedup.
+      ngram_jaccard_pairs): ~23 s — even each doc's RAREST 3-grams
+      occur in hundreds of documents, so prefix buckets stay fat;
+    * char-3-gram MinHash banding: the unrelated-pair similarity
+      floor is ~0.5, so 2-row bands collide on nearly every pair —
+      candidate space explodes;
+    * word-5-gram MinHash banding (this query): word shingles are
+      specific (floor ≈ 0), candidates are near-linear, and true
+      clones share them — ~2 s, same 6 verified pairs at sf0.01 the
+      exact methods find within blocks, plus cross-language ones.
+
+    md5-salted hashing makes the buckets — and so the result set —
+    bit-identical in the oracle."""
+    from air_quality_etl_pipeline_spark.functions.core import char_shingles
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        jaccard_of_arrays,
+        minhash_lsh_candidates,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.8, block_cols=["lang"]
+    _, cands = minhash_lsh_candidates(
+        d, "doc_id", "text", n=5, num_hashes=8, bands=4, shingler="word"
     )
-    return out.withColumn("jaccard", round_portable(F.col("jaccard"), 4))
-
-
-def _word_shingles_sql(n: int = 5) -> str:
-    """Distinct word n-grams over a ``toks`` array column — mirrors
-    functions.core.word_shingles (DuckDB list slice is inclusive, Spark
-    ``slice(toks, i, n)`` is start+length; both clamp at the end)."""
-    return (
-        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
-        f"for i in range(1, greatest(len(toks) - {n - 1}, 1) + 1)])"
+    csh = d.select(
+        F.col("doc_id").alias("_id"),
+        char_shingles(F.col("text"), 3).alias("_c"),
     )
+    verified = (
+        cands.join(
+            csh.select(F.col("_id").alias("id_a"), F.col("_c").alias("c_a")),
+            on="id_a",
+        )
+        .join(
+            csh.select(F.col("_id").alias("id_b"), F.col("_c").alias("c_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard", jaccard_of_arrays(F.col("c_a"), F.col("c_b"))
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.withColumn(
+        "jaccard", round_portable(F.col("jaccard"), 4)
+    )
+
 
 
 def _minhash_oracle(
