@@ -346,3 +346,55 @@ def test_runtime_bloom_filter_prunes_big_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix-filter property: candidates lose NO qualifying pair
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(rows, n, threshold):
+    import itertools
+
+    def shingles(t):
+        if len(t) < n:
+            return {t}
+        return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = shingles(ta), shingles(tb)
+        inter = len(a & b)
+        union = len(a) + len(b) - inter
+        if union and inter / union >= threshold:
+            out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcab ", min_size=1, max_size=20),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ngram_jaccard_prefix_filter_exact_recall(spark, texts, threshold):
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(rows, 3, threshold)
