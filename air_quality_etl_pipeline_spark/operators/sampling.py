@@ -92,3 +92,28 @@ def keep_top_k_per_group(
     if rank_col is None:
         return df.withColumn("_rk", rk).filter(F.col("_rk") <= k).drop("_rk")
     return df.withColumn(rank_col, rk).filter(F.col(rank_col) <= k)
+
+
+def sample_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: keep each row with
+    probability *weight* (a column in [0, 1]) — importance sampling
+    for quality-proportional corpus selection ("keep good documents
+    with p≈1, keep boilerplate with p≈0.1").
+
+    The uniform draw is ``md5(salt:key) / 2^60`` — a stable 60-bit
+    fraction, so the decision is reproducible per key across runs,
+    engines and partitionings, exactly like :func:`hash_sample` (which
+    is the constant-weight special case). The predicate is a pure
+    Catalyst expression evaluated inside the scan; the SQL twin is
+    ``('0x' || substr(md5('<salt>:' || key), 1, 15))::BIGINT
+    / 1152921504606846976.0 < weight``.
+    """
+    u = md5_long(F.col(key_col).cast("string"), salt=salt) / F.lit(
+        float(1 << 60)
+    )
+    return df.filter(u < weight)

@@ -255,3 +255,31 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "sample_weighted",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS wt,
+             ('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+      FROM documents)
+    SELECT source, count(*) AS n_kept
+    FROM w WHERE u < wt GROUP BY source
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling: keep probability = min(n_chars /
+    500, 1) — longer documents kept more often. Deterministic 60-bit
+    md5 fraction as the uniform draw, so both engines make identical
+    per-document decisions; reported as per-source kept counts."""
+    from air_quality_etl_pipeline_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wt = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    kept = sample_weighted(d, "doc_id", wt)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
