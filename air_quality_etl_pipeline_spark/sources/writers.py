@@ -223,3 +223,31 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    count_col: str | None = None,
+) -> dict:
+    """Write parquet while collecting QA metrics IN the write pass via
+    ``df.observe`` — row count and (optionally) a null count for
+    *count_col* — returning ``{"n_rows": ..., "n_nulls": ...}``.
+
+    The reference prints per-layer row counts with separate
+    ``df.count()`` actions (``Automated_Bronze_to_Silver...py:211-213``
+    in the reference repo) — at 100 TB each of those is a full second
+    scan. ``observe`` attaches accumulator-backed aggregates to the
+    SAME job that writes, so the QA numbers are free. This is the
+    pattern every production sink here should use.
+    """
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if count_col is not None:
+        aggs.append(
+            F.sum(F.col(count_col).isNull().cast("long")).alias("n_nulls")
+        )
+    obs = Observation("write_metrics")
+    df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+    return dict(obs.get)

@@ -398,3 +398,50 @@ def test_ngram_jaccard_prefix_filter_exact_recall(spark, texts, threshold):
         ).collect()
     }
     assert got == _brute_jaccard_pairs(rows, 3, threshold)
+
+
+# ---------------------------------------------------------------------------
+# write_with_metrics: QA counters ride the write job (no second scan)
+# ---------------------------------------------------------------------------
+
+
+def test_write_with_metrics_observes_in_write_pass(spark, sf_dir, tmp_path):
+    from air_quality_etl_pipeline_spark.sources.writers import (
+        write_with_metrics,
+    )
+
+    path = str(tmp_path / "observed")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = write_with_metrics(o, path, count_col="o_orderpriority")
+    assert m["n_rows"] == o.count()
+    assert m["n_nulls"] == o.filter(F.col("o_orderpriority").isNull()).count()
+    assert spark.read.parquet(path).count() == m["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE TABLE: statistics reach the catalog (CBO input)
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_table_statistics_in_catalog(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("nation_stats_test")
+    spark.sql(
+        "ANALYZE TABLE nation_stats_test COMPUTE STATISTICS "
+        "FOR COLUMNS n_nationkey, n_regionkey"
+    )
+    desc = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESCRIBE EXTENDED nation_stats_test n_nationkey"
+        ).collect()
+    }
+    # column-level stats present -> CBO has ndv/min/max to plan with
+    assert desc.get("distinct_count") not in (None, "NULL")
+    assert desc.get("min") not in (None, "NULL")
+    stats_row = [
+        r for r in spark.sql("DESCRIBE EXTENDED nation_stats_test").collect()
+        if r.col_name == "Statistics"
+    ]
+    assert stats_row and "rows" in stats_row[0].data_type
