@@ -424,6 +424,14 @@ def test_write_with_metrics_observes_in_write_pass(spark, sf_dir, tmp_path):
 
 
 def test_analyze_table_statistics_in_catalog(spark, sf_dir):
+    import shutil
+
+    # a stale location can survive a previous session's metastore:
+    # drop through the catalog AND remove the directory
+    spark.sql("DROP TABLE IF EXISTS nation_stats_test")
+    shutil.rmtree(
+        "/tmp/spark_graft_warehouse/nation_stats_test", ignore_errors=True
+    )
     spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode(
         "overwrite"
     ).saveAsTable("nation_stats_test")
