@@ -1152,3 +1152,104 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranges={"l_discount": (0.0, 0.1)},
         unique=[["l_orderkey", "l_linenumber"]],
     ).withColumn("n_violations", F.col("n_violations").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregularly sampled series)
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH e AS (SELECT user_id, event_id, value,
+                      CAST(ts AS TIMESTAMP) AS tsu FROM events),
+    seq AS (
+      SELECT user_id, value,
+             CAST(floor(date_diff('microsecond', tsu,
+                  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id))
+                  / 1000000.0) AS BIGINT) AS dur_s
+      FROM e),
+    w AS (SELECT user_id,
+                 sum(CAST(value AS DECIMAL(18,6)) * dur_s) AS num,
+                 sum(dur_s) AS den
+          FROM seq WHERE dur_s IS NOT NULL GROUP BY user_id)
+    SELECT user_id,
+           CAST(den AS BIGINT) AS observed_s,
+           floor((CAST(num AS DOUBLE) / den) * 10000.0 + 0.5) / 10000.0
+             AS twa_value
+    FROM w WHERE den > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly sampled series: each
+    reading holds until the next one, so its weight is that interval
+    (step interpolation — the standard sensor/metric semantics a plain
+    AVG silently gets wrong when sampling is uneven). One lead() window
+    per user, decimal-exact weighted sums; the last reading of each
+    user has no successor and drops out of both numerator and
+    denominator on both engines."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    agg = seq.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur_s")).alias(
+            "num"
+        ),
+        F.sum("dur_s").alias("den"),
+    )
+    return agg.filter(F.col("den") > 0).select(
+        "user_id",
+        F.col("den").cast("long").alias("observed_s"),
+        (
+            F.floor((F.col("num").cast("double") / F.col("den")) * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap detection (missing activity days per user)
+# ---------------------------------------------------------------------------
+
+@register(
+    "activity_gaps",
+    """
+    WITH span AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,
+             count(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
+           CAST(active_days AS BIGINT) AS active_days,
+           CAST(date_diff('day', d0, d1) + 1 - active_days AS BIGINT)
+             AS gap_days
+    FROM span
+    """,
+)
+def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-day detection per user: calendar span between first and
+    last activity minus distinct active days = gap days. Computed
+    ARITHMETICALLY from one aggregation — the naive formulation
+    (generate a calendar scaffold per user, anti-join activity) explodes
+    span × users rows to count what min/max/countDistinct already
+    determine. Scaffold generation stays the right tool only when the
+    gaps themselves must be enumerated."""
+    e = _events(spark, sf_dir).withColumn("d", F.to_date("ts"))
+    return e.groupBy("user_id").agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("span_days"),
+        F.countDistinct("d").cast("long").alias("active_days"),
+        (
+            F.datediff(F.max("d"), F.min("d")) + 1 - F.countDistinct("d")
+        )
+        .cast("long")
+        .alias("gap_days"),
+    )
