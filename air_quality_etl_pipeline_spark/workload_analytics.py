@@ -1253,3 +1253,97 @@ def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (signup week x weeks-since)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention",
+    """
+    WITH weeks AS (
+      SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+      FROM events GROUP BY 1, 2),
+    cohorts AS (SELECT user_id, min(w) AS cohort_w FROM weeks GROUP BY 1)
+    SELECT c.cohort_w AS cohort_week,
+           CAST(date_diff('day', c.cohort_w, a.w) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM cohorts c JOIN weeks a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: each user's cohort is their first
+    active week; the matrix counts distinct users active k weeks later.
+    Two aggregations and one equi-join on user_id — the (user, week)
+    relation is the only thing shuffled, and it is already collapsed to
+    distinct pairs before the join, so the fact volume never rides the
+    cohort join at any scale."""
+    e = _events(spark, sf_dir)
+    weeks = e.select(
+        "user_id", F.trunc(F.to_date("ts"), "week").alias("w")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    return (
+        weeks.join(cohorts, on="user_id")
+        .groupBy(
+            F.col("cohort_w").alias("cohort_week"),
+            (F.datediff("w", "cohort_w") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-parent in a hierarchy (region -> nation share)
+# ---------------------------------------------------------------------------
+
+@register(
+    "share_of_parent",
+    """
+    WITH n AS (
+      SELECT r.r_name AS region, na.n_name AS nation,
+             sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+      FROM customer c
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+      JOIN region r ON na.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+           CAST(bal AS DOUBLE) AS nation_bal,
+           floor((CAST(bal AS DOUBLE)
+                  / CAST(sum(bal) OVER (PARTITION BY region) AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS share_of_region
+    FROM n
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each nation's share of its region's customer
+    balance — the drill-down companion of share_of_total
+    (REMOVEFILTERS at the parent grain = a windowed sum partitioned by
+    the parent). Decimal-exact child sums; ONE window over the
+    nation-sized aggregate, never over the fact."""
+    c = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n = (
+        c.join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(r), na.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"))
+    )
+    w = Window.partitionBy("region")
+    return n.select(
+        "region",
+        "nation",
+        F.col("bal").cast("double").alias("nation_bal"),
+        (
+            F.floor(
+                (F.col("bal").cast("double") / F.sum("bal").over(w).cast("double"))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("share_of_region"),
+    )
