@@ -45,6 +45,41 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest that QUARANTINES malformed rows instead of dropping
+    or dying on them: returns ``(clean_rows, corrupt_rows)``.
+
+    PERMISSIVE mode parses what it can and lands the raw text of any
+    row that doesn't fit the declared schema in ``_corrupt_record`` —
+    the generalization of the reference's try/except-and-skip schema
+    guard (``automated_ingestion...py:202-206`` in the reference repo),
+    except nothing is silently lost: the quarantine side is a real
+    DataFrame a pipeline can count (gate), persist (triage), or replay
+    after a schema fix. One scan serves both sides.
+    """
+    full = f"{schema_ddl}, _corrupt_record STRING"
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+        .cache()  # one scan; both filters read the parsed relation
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, corrupt
+
+
 def cast_columns(df: DataFrame, types: dict[str, str]) -> DataFrame:
     """TransformColumnTypes: explicit per-column casts, everything else
     untouched."""

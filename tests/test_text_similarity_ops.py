@@ -453,3 +453,29 @@ def test_analyze_table_statistics_in_catalog(spark, sf_dir):
         if r.col_name == "Statistics"
     ]
     assert stats_row and "rows" in stats_row[0].data_type
+
+
+# ---------------------------------------------------------------------------
+# read_csv_with_quarantine: malformed rows isolated, none lost
+# ---------------------------------------------------------------------------
+
+
+def test_csv_quarantine_splits_clean_and_corrupt(spark, tmp_path):
+    from air_quality_etl_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "id,score\n"
+        "1,10.5\n"
+        "2,not_a_number\n"   # type mismatch -> corrupt
+        "3,30.25\n"
+    )
+    clean, corrupt = read_csv_with_quarantine(
+        spark, str(p), "id INT, score DOUBLE"
+    )
+    clean_rows = sorted((r.id, r.score) for r in clean.collect())
+    assert clean_rows == [(1, 10.5), (3, 30.25)]
+    bad = [r._corrupt_record for r in corrupt.collect()]
+    assert bad == ["2,not_a_number"]  # raw text preserved for triage
