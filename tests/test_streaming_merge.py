@@ -50,3 +50,36 @@ def test_foreachbatch_merge_is_idempotent(spark):
     out = spark.read.parquet(OUT)
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_available_now_respects_max_files_per_trigger(spark, tmp_path):
+    """availableNow + maxFilesPerTrigger: the backlog drains in BOUNDED
+    micro-batches (rate-limited incremental processing), and the union
+    of batches is exactly the source — the knob that keeps a huge
+    backfill from becoming one giant batch at 100 TB."""
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).toDF("v").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    seen_batches = []
+    seen_rows = []
+
+    def sink(batch_df, batch_id):
+        rows = [r.v for r in batch_df.collect()]
+        seen_batches.append(batch_id)
+        seen_rows.extend(rows)
+
+    q = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) >= 3  # one file per micro-batch
+    assert sorted(seen_rows) == list(range(30))  # nothing lost or doubled
