@@ -924,3 +924,51 @@ def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a ranking window and the update with an unnest-based sum."""
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_update_step(e, centroid_stride=128)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index multi-term search (retrieval primitive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "inverted_index_search",
+    f"""
+    WITH posting AS (
+      SELECT DISTINCT doc_id, lower(t.tok) AS term
+      FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM documents) t),
+    hits AS (
+      SELECT doc_id, count(DISTINCT term) AS n_matched,
+             count(*) AS tf_sum
+      FROM (SELECT p.doc_id, p.term
+            FROM posting p WHERE p.term IN ('key', 'hash', 'table')) q
+      JOIN posting p2 USING (doc_id, term)
+      GROUP BY doc_id)
+    SELECT doc_id FROM hits WHERE n_matched = 3
+    """,
+)
+def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) term search through an inverted index: the
+    posting relation (term, doc) is the index — the query terms select
+    their posting lists, and a doc matches when it appears in ALL of
+    them (count of distinct matched terms = |query|). One explode +
+    one aggregation; the posting build is the amortizable part — at
+    100 TB it is written once (bucketed by term) and every search
+    becomes a selective posting-list lookup instead of a corpus scan."""
+    from air_quality_etl_pipeline_spark.functions.core import token_array
+
+    terms = ["key", "hash", "table"]
+    d = _t(spark, sf_dir, "documents")
+    posting = (
+        d.select(
+            "doc_id",
+            F.explode(token_array(F.col("text"))).alias("tok"),
+        )
+        .select("doc_id", F.lower("tok").alias("term"))
+        .distinct()
+    )
+    hits = (
+        posting.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_matched"))
+    )
+    return hits.filter(F.col("n_matched") == len(terms)).select("doc_id")
