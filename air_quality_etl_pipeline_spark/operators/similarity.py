@@ -361,7 +361,9 @@ def kmeans_update_step(
     exploded = assigned.select(
         "cid", F.posexplode("_v").alias("_pos", "_x")
     )
-    return exploded.groupBy("cid", (F.col("_pos") + 1).alias("dim")).agg(
+    return exploded.groupBy(
+        "cid", (F.col("_pos") + 1).cast("long").alias("dim")
+    ).agg(
         F.sum(F.floor(F.col("_x") * 1e6 + F.lit(0.5)).cast("long")).alias(
             "sum_micro"
         ),

@@ -26,27 +26,33 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Declared source schema — events.parquet stores TIMESTAMP(NANOS),
-#: which Spark reads as LONG under the legacy nanosAsLong conf.
-EVENTS_NANOS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
 _sink_ids = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. Nanos handling matches
-    the batch reader: integer DIV 1000 → timestamp_micros (float
-    division would corrupt 1.7e18-scale values past double's 2^53)."""
+    """File-source stream over the events table, robust to the physical
+    ``ts`` encoding (TIMESTAMP(NANOS)-as-INT64 under the legacy conf in
+    older testdata, plain TIMESTAMP(MICROS) in newer). The declared
+    stream schema is resolved from one batch-read of the same file —
+    file streams require an explicit schema, and guessing it wrong
+    silently yields nulls. Nanos handling matches the batch reader:
+    integer DIV 1000 → timestamp_micros (float division would corrupt
+    1.7e18-scale values past double's 2^53)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    resolved = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(resolved)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = {f.name: f.dataType.simpleString() for f in resolved}["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # value-preserving under the UTC session tz (same as the batch
+        # reader); watermarks and window() then see plain TIMESTAMP
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def daily_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -488,8 +488,8 @@ def q_set_ops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT m, count(*) AS new_customers FROM first_seen GROUP BY 1)
     SELECT strftime(m, '%Y-%m') AS month,
            new_customers,
-           sum(new_customers) OVER (ORDER BY m
-             ROWS UNBOUNDED PRECEDING) AS cum_customers
+           CAST(sum(new_customers) OVER (ORDER BY m
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
     FROM per_month
     """,
 )
@@ -552,9 +552,12 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_nulls",
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
-           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
-           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_quantity,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_returnflag,
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_shipdate,
            count(DISTINCT l_returnflag) AS distinct_returnflag,
            count(DISTINCT l_linestatus) AS distinct_linestatus,
            strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_shipdate,

@@ -413,8 +413,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h, (SELECT unnest(range(0, 32)) AS bit) b
       GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-             AS simhash
+           CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit)
+                    ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -674,8 +674,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(label AS BIGINT) AS label,
            CAST(i.i AS BIGINT) AS dim,
-           sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0 + 0.5)
-                    AS BIGINT)) AS sum_micro,
+           CAST(sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sum_micro,
            count(*) AS n_vectors
     FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
     GROUP BY 1, 2
@@ -816,7 +816,7 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             on="id_b",
         )
-        .withColumn("edit_dist", F.levenshtein("ta", "tb", 80))
+        .withColumn("edit_dist", F.levenshtein("ta", "tb", 80).cast("long"))
         .filter(F.col("edit_dist") >= 0)
         .select("id_a", "id_b", "edit_dist")
     )
@@ -911,7 +911,8 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         ORDER BY dist, cid) AS rn
               FROM d) WHERE rn = 1)
     SELECT a.cid, CAST(i.i AS BIGINT) AS dim,
-           sum(CAST(floor(vv[i.i] * 1000000.0 + 0.5) AS BIGINT)) AS sum_micro,
+           CAST(sum(CAST(floor(vv[i.i] * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_micro,
            count(*) AS n_points
     FROM asn a JOIN v USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i
     GROUP BY 1, 2

@@ -62,7 +62,8 @@ _INGEST_ROWS_PER_CALL = 10
       SELECT CAST(state AS VARCHAR) AS state_code, year,
              (state * 31 + year) % 100 + i.i AS aqi
       FROM grid, (SELECT unnest(range(0, {_INGEST_ROWS_PER_CALL})) AS i) i)
-    SELECT state_code, count(*) AS n_rows, sum(aqi) AS sum_aqi
+    SELECT state_code, count(*) AS n_rows,
+           CAST(sum(aqi) AS BIGINT) AS sum_aqi
     FROM payload GROUP BY state_code
     """,
 )
@@ -132,7 +133,7 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_partitioned_append(o, path, ["year", "o_orderstatus"])
     write_partitioned_dynamic_overwrite(o, path, ["year", "o_orderstatus"])
     back = spark.read.parquet(path)
-    return back.groupBy("year", "o_orderstatus").agg(
+    return back.groupBy(F.col("year").cast("long").alias("year"), "o_orderstatus").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
@@ -147,8 +148,8 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "csv_header_cast_roundtrip",
     """
-    SELECT n_regionkey, count(*) AS n_nations,
-           sum(n_nationkey) AS key_sum
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
     FROM nation GROUP BY 1
     """,
 )
@@ -435,7 +436,7 @@ def q_sort_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1995-01-01")
             & (F.col("l_shipdate") < "1996-01-01")
         )
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(
             F.count("*").alias("n_rows"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))

@@ -2,8 +2,13 @@
 
 Runs every registered query on Spark AND its DuckDB oracle at sf0.001
 and asserts identical sorted row sets (values stringified the way an
-order-insensitive hash would see them). Any mismatch here would fail
-the driver's CORRECTNESS gate at sf0.01.
+order-insensitive hash would see them) AND hash-compatible physical
+result types. The round-1 driver flagged 4 queries whose cells were
+value-equal but whose DuckDB side produced HUGEINT (``SUM(BIGINT)``
+promotion → decimal128/float64 in the Arrow/pandas path) while Spark
+produced int64 — the type check catches that class before the driver
+does. Any mismatch here would fail the driver's CORRECTNESS gate at
+sf0.01.
 """
 
 from __future__ import annotations
@@ -13,6 +18,7 @@ import math
 import duckdb
 import pytest
 
+from air_quality_etl_pipeline_spark.functions.typealign import arrow_ok
 from air_quality_etl_pipeline_spark.workload import QUERIES
 
 TABLES = [
@@ -60,12 +66,22 @@ def test_query_matches_oracle(spark, sf_dir, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_con(sf_dir)
+    tb = con.execute(oracle).arrow()
+    d_arrow = {f.name: str(f.type) for f in tb.schema}
     cur = con.execute(oracle)
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column names differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    type_bad = [
+        (col, st, d_arrow[col])
+        for col, st in sdf.dtypes
+        if not arrow_ok(st, d_arrow[col], strict=False)
+    ]
+    assert not type_bad, (
+        f"{name}: hash-incompatible result types (spark vs duckdb-arrow): {type_bad}"
     )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count differs: spark={len(s_rows)} duck={len(d_rows)}"
