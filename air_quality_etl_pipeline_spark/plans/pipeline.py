@@ -15,6 +15,111 @@ from __future__ import annotations
 import time
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+
+def _parse_cron_field(spec: str, lo: int, hi: int) -> frozenset[int]:
+    """One cron field → the set of matching values. Supports ``*``,
+    ``*/step``, ``a``, ``a-b``, ``a-b/step`` and comma lists; dow 7 is
+    normalized to 0 (both mean Sunday, as in Vixie cron)."""
+    out: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step < 1:
+                raise ValueError(f"cron step must be >= 1: {spec!r}")
+        if part == "*":
+            a, b = lo, hi
+        elif "-" in part:
+            a_s, b_s = part.split("-", 1)
+            a, b = int(a_s), int(b_s)
+        else:
+            a = b = int(part)
+        if not (lo <= a <= hi + (1 if hi == 6 else 0) and a <= b):
+            raise ValueError(f"cron field out of range: {spec!r}")
+        out.update(range(a, b + 1, step))
+    if hi == 6:  # day-of-week: 7 == Sunday == 0
+        out = {v % 7 for v in out}
+    if any(v < lo or v > hi for v in out):
+        raise ValueError(f"cron field out of range: {spec!r}")
+    return frozenset(out)
+
+
+@dataclass(frozen=True)
+class Schedule:
+    """C4 — the reference's weekly trigger (``Automated Pipeline.
+    DataPipeline/.schedules:4-17``: Weekly, Thursday 06:00, Central
+    Standard Time) generalized to a 5-field cron expression
+    ``minute hour day-of-month month day-of-week``.
+
+    Matching semantics are Vixie cron: when BOTH day-of-month and
+    day-of-week are restricted (neither is ``*``), a day matches if
+    EITHER does; otherwise the restricted one governs. ``next_fire``
+    walks days (not minutes), so the worst case (Feb 29) stays cheap.
+    The reference's schedule is ``Schedule.weekly("thursday", 6)``.
+    """
+
+    cron: str
+
+    _DOW = {
+        "sunday": 0, "monday": 1, "tuesday": 2, "wednesday": 3,
+        "thursday": 4, "friday": 5, "saturday": 6,
+    }
+
+    def __post_init__(self) -> None:
+        fields = self.cron.split()
+        if len(fields) != 5:
+            raise ValueError(f"cron needs 5 fields: {self.cron!r}")
+        m, h, dom, mon, dow = fields
+        object.__setattr__(self, "minutes", _parse_cron_field(m, 0, 59))
+        object.__setattr__(self, "hours", _parse_cron_field(h, 0, 23))
+        object.__setattr__(self, "doms", _parse_cron_field(dom, 1, 31))
+        object.__setattr__(self, "months", _parse_cron_field(mon, 1, 12))
+        object.__setattr__(self, "dows", _parse_cron_field(dow, 0, 6))
+        object.__setattr__(
+            self, "_dom_any", dom == "*"
+        )
+        object.__setattr__(self, "_dow_any", dow == "*")
+
+    @classmethod
+    def weekly(cls, day: str, hour: int, minute: int = 0) -> "Schedule":
+        """The reference's trigger shape: weekly on *day* at *hour*."""
+        return cls(f"{minute} {hour} * * {cls._DOW[day.lower()]}")
+
+    def _day_matches(self, d: datetime) -> bool:
+        dom_ok = d.day in self.doms
+        dow_ok = (d.isoweekday() % 7) in self.dows
+        if self._dom_any and self._dow_any:
+            return True
+        if self._dom_any:
+            return dow_ok
+        if self._dow_any:
+            return dom_ok
+        return dom_ok or dow_ok  # Vixie-cron OR semantics
+
+    def next_fire(self, after: datetime) -> datetime:
+        """First fire time strictly after *after* (minute granularity)."""
+        t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        for _ in range(366 * 5):  # bounded: any real cron fires within 5y
+            if t.month in self.months and self._day_matches(t):
+                for hh in sorted(self.hours):
+                    if hh < t.hour:
+                        continue
+                    for mm in sorted(self.minutes):
+                        if hh == t.hour and mm < t.minute:
+                            continue
+                        return t.replace(hour=hh, minute=mm)
+            t = (t + timedelta(days=1)).replace(hour=0, minute=0)
+        raise ValueError(f"cron never fires: {self.cron!r}")
+
+    def is_due(self, now: datetime, last_run: datetime | None) -> bool:
+        """True when a run is owed: a fire time exists in
+        ``(last_run, now]`` (first call: fires due in the minute of
+        *now*)."""
+        anchor = last_run if last_run is not None else now - timedelta(minutes=1)
+        return self.next_fire(anchor) <= now
 
 
 @dataclass
@@ -93,6 +198,30 @@ def run_pipeline(
                 )
                 break
     return run
+
+
+@dataclass
+class ScheduledPipeline:
+    """C1+C4: a DAG plus its trigger. ``run_if_due`` is the unit a
+    scheduler loop (or an external cron) calls each tick — it runs the
+    DAG only when the schedule owes a fire since *last_run*, returning
+    None otherwise. No daemon loop lives here: at 100-TB scale the tick
+    comes from the cluster scheduler (Airflow/cron), and keeping this
+    side-effect-free per call makes catch-up and backfill decisions
+    explicit at the call site."""
+
+    activities: Sequence[Activity]
+    schedule: Schedule | None = None
+
+    def run_if_due(
+        self,
+        now: datetime,
+        last_run: datetime | None = None,
+        context: dict | None = None,
+    ) -> PipelineRun | None:
+        if self.schedule is not None and not self.schedule.is_due(now, last_run):
+            return None
+        return run_pipeline(self.activities, context)
 
 
 def foreach(

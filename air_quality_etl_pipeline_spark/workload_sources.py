@@ -16,7 +16,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.plans.pipeline import Activity, run_pipeline
+from air_quality_etl_pipeline_spark.plans.pipeline import Activity
 from air_quality_etl_pipeline_spark.sources.ingest import (
     coverage_gate,
     ingest_distributed,
@@ -194,8 +194,18 @@ def q_csv_header_cast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 sequential DAG with dependsOn-Succeeded: scan → silver
     (dedup) → gold (star join) → aggregate, each an Activity passing
-    its DataFrame downstream through the run context."""
+    its DataFrame downstream through the run context. The DAG runs
+    through its C4 schedule (the reference's weekly Thursday 06:00
+    trigger, ``Automated Pipeline.DataPipeline/.schedules:4-17``) via
+    ``ScheduledPipeline.run_if_due`` at a fixed due instant, so the
+    trigger path is exercised deterministically."""
+    from datetime import datetime
+
     from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
+    from air_quality_etl_pipeline_spark.plans.pipeline import (
+        Schedule,
+        ScheduledPipeline,
+    )
 
     def scan(ctx):
         return _t(spark, sf_dir, "lineitem").filter(
@@ -221,16 +231,19 @@ def q_pipeline_dag_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
 
-    run = run_pipeline(
+    pipe = ScheduledPipeline(
         [
             Activity("scan", scan),
             Activity("silver", silver, depends_on=["scan"]),
             Activity("gold", gold, depends_on=["silver"]),
             Activity("aggregate", aggregate, depends_on=["gold"]),
-        ]
+        ],
+        schedule=Schedule.weekly("thursday", 6),
     )
-    if not run.succeeded:
-        raise RuntimeError(f"pipeline failed: {run.results}")
+    # 2026-01-01 is a Thursday; 06:00 is exactly the weekly fire time
+    run = pipe.run_if_due(now=datetime(2026, 1, 1, 6, 0), last_run=None)
+    if run is None or not run.succeeded:
+        raise RuntimeError(f"pipeline failed: {run and run.results}")
     return run.results["aggregate"].output
 
 

@@ -4,10 +4,14 @@ oracle-parity harness can't express."""
 
 from __future__ import annotations
 
+from datetime import datetime
+
 import pytest
 
 from air_quality_etl_pipeline_spark.plans.pipeline import (
     Activity,
+    Schedule,
+    ScheduledPipeline,
     foreach,
     run_pipeline,
 )
@@ -140,6 +144,48 @@ def test_pipeline_context_passes_outputs():
 
 def test_foreach_sequential_order():
     assert foreach([3, 1, 2], lambda x: x * 10) == [30, 10, 20]
+
+
+def test_schedule_weekly_reference_trigger():
+    """The reference's trigger: weekly Thursday 06:00 (C4)."""
+    s = Schedule.weekly("thursday", 6)
+    # 2026-01-01 is a Thursday
+    assert s.next_fire(datetime(2025, 12, 31, 12, 0)) == datetime(2026, 1, 1, 6, 0)
+    # just past this week's fire -> next Thursday
+    assert s.next_fire(datetime(2026, 1, 1, 6, 0)) == datetime(2026, 1, 8, 6, 0)
+    assert s.is_due(datetime(2026, 1, 1, 6, 0), last_run=None)
+    assert s.is_due(datetime(2026, 1, 9), last_run=datetime(2026, 1, 1, 6, 0))
+    assert not s.is_due(datetime(2026, 1, 7), last_run=datetime(2026, 1, 1, 6, 0))
+
+
+def test_schedule_cron_fields():
+    # every 15 min
+    s = Schedule("*/15 * * * *")
+    assert s.next_fire(datetime(2026, 3, 1, 10, 1)) == datetime(2026, 3, 1, 10, 15)
+    # ranges, lists, dow-7 normalization
+    s = Schedule("0 9-17/4 * * 7")  # 9:00/13:00/17:00 on Sundays
+    f = s.next_fire(datetime(2026, 3, 2))  # Monday
+    assert f == datetime(2026, 3, 8, 9, 0) and f.isoweekday() == 7
+    # Vixie OR: dom 15 OR Friday, whichever first
+    s = Schedule("0 0 15 * 5")
+    assert s.next_fire(datetime(2026, 3, 10)) == datetime(2026, 3, 13)  # Friday
+    assert s.next_fire(datetime(2026, 3, 14)) == datetime(2026, 3, 15)  # dom
+    # month wrap + leap day: Feb 29 next exists in 2028
+    s = Schedule("0 0 29 2 *")
+    assert s.next_fire(datetime(2026, 3, 1)) == datetime(2028, 2, 29)
+    with pytest.raises(ValueError):
+        Schedule("60 * * * *")
+    with pytest.raises(ValueError):
+        Schedule("* * * *")
+
+
+def test_scheduled_pipeline_runs_only_when_due():
+    pipe = ScheduledPipeline(
+        [Activity("x", lambda ctx: 1)], schedule=Schedule.weekly("thursday", 6)
+    )
+    assert pipe.run_if_due(datetime(2026, 1, 7), datetime(2026, 1, 1, 6)) is None
+    run = pipe.run_if_due(datetime(2026, 1, 8, 7), datetime(2026, 1, 1, 6))
+    assert run is not None and run.succeeded
 
 
 def test_rest_param_grid_datasource(spark):
