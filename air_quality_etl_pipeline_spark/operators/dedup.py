@@ -72,45 +72,40 @@ def jaccard_of_arrays(a: Column, b: Column) -> Column:
     return safe_div(inter, union)
 
 
-def ngram_jaccard_pairs(
+def _shingled(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    block_cols: Sequence[str] = (),
+    text_col: str,
+    n: int,
+    block_cols: Sequence[str],
 ) -> DataFrame:
-    """Near-dup pairs by character-n-gram Jaccard ≥ *threshold*, with
-    PPJoin PREFIX FILTERING (Xiao et al., "Efficient Similarity Joins
-    for Near Duplicate Detection", WWW 2008) for candidate generation.
-
-    Each document's shingle set is ordered by ASCENDING global
-    frequency (ties lexicographic) and only the first
-    ``|s| − ⌈t·|s|⌉ + 1`` shingles — its *prefix*, the rarest ones —
-    are exploded into the candidate index. Two sets with Jaccard ≥ t
-    MUST share a prefix token (if all shared tokens sat in A's suffix,
-    the overlap would be < ⌈t·|A|⌉, contradicting J ≥ t), so joining
-    on (block, prefix_token) has perfect recall while the pair space
-    collapses from block-quadratic to collisions-on-rare-tokens.
-    Measured at sf0.1 (5 k docs, ~1 k-doc language blocks): the block
-    self-join formulation evaluated ~2.5 M intersect/unions in ~360 s;
-    the prefix filter verifies only true candidates in ~3 s.
-
-    Verification joins candidate ids back to the shingle arrays: the
-    size prefilter ``min ≥ t·max`` first, then exact Jaccard computed
-    as ``∩ / (|A| + |B| − ∩)`` — arrays are distinct, so the union
-    size is arithmetic and the expensive ``array_union``
-    materialization disappears.
-    """
+    """``(_id, *blocks, _sh)`` — per-doc distinct char-n-gram arrays,
+    persisted (read twice: candidate generation + verification)."""
     blocks = [F.col(c) for c in block_cols]
-    sh = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
         *blocks,
         char_shingles(F.col(text_col), n).alias("_sh"),
     ).persist()
-    toks = sh.select(
-        "_id", *block_cols, F.explode("_sh").alias("_t")
-    )
+
+
+def ppjoin_candidates(
+    sh: DataFrame,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b)`` via PPJoin prefix filtering over
+    a :func:`_shingled` frame; ``positional=True`` adds PPJoin's
+    positional upper bound (Xiao et al. §3.2): a common prefix token at
+    0-based positions ``(pa, pb)`` of the frequency-ordered arrays
+    bounds the overlap by ``min(|A|−pa, |B|−pb)`` — every common token
+    yields a valid bound, so the pair keeps the TIGHTEST (minimum) one
+    and is pruned when it cannot reach the required overlap
+    ``α = ⌈t/(1+t)·(|A|+|B|)⌉``. Same shuffle count as the plain prefix
+    filter (the pair groupBy replaces the dropDuplicates), strictly
+    fewer verified pairs."""
+    toks = sh.select("_id", *block_cols, F.explode("_sh").alias("_t"))
     freq = toks.groupBy("_t").agg(F.count("*").alias("_f"))
     # per-doc shingles sorted by (global freq, token): struct sort_array
     ordered = (
@@ -130,23 +125,83 @@ def ngram_jaccard_pairs(
     prefixes = ordered.select(
         "_id",
         *block_cols,
-        F.explode(
+        F.size("_o").alias("_sz"),
+        F.posexplode(
             F.transform(
                 F.slice(F.col("_o"), F.lit(1), p_len), lambda x: x["_t"]
             )
-        ).alias("_pt"),
+        ).alias("_pos", "_pt"),
     )
     left = prefixes.select(
-        *block_cols, "_pt", F.col("_id").alias("id_a")
+        *block_cols,
+        "_pt",
+        F.col("_id").alias("id_a"),
+        F.col("_sz").alias("_sza"),
+        F.col("_pos").alias("_pa"),
     )
     right = prefixes.select(
-        *block_cols, "_pt", F.col("_id").alias("id_b")
+        *block_cols,
+        "_pt",
+        F.col("_id").alias("id_b"),
+        F.col("_sz").alias("_szb"),
+        F.col("_pos").alias("_pb"),
     )
-    cands = (
-        left.join(right, on=[*block_cols, "_pt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    matched = left.join(right, on=[*block_cols, "_pt"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if not positional:
+        return matched.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    pairs = matched.groupBy("id_a", "id_b", "_sza", "_szb").agg(
+        F.min(
+            F.least(
+                F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
+            )
+        ).alias("_ub")
+    )
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
+    )
+    return pairs.filter(F.col("_ub") >= alpha).select("id_a", "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: Sequence[str] = (),
+    positional: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by character-n-gram Jaccard ≥ *threshold*, with
+    PPJoin PREFIX FILTERING (Xiao et al., "Efficient Similarity Joins
+    for Near Duplicate Detection", WWW 2008) for candidate generation.
+
+    Each document's shingle set is ordered by ASCENDING global
+    frequency (ties lexicographic) and only the first
+    ``|s| − ⌈t·|s|⌉ + 1`` shingles — its *prefix*, the rarest ones —
+    are exploded into the candidate index. Two sets with Jaccard ≥ t
+    MUST share a prefix token (if all shared tokens sat in A's suffix,
+    the overlap would be < ⌈t·|A|⌉, contradicting J ≥ t), so joining
+    on (block, prefix_token) has perfect recall while the pair space
+    collapses from block-quadratic to collisions-on-rare-tokens.
+    Measured at sf0.1 (5 k docs, ~1 k-doc language blocks): the block
+    self-join formulation evaluated ~2.5 M intersect/unions in ~360 s;
+    the prefix filter verifies only true candidates in ~3 s.
+    ``positional=True`` (default) further applies PPJoin's positional
+    upper bound inside candidate generation — see
+    :func:`ppjoin_candidates`; recall stays exact (the bound only
+    discards pairs that provably cannot reach *threshold*).
+
+    Verification joins candidate ids back to the shingle arrays: the
+    size prefilter ``min ≥ t·max`` first, then exact Jaccard computed
+    as ``∩ / (|A| + |B| − ∩)`` — arrays are distinct, so the union
+    size is arithmetic and the expensive ``array_union``
+    materialization disappears.
+    """
+    sh = _shingled(df, id_col, text_col, n, block_cols)
+    cands = ppjoin_candidates(
+        sh, threshold, block_cols, positional=positional
     )
     verified = (
         cands.join(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from air_quality_etl_pipeline_spark.functions.core import (
     dot_product,
     l2_norm,
+    md5_long,
     round_portable,
     safe_div,
 )
@@ -371,6 +372,153 @@ def kmeans_update_step(
     )
 
 
+def _d2_micro(v_col: str, c_col: str, dist_decimals: int = 6):
+    """Squared euclidean distance between two array<double> columns,
+    micro-rounded to an INTEGER (long). Integer distances make every
+    downstream comparison (argmin ties, sampling decisions) exact and
+    engine-portable — the float fold is identical in Spark's
+    ``aggregate`` and DuckDB's ``list_sum`` (sequential left-to-right),
+    and the single rounding point removes repr ambiguity."""
+    f = float(10**dist_decimals)
+    return F.expr(
+        f"cast(floor(aggregate(zip_with({v_col}, {c_col}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x) "
+        f"* {f}D + 0.5D) as bigint)"
+    )
+
+
+def kmeans_parallel_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 2,
+    oversample: int = 8,
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """k-means‖ candidate sampling (Bahmani et al., "Scalable
+    k-means++", VLDB 2012), fully deterministic: returns
+    ``(vec_id, weight)`` — the sampled candidate centers and how many
+    points each would own.
+
+    Each round samples point *x* with probability
+    ``min(1, ℓ·d²(x,C)/φ)`` where ``φ = Σ d²(·,C)``; after *rounds*
+    passes the expected candidate count is ``O(ℓ·rounds)`` regardless
+    of corpus size, so the driver-side reduction to k (see
+    :func:`kmeans_parallel_init`) handles a few dozen rows. Determinism
+    (the oracle replays this in SQL):
+
+    - "random" draws are salted md5 hashes of the point id —
+      ``u = md5_long(id, 'km<r>') ∈ [0, 2^60)``;
+    - the sampling test is INTEGER arithmetic:
+      ``u·φ < ℓ·d²_micro·2^60`` evaluated in decimal(38,0) (Spark) /
+      HUGEINT (DuckDB) — no float division to round differently;
+    - the seed center is the id minimizing ``md5_long(id, 'km0')``
+      (a uniform draw, hash-determinized).
+
+    Scale shape per round: one broadcast of the current centers, one
+    scan with a min-distance aggregate, one driver scalar (φ — the same
+    high-water-mark pattern as ``plans/merge.py``). Points already
+    chosen have ``d² = 0`` and can never re-sample (strict inequality).
+    """
+    two60 = 1 << 60
+    dec = "decimal(38,0)"
+    v = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    seed = F.broadcast(
+        v.select(
+            F.min_by(
+                F.struct(F.col("_id"), F.col("_v")),
+                F.struct(
+                    md5_long(F.col("_id").cast("string"), "km0"), F.col("_id")
+                ),
+            ).alias("_s")
+        ).select(F.col("_s._id").alias("cid"), F.col("_s._v").alias("centv"))
+    )
+    cents = seed
+    for r in range(1, rounds + 1):
+        cost = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", _d2_micro("_v", "centv", dist_decimals))
+            .groupBy("_id", "_v")
+            .agg(F.min("_d2").alias("_cost"))
+        )
+        phi = cost.agg(F.sum("_cost")).first()[0] or 0
+        u = md5_long(F.col("_id").cast("string"), f"km{r}")
+        sampled = cost.filter(
+            u.cast(dec) * F.lit(int(phi)).cast(dec)
+            < (
+                F.lit(oversample).cast(dec)
+                * F.col("_cost").cast(dec)
+                * F.lit(two60).cast(dec)
+            )
+        ).select(F.col("_id").alias("cid"), F.col("_v").alias("centv"))
+        cents = cents.unionByName(sampled)
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", _d2_micro("_v", "centv", dist_decimals))
+        .groupBy("_id")
+        .agg(F.min_by("cid", F.struct(F.col("_d2"), F.col("cid"))).alias("cid"))
+    )
+    return assigned.groupBy(F.col("cid").alias(id_col)).agg(
+        F.count("*").alias("weight")
+    )
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 2,
+    oversample: int = 8,
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """k-means‖ initialization: reduce the sampled candidates to *k*
+    centers by deterministic weighted farthest-point traversal (the
+    greedy stand-in for weighted k-means++ — reproducible, and on
+    O(ℓ·rounds) candidates quality-equivalent in practice).
+
+    Only the candidate vectors + weights come to the driver (a few
+    dozen rows regardless of corpus size); selection maximizes
+    ``weight · min_dist²`` with (value, id) tie-breaks. Returns
+    ``(cid, centv)`` with cid = 0..k-1 in selection order, ready to
+    feed :func:`kmeans_update_step` / :func:`kmeans_fit`."""
+    spark = df.sparkSession
+    cand = kmeans_parallel_candidates(
+        df, id_col, vec_col, rounds, oversample, dist_decimals
+    )
+    vecs = df.select(
+        F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    rows = (
+        cand.join(vecs, on=id_col)
+        .select(id_col, "weight", "_v")
+        .collect()
+    )
+    # deterministic greedy: seed = heaviest (tie: min id), then argmax
+    # of weight * min-squared-distance to the chosen set
+    pool = {r[id_col]: (int(r["weight"]), list(r["_v"])) for r in rows}
+    first = min(pool, key=lambda i: (-pool[i][0], i))
+    chosen = [first]
+    mind = {
+        i: sum((a - b) * (a - b) for a, b in zip(v, pool[first][1]))
+        for i, (_, v) in pool.items()
+    }
+    while len(chosen) < k and len(chosen) < len(pool):
+        nxt = min(
+            (i for i in pool if i not in chosen),
+            key=lambda i: (-pool[i][0] * mind[i], i),
+        )
+        chosen.append(nxt)
+        for i, (_, v) in pool.items():
+            d = sum((a - b) * (a - b) for a, b in zip(v, pool[nxt][1]))
+            if d < mind[i]:
+                mind[i] = d
+    out = [(cid, pool[i][1]) for cid, i in enumerate(chosen)]
+    return spark.createDataFrame(out, "cid long, centv array<double>")
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -378,6 +526,7 @@ def kmeans_fit(
     centroid_stride: int = 128,
     iterations: int = 3,
     dist_decimals: int = 6,
+    init: str = "stride",
 ) -> tuple[DataFrame, list[float]]:
     """Full Lloyd loop: iterate :func:`kmeans_update_step`, rebuilding
     the centroid set between iterations, and track the within-cluster
@@ -390,14 +539,27 @@ def kmeans_fit(
     the driver to rebuild the next broadcast. SSE is monotonically
     non-increasing — the classic convergence certificate, asserted in
     tests.
+
+    ``init="stride"`` seeds with every *centroid_stride*-th id (cheap,
+    arbitrary); ``init="parallel"`` seeds with
+    :func:`kmeans_parallel_init` (k-means‖), which costs *rounds* extra
+    passes but starts from well-spread, density-weighted centers.
     """
     spark = df.sparkSession
     v = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
-    cents = v.filter(F.col("_id") % centroid_stride == 0).select(
-        F.col("_id").alias("cid"), F.col("_v").alias("centv")
-    )
+    if init == "parallel":
+        k = max(1, v.count() // centroid_stride)
+        cents = kmeans_parallel_init(
+            df, k, id_col, vec_col, dist_decimals=dist_decimals
+        )
+    elif init == "stride":
+        cents = v.filter(F.col("_id") % centroid_stride == 0).select(
+            F.col("_id").alias("cid"), F.col("_v").alias("centv")
+        )
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     f = float(10**dist_decimals)
     dist = F.expr(
         "floor(aggregate(zip_with(_v, centv, (x, y) -> (x - y) * (x - y)), "

@@ -1161,6 +1161,8 @@ _DRIVER_PRIORITY = [
     "share_of_parent",
     "sketch_hll_distinct",
     "sketch_quantile_band",
+    # new in round 2 (never driver-checked; before round-1 greens)
+    "kmeans_parallel_init",
     # spill-over past the 50-cap (locally verified; round-3 targets)
     "moving_avg_7d",
     "ntile_deciles",

@@ -27,6 +27,7 @@ from air_quality_etl_pipeline_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     ivf_topk,
+    kmeans_parallel_candidates,
     kmeans_update_step,
     label_centroid_micro,
     quantize_int8,
@@ -925,6 +926,66 @@ def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a ranking window and the update with an unnest-based sum."""
     e = _t(spark, sf_dir, "embeddings")
     return kmeans_update_step(e, centroid_stride=128)
+
+
+_KM_D2 = (
+    "CAST(floor(list_sum(list_transform(range(1, 65), "
+    "i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+_KM_U = (
+    "CAST(('0x' || substr(md5('km{r}:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+    "::BIGINT AS HUGEINT)"
+)
+_KM_2POW60 = "CAST(1152921504606846976 AS HUGEINT)"
+
+
+@register(
+    "kmeans_parallel_init",
+    f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, vv AS cv FROM v
+           ORDER BY ('0x' || substr(md5('km0:' || CAST(vec_id AS VARCHAR)),
+                     1, 15))::BIGINT, vec_id LIMIT 1),
+    cost1 AS (SELECT v.vec_id, v.vv, min({_KM_D2}) AS cost
+              FROM v, c0 GROUP BY 1, 2),
+    phi1 AS (SELECT CAST(sum(cost) AS HUGEINT) AS phi FROM cost1),
+    s1 AS (SELECT vec_id, vv FROM cost1, phi1
+           WHERE {_KM_U.format(r=1)} * phi
+               < CAST(8 AS HUGEINT) * cost * {_KM_2POW60}),
+    cents1 AS (SELECT cid, cv FROM c0
+               UNION ALL SELECT vec_id, vv FROM s1),
+    cost2 AS (SELECT v.vec_id, v.vv, min({_KM_D2}) AS cost
+              FROM v, cents1 GROUP BY 1, 2),
+    phi2 AS (SELECT CAST(sum(cost) AS HUGEINT) AS phi FROM cost2),
+    s2 AS (SELECT vec_id, vv FROM cost2, phi2
+           WHERE {_KM_U.format(r=2)} * phi
+               < CAST(8 AS HUGEINT) * cost * {_KM_2POW60}),
+    cents2 AS (SELECT cid, cv FROM cents1
+               UNION ALL SELECT vec_id, vv FROM s2),
+    asn AS (SELECT vec_id, cid FROM (
+              SELECT v.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY CAST(floor(list_sum(list_transform(
+                         range(1, 65), i -> (v.vv[i] - c.cv[i])
+                         * (v.vv[i] - c.cv[i]))) * 1000000.0 + 0.5) AS BIGINT),
+                         c.cid) AS rn
+              FROM v, cents2 c) WHERE rn = 1)
+    SELECT cid AS vec_id, count(*) AS weight FROM asn GROUP BY 1
+    """,
+)
+def q_kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means‖ (Bahmani) candidate sampling, hash-determinized: two
+    oversampling rounds (ℓ=8) of cost-proportional selection with
+    integer-exact sampling decisions, then per-candidate ownership
+    weights. The oracle unrolls both rounds as CTEs and replays the
+    integer sampling test in HUGEINT — bit-for-bit the same candidate
+    set. (The reduction of candidates to k centers is driver-side
+    deterministic greedy — see similarity.kmeans_parallel_init — and
+    covered by pytest, not SQL.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_parallel_candidates(e, rounds=2, oversample=8)
 
 
 # ---------------------------------------------------------------------------

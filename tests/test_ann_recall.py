@@ -64,3 +64,38 @@ def test_kmeans_fit_sse_non_increasing(spark, sf_dir):
     rows = cents.collect()
     assert len(rows) >= 2
     assert all(len(r.centv) == 64 for r in rows)
+
+
+def test_kmeans_parallel_candidates_invariants(spark, sf_dir):
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        kmeans_parallel_candidates,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    cand = kmeans_parallel_candidates(e, rounds=2, oversample=8).collect()
+    # every point is owned by exactly one candidate
+    assert sum(r.weight for r in cand) == n
+    assert all(r.weight > 0 for r in cand)
+    assert len(cand) >= 1
+    # deterministic: a second evaluation yields the identical set
+    again = kmeans_parallel_candidates(e, rounds=2, oversample=8).collect()
+    assert sorted((r.vec_id, r.weight) for r in cand) == sorted(
+        (r.vec_id, r.weight) for r in again
+    )
+
+
+def test_kmeans_parallel_init_and_fit(spark, sf_dir):
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_parallel_init(e, k=4).collect()
+    assert len(cents) <= 4 and len(cents) >= 1
+    assert sorted(r.cid for r in cents) == list(range(len(cents)))
+    assert all(len(r.centv) == 64 for r in cents)
+    # full fit from the parallel init: SSE stays monotone
+    _, sse = kmeans_fit(e, centroid_stride=16, iterations=2, init="parallel")
+    assert len(sse) == 2 and sse[0] >= sse[1] > 0

@@ -400,6 +400,54 @@ def test_ngram_jaccard_prefix_filter_exact_recall(spark, texts, threshold):
     assert got == _brute_jaccard_pairs(rows, 3, threshold)
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcab ", min_size=1, max_size=20),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_ppjoin_positional_filter_prunes_without_losing_pairs(
+    spark, texts, threshold
+):
+    """The positional upper bound may only DISCARD candidates (subset of
+    the plain prefix filter's) and must keep every true pair (the final
+    result equals brute force either way)."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        _shingled,
+        ngram_jaccard_pairs,
+        ppjoin_candidates,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = _shingled(df, "doc_id", "text", 3, ())
+    plain = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_candidates(sh, threshold, positional=False).collect()
+    }
+    pos = {
+        (r.id_a, r.id_b)
+        for r in ppjoin_candidates(sh, threshold, positional=True).collect()
+    }
+    truth = _brute_jaccard_pairs(rows, 3, threshold)
+    assert pos <= plain
+    assert truth <= pos  # pruning never drops a true pair
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=threshold, positional=True
+        ).collect()
+    }
+    assert got == truth
+
+
 # ---------------------------------------------------------------------------
 # write_with_metrics: QA counters ride the write job (no second scan)
 # ---------------------------------------------------------------------------
