@@ -91,6 +91,25 @@ def md5_long(col: Column, salt: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+#: modulus of the affine MinHash family — the Mersenne prime 2^31−1,
+#: so products a·b30 (≤ 2^31·2^30 = 2^61) stay inside signed-64 exactly
+#: in every engine.
+MINHASH_P31 = 2_147_483_647
+
+
+def affine_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, c) pair for the i-th affine MinHash function
+    ``h_i(x) = (a·b30(x) + c) mod 2^31−1`` where ``b30`` is the low 30
+    bits of one shared md5. One md5 per shingle + k integer transforms
+    replaces k salted md5s — the classic universal-hashing family
+    (Carter-Wegman), ~8× less hashing work at k=8 — and both engines
+    replay the same integer arithmetic bit-for-bit. LCG-style constants;
+    a is never 0 mod p (p prime → any a ∈ [1, p) is a bijection)."""
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_P31
+    c = (214013 * (i + 1) + 2531011) % MINHASH_P31
+    return (a or 1, c)
+
+
 def token_array(text: Column) -> Column:
     """Whitespace tokenization: ``split(trim(x), '\\s+')``.
 

@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import (
     char_shingles,
+    MINHASH_P31,
+    affine_coeffs,
     hash_of,
     md5_hex15,
     md5_long,
@@ -319,6 +321,9 @@ def minhash_signatures(
 
     ``hash_family="md5"`` (default, oracle-portable) keeps fixed-width
     hex strings (lexicographic min ≡ numeric min — see md5_hex15);
+    ``"md5_affine"`` (oracle-portable, ~8× less hashing at k=8) takes
+    ONE md5 per shingle and derives the k functions as Carter-Wegman
+    affine rehashes of its low 30 bits (functions.core.affine_coeffs);
     ``"xxhash64"`` is the ~5-10× cheaper JVM-native production path
     (not replayable outside Spark). ``shingler="word"`` (default)
     shingles word *n*-grams; ``"char"`` shingles character *n*-grams
@@ -341,8 +346,17 @@ def minhash_signatures(
             )
         )
     exploded = sh.select("_id", F.explode("_sh").alias("_s"))
+    if hash_family == "md5_affine":
+        # one md5 per shingle, k Carter-Wegman rehashes of its low 30
+        # bits — see functions.core.affine_coeffs
+        exploded = exploded.withColumn(
+            "_b30", md5_long(F.col("_s")) % F.lit(1 << 30)
+        )
 
     def one(i: int) -> Column:
+        if hash_family == "md5_affine":
+            a, c = affine_coeffs(i)
+            return (F.lit(a) * F.col("_b30") + F.lit(c)) % F.lit(MINHASH_P31)
         if hash_family == "md5":
             return md5_hex15(F.col("_s"), salt=str(i))
         return hash_of(F.col("_s"), salt=str(i), family=hash_family)

@@ -1,0 +1,169 @@
+"""Training-corpus assembly operators: eval-set decontamination and
+sequence packing.
+
+Both are standard large-scale LLM-pipeline stages (GPT-3 §2.2 /
+Llama-style decontamination by n-gram overlap with evaluation sets;
+concat-then-chunk sequence packing into fixed context windows) with no
+reference-repo counterpart — they extend the engine the way SURVEY §2's
+north star prescribes. Everything is built-in Catalyst expressions;
+the only driver-side state is the tiny per-range totals map of the
+distributed prefix sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import (
+    token_array,
+    word_shingles_of_tokens,
+)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-training-document overlap with an evaluation set: the count
+    of distinct word-*n*-grams the document shares with ANY eval
+    document, and a ``contaminated`` flag at *min_hits*.
+
+    Scale shape: the eval side (benchmarks — thousands of docs) reduces
+    to a DISTINCT shingle relation that is BROADCAST; the training side
+    (the 100 TB corpus) explodes to shingles, hash-joins against the
+    broadcast in-map, and re-aggregates per document — one shuffle on
+    doc id, no shuffle of the corpus text itself. Output keeps
+    zero-overlap documents (LEFT join semantics) so the result is a
+    total verdict over the corpus.
+    """
+    t_sh = train.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            word_shingles_of_tokens(token_array(F.col(text_col)), n)
+        ).alias("_g"),
+    )
+    e_sh = (
+        eval_df.select(
+            F.explode(
+                word_shingles_of_tokens(token_array(F.col(text_col)), n)
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    hits = (
+        t_sh.join(F.broadcast(e_sh), on="_g")
+        .groupBy("_id")
+        .agg(F.countDistinct("_g").alias("n_overlap"))
+    )
+    return (
+        train.select(F.col(id_col).alias("_id"))
+        .join(hits, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_hits)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of *value_col* in *order_col*
+    order — the two-phase formulation: range-partition on the order
+    key, cumulate within each range with a window, then add per-range
+    offsets computed from a tiny collected totals map (same pattern as
+    ``plans.gold.dense_id``). No global single-partition sort: each
+    range cumulates independently, and only ``num_ranges`` scalars hit
+    the driver."""
+    if num_ranges is None:
+        num_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+        )
+    ranged = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid] or 0
+    offset_col = (
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("__pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return ranged.withColumn(
+        out_col, (F.sum(value_col).over(w) + offset_col).cast("long")
+    ).drop("__pid")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 512,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    *id_col* order as one continuous token stream and cut into
+    fixed-*ctx* training windows (the GPT-style packing that wastes no
+    pad tokens). Returns one row per window:
+    ``(bin, n_docs, n_tokens)`` — how many documents overlap the
+    window and how many of its token slots are filled (only the final
+    window may be partial).
+
+    Relational shape: token counts per doc → distributed prefix sum
+    (:func:`prefix_sum` — no global sort) → each doc explodes into the
+    ``O(len/ctx)`` windows it spans (a ``sequence``) → one aggregate on
+    window id. Zero-token documents occupy no window and are dropped.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(token_array(F.col(text_col))).cast("long").alias("_n"),
+    )
+    cum = prefix_sum(toks, "_id", "_n", "_end")
+    spans = (
+        cum.filter(F.col("_n") > 0)
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+        .withColumn(
+            "_bin",
+            # integer DIV, not float division: exact past 2^53
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start div {ctx}"),
+                    F.expr(f"(_end - 1) div {ctx}"),
+                )
+            ),
+        )
+    )
+    filled = F.least(
+        F.col("_end"), (F.col("_bin") + 1) * ctx
+    ) - F.greatest(F.col("_start"), F.col("_bin") * ctx)
+    return (
+        spans.withColumn("_fill", filled)
+        .groupBy(F.col("_bin").cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_fill").cast("long").alias("n_tokens"),
+        )
+    )

@@ -232,6 +232,18 @@ def stream_stream_attrib_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """Stream-static enrichment: join the unbounded stream to a bounded
+    dimension. The static side is broadcast — each micro-batch probes
+    an executor-local hash map, no state store and no watermark needed
+    (unlike stream-stream joins), which is why this is THE pattern for
+    attaching reference data at 100 TB/day: the stream never shuffles
+    for the join. Left join keeps events whose key has no dim row."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
 def run_available_now(
     result: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1163,6 +1163,9 @@ _DRIVER_PRIORITY = [
     "sketch_quantile_band",
     # new in round 2 (never driver-checked; before round-1 greens)
     "kmeans_parallel_init",
+    "decontaminate_eval",
+    "pack_sequences",
+    "streaming_static_enrich",
     # spill-over past the 50-cap (locally verified; round-3 targets)
     "moving_avg_7d",
     "ntile_deciles",

@@ -283,3 +283,74 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
     kept = sample_weighted(d, "doc_id", wt)
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+# word-3-gram set per document, blank-safe — mirrors
+# functions.core.word_shingles_of_tokens(token_array(text), 3)
+_GRAMS3 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+
+@register(
+    "decontaminate_eval",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (SELECT doc_id, unnest({_GRAMS3}) AS g FROM t),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (SELECT grams.doc_id, count(DISTINCT grams.g) AS n_overlap
+             FROM grams JOIN ev USING (g)
+             WHERE grams.doc_id % 50 <> 0 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN coalesce(h.n_overlap, 0) >= 5 THEN 1 ELSE 0 END
+                AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §2.2 style): flag training
+    documents sharing ≥5 distinct word-3-grams with a held-out eval
+    set (here: every 50th document). The eval shingle set is broadcast;
+    the corpus explodes, joins map-side, and re-aggregates — see
+    operators.packing.decontaminate."""
+    from air_quality_etl_pipeline_spark.operators.packing import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(train, ev, "doc_id", "text", n=3, min_hits=5)
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM t),
+    s AS (SELECT doc_id, n, cum - n AS strt, cum AS fin FROM c WHERE n > 0),
+    b AS (SELECT doc_id, strt, fin,
+                 unnest(range(strt // 256, (fin - 1) // 256 + 1)) AS bin
+          FROM s)
+    SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+           CAST(sum(least(fin, (bin + 1) * 256)
+                    - greatest(strt, bin * 256)) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 256-token training
+    windows: distributed prefix sum of per-document token counts (no
+    global sort — range-partitioned two-phase cumsum), then each
+    document explodes into the windows it spans. One row per window
+    with its document count and filled-slot count."""
+    from air_quality_etl_pipeline_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", ctx=256)

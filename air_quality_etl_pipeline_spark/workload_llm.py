@@ -347,16 +347,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    num_hashes: int = 8, bands: int = 4, thr: float = 0.7, n: int = 5
+    num_hashes: int = 8,
+    bands: int = 4,
+    thr: float = 0.7,
+    n: int = 5,
+    family: str = "md5",
 ) -> str:
-    rows = num_hashes // bands
-    # fixed-width lowercase hex: lexicographic min ≡ numeric min, and it
-    # matches the Spark side's decode-free md5_hex15 hash family.
-    sig = ",\n           ".join(
-        f"list_min(list_transform(s, x -> "
-        f"substr(md5('{i}:' || x), 1, 15))) AS h{i}"
-        for i in range(num_hashes)
+    from air_quality_etl_pipeline_spark.functions.core import (
+        MINHASH_P31,
+        affine_coeffs,
     )
+
+    rows = num_hashes // bands
+    if family == "md5_affine":
+        # one md5 per shingle; k Carter-Wegman affine rehashes of its
+        # low 30 bits — mirrors functions.core.affine_coeffs exactly
+        b30 = "(('0x' || substr(md5(x), 1, 15))::BIGINT % 1073741824)"
+        sig = ",\n           ".join(
+            "list_min(list_transform(s, x -> "
+            f"({a} * {b30} + {c}) % {MINHASH_P31})) AS h{i}"
+            for i, (a, c) in (
+                (j, affine_coeffs(j)) for j in range(num_hashes)
+            )
+        )
+    else:
+        # fixed-width lowercase hex: lexicographic min ≡ numeric min,
+        # matching the Spark side's decode-free md5_hex15 hash family.
+        sig = ",\n           ".join(
+            f"list_min(list_transform(s, x -> "
+            f"substr(md5('{i}:' || x), 1, 15))) AS h{i}"
+            for i in range(num_hashes)
+        )
     band_rows = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(','"
         + "".join(f", h{b * rows + r}" for r in range(rows))
@@ -388,14 +409,24 @@ def _minhash_oracle(
     """
 
 
-@register("dedup_minhash_lsh", _minhash_oracle())
+@register("dedup_minhash_lsh", _minhash_oracle(family="md5_affine"))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8) + 4-band LSH over word-5-gram shingles, candidates
     verified with true Jaccard ≥ 0.7 via join-back to the shingle sets.
-    The bucket join replaces the all-pairs product."""
+    The bucket join replaces the all-pairs product; the hash family is
+    the one-md5 affine one (functions.core.affine_coeffs) — same recall
+    behavior as k independent md5s, ~8× less hashing in the signature
+    scan."""
     d = _t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
-        d, "doc_id", "text", n=5, num_hashes=8, bands=4, threshold=0.7
+        d,
+        "doc_id",
+        "text",
+        n=5,
+        num_hashes=8,
+        bands=4,
+        threshold=0.7,
+        hash_family="md5_affine",
     )
     return out.withColumn("jaccard", round_portable(F.col("jaccard"), 4))
 

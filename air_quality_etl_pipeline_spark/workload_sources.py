@@ -485,3 +485,36 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_events_stream(spark, sf_dir)
     joined = stream_stream_attrib_join(e, "1 hour", "1 day")
     return run_available_now(joined, spark, output_mode="append")
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment under availableNow: the
+    events stream joins a bounded customer dimension (market segment)
+    with no state store — the static side broadcasts into every
+    micro-batch — then aggregates per (segment, event_type). The oracle
+    is the equivalent batch join."""
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        stream_static_enrich,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(stream, dim, on="user_id")
+    counts = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_available_now(counts, spark, output_mode="complete")

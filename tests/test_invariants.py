@@ -344,3 +344,32 @@ def test_minhash_signatures_match_python_ground_truth(spark):
         for doc_id, text in docs
     }
     assert got == expected
+
+    # affine family: one md5 → low 30 bits → k Carter-Wegman rehashes
+    from air_quality_etl_pipeline_spark.functions.core import (
+        MINHASH_P31,
+        affine_coeffs,
+    )
+
+    got_affine = {
+        r["_id"]: tuple(r[f"_h{i}"] for i in range(8))
+        for r in minhash_signatures(
+            df, "doc_id", "text", n=5, hash_family="md5_affine"
+        ).collect()
+    }
+
+    def b30(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % (1 << 30)
+
+    expected_affine = {
+        doc_id: tuple(
+            min(
+                (affine_coeffs(i)[0] * b30(s) + affine_coeffs(i)[1])
+                % MINHASH_P31
+                for s in shingles(text)
+            )
+            for i in range(8)
+        )
+        for doc_id, text in docs
+    }
+    assert got_affine == expected_affine

@@ -114,3 +114,21 @@ def test_rolling_active_users_single_aggregation_shuffle(spark):
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
     assert plan.count("Generate") >= 1  # the explode is a Generate node
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # the eval shingle set joins by broadcast: the corpus side must
+    # never shuffle its exploded shingles for a sort-merge join
+    df, _ = QUERIES["decontaminate_eval"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    # the prefix sum must be the range-partitioned two-phase form:
+    # no single-partition Exchange (the signature of a global window)
+    df, _ = QUERIES["pack_sequences"]
+    plan = _plan_of(df(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
