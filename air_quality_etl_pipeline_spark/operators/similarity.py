@@ -372,6 +372,64 @@ def kmeans_update_step(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    sim_decimals: int = 6,
+    dims: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-*k* most-similar corpus vectors whose *label_col* DIFFERS
+    from the query's — the near-misses a contrastive loss learns most
+    from (in-batch random negatives are mostly easy; mined hard
+    negatives drive the decision boundary).
+
+    Same scale shape as :func:`cosine_topk` — the query set broadcasts,
+    the corpus streams through once, never shuffled — with the label
+    inequality applied BEFORE ranking so each query's k slots hold only
+    admissible negatives. Returns
+    ``(query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rank)``."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qn", _norm_expr("qv"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm_expr("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def _d2_micro(v_col: str, c_col: str, dist_decimals: int = 6):
     """Squared euclidean distance between two array<double> columns,
     micro-rounded to an INTEGER (long). Integer distances make every

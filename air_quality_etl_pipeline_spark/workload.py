@@ -1166,6 +1166,9 @@ _DRIVER_PRIORITY = [
     "decontaminate_eval",
     "pack_sequences",
     "streaming_static_enrich",
+    "hard_negative_mining",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
     # spill-over past the 50-cap (locally verified; round-3 targets)
     "moving_avg_7d",
     "ntile_deciles",

@@ -1350,3 +1350,99 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("share_of_region"),
     )
+
+
+@register(
+    "sql_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority) through the ``spark.sql``
+    entry point: 3-table star join with selective predicates on both
+    fact and dims, revenue top-10. Catalyst broadcasts customer/orders
+    sides under AQE; both engines run near-identical ANSI text (only
+    the date-format function differs by dialect)."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               date_format(CAST(o.o_orderdate AS DATE), 'yyyy-MM-dd')
+                 AS o_orderdate,
+               o.o_orderpriority
+        FROM customer_v c
+        JOIN orders_v o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+          AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "sql_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume) through ``spark.sql``:
+    six-table join with a co-nation constraint between supplier and
+    customer — the deepest join tree in the registry; region/nation/
+    supplier/customer broadcast, lineitem streams."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lineitems
+        FROM customer_v c
+        JOIN orders_v o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+                         AND s.s_nationkey = c.c_nationkey
+        JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        JOIN region_v r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        """
+    )

@@ -577,6 +577,42 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             floor(({_COS.replace("cv", "e.v")}) * 1000000.0 + 0.5)
+               / 1000000.0 AS cosine
+      FROM q, e WHERE e.label <> query_label)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most-cosine-similar corpus vectors with a DIFFERENT label —
+    broadcast queries, one corpus scan, label filter before ranking.
+    See operators.similarity.hard_negatives."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "label", F.col("label").cast("long")
+    )
+    return hard_negatives(e, e.filter(F.col("vec_id") < 8), k=5, dims=64)
+
+
 def _sign_lsh_oracle(bits: int = 6, tables: int = 4, k: int = 5) -> str:
     def bucket(col: str, t: int) -> str:
         return (
