@@ -99,14 +99,21 @@ def ppjoin_candidates(
 ) -> DataFrame:
     """Candidate pairs ``(id_a, id_b)`` via PPJoin prefix filtering over
     a :func:`_shingled` frame; ``positional=True`` adds PPJoin's
-    positional upper bound (Xiao et al. §3.2): a common prefix token at
-    0-based positions ``(pa, pb)`` of the frequency-ordered arrays
-    bounds the overlap by ``min(|A|−pa, |B|−pb)`` — every common token
-    yields a valid bound, so the pair keeps the TIGHTEST (minimum) one
-    and is pruned when it cannot reach the required overlap
-    ``α = ⌈t/(1+t)·(|A|+|B|)⌉``. Same shuffle count as the plain prefix
-    filter (the pair groupBy replaces the dropDuplicates), strictly
-    fewer verified pairs."""
+    positional upper bound (Xiao et al. §3.2): at the EARLIEST common
+    prefix token — 0-based positions ``(min pa, min pb)`` in the
+    frequency-ordered arrays — the overlap is bounded by
+    ``min(|A|−pa, |B|−pb)``, and the pair is pruned when that cannot
+    reach the required overlap ``α = ⌈t/(1+t)·(|A|+|B|)⌉``.
+
+    The bound is valid ONLY at the earliest match: both arrays restrict
+    the same global token order, so no common token can precede the
+    earliest matched one in either array — whereas a later matched
+    token can have common tokens before it on both sides, which its
+    ``min(remaining)`` doesn't count. Taking the minimum bound over ALL
+    matches therefore over-prunes true pairs (caught by the Hypothesis
+    recall property on ``['aaa ', 'aaa a']`` at t=0.3). Same shuffle
+    count as the plain prefix filter (the pair groupBy replaces the
+    dropDuplicates), strictly fewer verified pairs."""
     toks = sh.select("_id", *block_cols, F.explode("_sh").alias("_t"))
     freq = toks.groupBy("_t").agg(F.count("*").alias("_f"))
     # per-doc shingles sorted by (global freq, token): struct sort_array
@@ -154,16 +161,15 @@ def ppjoin_candidates(
     if not positional:
         return matched.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     pairs = matched.groupBy("id_a", "id_b", "_sza", "_szb").agg(
-        F.min(
-            F.least(
-                F.col("_sza") - F.col("_pa"), F.col("_szb") - F.col("_pb")
-            )
-        ).alias("_ub")
+        F.min("_pa").alias("_pa0"), F.min("_pb").alias("_pb0")
+    )
+    ub = F.least(
+        F.col("_sza") - F.col("_pa0"), F.col("_szb") - F.col("_pb0")
     )
     alpha = F.ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
     )
-    return pairs.filter(F.col("_ub") >= alpha).select("id_a", "id_b")
+    return pairs.filter(ub >= alpha).select("id_a", "id_b")
 
 
 def ngram_jaccard_pairs(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import (
+    md5_long,
     token_array,
     word_shingles_of_tokens,
 )
@@ -34,25 +35,31 @@ def decontaminate(
     document, and a ``contaminated`` flag at *min_hits*.
 
     Scale shape: the eval side (benchmarks — thousands of docs) reduces
-    to a DISTINCT shingle relation that is BROADCAST; the training side
-    (the 100 TB corpus) explodes to shingles, hash-joins against the
-    broadcast in-map, and re-aggregates per document — one shuffle on
-    doc id, no shuffle of the corpus text itself. Output keeps
-    zero-overlap documents (LEFT join semantics) so the result is a
-    total verdict over the corpus.
+    to a DISTINCT relation of 60-bit shingle HASHES that is BROADCAST —
+    hashing before the join shrinks the broadcast ~6× vs raw n-gram
+    strings (8 bytes vs ~40+) and makes its size independent of gram
+    length; distinct-hash counts equal distinct-gram counts up to
+    md5-collision odds (~n²/2⁶⁰ — nil at eval-set scale), and both
+    engines hash identically so the equality is exact, not just
+    probable. The training side (the 100 TB corpus) explodes to
+    shingle hashes, joins against the broadcast map-side, and
+    re-aggregates per document — one shuffle on doc id, no shuffle of
+    the corpus text itself. Output keeps zero-overlap documents (LEFT
+    join semantics) so the result is a total verdict over the corpus.
     """
     t_sh = train.select(
         F.col(id_col).alias("_id"),
         F.explode(
             word_shingles_of_tokens(token_array(F.col(text_col)), n)
-        ).alias("_g"),
-    )
+        ).alias("_raw"),
+    ).select("_id", md5_long(F.col("_raw")).alias("_g"))
     e_sh = (
         eval_df.select(
             F.explode(
                 word_shingles_of_tokens(token_array(F.col(text_col)), n)
-            ).alias("_g")
+            ).alias("_raw")
         )
+        .select(md5_long(F.col("_raw")).alias("_g"))
         .distinct()
     )
     hits = (
@@ -166,4 +173,43 @@ def pack_sequences(
             F.count("*").alias("n_docs"),
             F.sum("_fill").cast("long").alias("n_tokens"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/retrieval-index prep
+    step): each document yields windows of *chunk* tokens starting
+    every *stride* tokens — ``stride < chunk`` gives overlapping
+    context windows; ``stride == chunk`` is disjoint splitting. Returns
+    one row per window: ``(id, chunk_idx, start_tok, n_tokens)`` with
+    the final windows shorter than *chunk* at the tail.
+
+    Unlike :func:`pack_sequences` (cross-document concat-then-chunk for
+    training), chunking is per-document: no prefix sum, no cross-row
+    coordination at all — the explode is computed inside the scan and
+    the operator is embarrassingly parallel at any corpus size.
+    Zero-token documents yield no windows.
+    """
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.size(token_array(F.col(text_col))).cast("long").alias("_n"),
+    )
+    spans = toks.filter(F.col("_n") > 0).withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), F.expr(f"(_n - 1) div {stride}"))),
+    )
+    start = F.col("chunk_idx") * stride
+    return spans.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(chunk), F.col("_n") - start).cast("long").alias(
+            "n_tokens"
+        ),
     )

@@ -117,3 +117,43 @@ def sample_weighted(
         float(1 << 60)
     )
     return df.filter(u < weight)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_weights: Mapping[str, float],
+    budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture downsampling: pick ≈\ *budget* rows whose source
+    composition matches *target_weights* (the Pile/Llama-style
+    training-mix step: "20% web, 40% code, ..."), deterministically.
+
+    Per source s: quota ``q_s = w_s·budget``, keep probability
+    ``p_s = min(1, q_s / n_s)`` where ``n_s`` is the source's actual
+    row count — a source UNDER its quota is kept whole (no oversampling
+    or duplication; renormalize weights upstream if hard proportions
+    are required). The draw is the same stable 60-bit md5 fraction as
+    :func:`sample_weighted`, so membership is reproducible per key
+    across runs, engines and partitionings.
+
+    Scale shape: one count aggregate per source (a handful of rows) is
+    broadcast back onto the corpus scan; the keep decision is then a
+    pure scan-level predicate — the 100 TB corpus is read once and
+    never shuffled.
+    """
+    rate: Column = F.lit(0.0)
+    for value, w in sorted(target_weights.items()):
+        rate = F.when(
+            F.col(source_col) == value, F.lit(float(w) * budget)
+        ).otherwise(rate)
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n_src"))
+    with_p = df.join(F.broadcast(counts), on=source_col).withColumn(
+        "_p", F.least(F.lit(1.0), rate / F.col("_n_src"))
+    )
+    u = md5_long(F.col(key_col).cast("string"), salt=salt) / F.lit(
+        float(1 << 60)
+    )
+    return with_p.filter(u < F.col("_p")).drop("_n_src", "_p")

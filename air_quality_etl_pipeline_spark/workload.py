@@ -1169,6 +1169,8 @@ _DRIVER_PRIORITY = [
     "hard_negative_mining",
     "sql_shipping_priority",
     "sql_local_supplier_volume",
+    "chunk_documents",
+    "mixture_sample",
     # spill-over past the 50-cap (locally verified; round-3 targets)
     "moving_avg_7d",
     "ntile_deciles",

@@ -298,7 +298,10 @@ _GRAMS3 = (
     "decontaminate_eval",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    grams AS (SELECT doc_id, unnest({_GRAMS3}) AS g FROM t),
+    raw AS (SELECT doc_id, unnest({_GRAMS3}) AS raw FROM t),
+    grams AS (SELECT doc_id,
+                     ('0x' || substr(md5(raw), 1, 15))::BIGINT AS g
+              FROM raw),
     ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
     hits AS (SELECT grams.doc_id, count(DISTINCT grams.g) AS n_overlap
              FROM grams JOIN ev USING (g)
@@ -314,9 +317,10 @@ _GRAMS3 = (
 def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 §2.2 style): flag training
     documents sharing ≥5 distinct word-3-grams with a held-out eval
-    set (here: every 50th document). The eval shingle set is broadcast;
-    the corpus explodes, joins map-side, and re-aggregates — see
-    operators.packing.decontaminate."""
+    set (here: every 50th document). Grams are 60-bit md5-hashed on
+    both sides before the join — the eval broadcast is ~6× smaller
+    than raw strings; the corpus explodes, joins map-side, and
+    re-aggregates — see operators.packing.decontaminate."""
     from air_quality_etl_pipeline_spark.operators.packing import decontaminate
 
     d = _t(spark, sf_dir, "documents")
@@ -354,3 +358,68 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return pack_sequences(d, "doc_id", "text", ctx=256)
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n
+               FROM documents WHERE doc_id < 300),
+    s AS (SELECT doc_id, n, unnest(range(0, (n - 1) // 64 + 1)) AS chunk_idx
+          FROM t WHERE n > 0)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 64 AS BIGINT) AS start_tok,
+           CAST(least(128, n - chunk_idx * 64) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 128-token windows every 64
+    tokens per document (50% overlap), one output row per window —
+    per-document arithmetic computed inside the scan, embarrassingly
+    parallel. Bounded to doc_id < 300 to keep the compare payload
+    fixed-size at any SF. See operators.packing.chunk_documents."""
+    from air_quality_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return chunk_documents(d, "doc_id", "text", chunk=128, stride=64)
+
+
+#: target mixture for the domain-mix sampler (sums to 1)
+_MIX_WEIGHTS = {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1}
+_MIX_BUDGET = 200
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH n AS (SELECT lang, count(*) AS n_src FROM documents GROUP BY 1),
+    p AS (SELECT lang,
+                 least(1.0, (CASE lang
+                   {" ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items()))}
+                   ELSE 0.0 END * {_MIX_BUDGET}) / n_src) AS keep_p
+          FROM n),
+    kept AS (
+      SELECT d.lang FROM documents d JOIN p USING (lang)
+      WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT / 1152921504606846976.0 < keep_p)
+    SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling to a ~200-doc budget at a target
+    language mix (40/20/20/10/10): per-source quota → keep probability
+    min(1, quota/actual) → deterministic 60-bit md5 draw. The count
+    aggregate broadcasts back onto the scan, so the corpus is read
+    once and never shuffled. See operators.sampling.mixture_sample."""
+    from air_quality_etl_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, "doc_id", "lang", _MIX_WEIGHTS, budget=_MIX_BUDGET
+    )
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))

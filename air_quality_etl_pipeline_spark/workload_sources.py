@@ -39,7 +39,12 @@ from air_quality_etl_pipeline_spark.streaming.jobs import (
 )
 from air_quality_etl_pipeline_spark.workload import _t, register
 
-SCRATCH = "/tmp/air_quality_etl_pipeline_spark_scratch"
+import os as _os
+
+#: per-process scratch root: two concurrent runs (a pytest session and
+#: the driver's verify, say) must never race on the same rmtree/write/
+#: read cycle of a sink round-trip query.
+SCRATCH = f"/tmp/air_quality_etl_pipeline_spark_scratch_{_os.getpid()}"
 
 
 # ---------------------------------------------------------------------------

@@ -85,3 +85,52 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
         (F.col("bin") < agg["last"]) & (F.col("n_tokens") != 256)
     ).count()
     assert full == 0
+
+
+def test_chunk_documents_window_math(spark):
+    from air_quality_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["t"] * 10)), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens)
+        for r in chunk_documents(df, chunk=4, stride=3).collect()
+    )
+    # doc1: 10 tokens -> starts 0,3,6,9 with lens 4,4,4,1
+    # doc2: 2 tokens -> one short chunk; doc3: none
+    assert out == [
+        (1, 0, 0, 4), (1, 1, 3, 4), (1, 2, 6, 4), (1, 3, 9, 1),
+        (2, 0, 0, 2),
+    ]
+
+
+def test_mixture_sample_respects_quotas(spark, sf_dir):
+    from air_quality_etl_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"en": 0.4, "fr": 0.2, "de": 0.2, "es": 0.1, "zh": 0.1}
+    kept = mixture_sample(d, "doc_id", "lang", weights, budget=200)
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    for lang, w in weights.items():
+        quota = w * 200
+        # Bernoulli sampling: expect ~quota, never above the source size
+        assert counts.get(lang, 0) <= totals[lang]
+        assert abs(counts.get(lang, 0) - min(quota, totals[lang])) <= 4 * (quota ** 0.5)
+    # deterministic across evaluations
+    again = {r.lang: r.n for r in mixture_sample(
+        d, "doc_id", "lang", weights, budget=200
+    ).groupBy("lang").agg(
+        F.count("*").alias("n")
+    ).collect()}
+    assert counts == again

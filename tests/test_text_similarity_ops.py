@@ -250,7 +250,7 @@ def test_zorder_files_narrow_in_both_dimensions(spark, sf_dir, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
@@ -384,6 +384,8 @@ def _brute_jaccard_pairs(rows, n, threshold):
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.8]),
 )
+@example(texts=["aaa ", "aaa a"], threshold=0.3)  # positional-bound regression
+@example(texts=["bca ", "abca "], threshold=0.3)
 def test_ngram_jaccard_prefix_filter_exact_recall(spark, texts, threshold):
     from air_quality_etl_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs,
@@ -413,6 +415,8 @@ def test_ngram_jaccard_prefix_filter_exact_recall(spark, texts, threshold):
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.8]),
 )
+@example(texts=["aaa ", "aaa a"], threshold=0.3)  # positional-bound regression
+@example(texts=["bca ", "abca "], threshold=0.3)
 def test_ppjoin_positional_filter_prunes_without_losing_pairs(
     spark, texts, threshold
 ):
