@@ -88,41 +88,57 @@ def prefix_sum(
     num_ranges: int | None = None,
 ) -> DataFrame:
     """Distributed inclusive prefix sum of *value_col* in *order_col*
-    order — the two-phase formulation: range-partition on the order
-    key, cumulate within each range with a window, then add per-range
-    offsets computed from a tiny collected totals map (same pattern as
-    ``plans.gold.dense_id``). No global single-partition sort: each
-    range cumulates independently, and only ``num_ranges`` scalars hit
-    the driver."""
+    order (numeric keys) — the two-phase formulation: bucket the key
+    space into *num_ranges* fixed-width ranges, cumulate within each
+    bucket with a window, then add per-bucket offsets computed from a
+    tiny collected totals map. No global single-partition sort: each
+    bucket cumulates independently, and only ``num_ranges + 2`` scalars
+    hit the driver (key min/max + per-bucket totals).
+
+    The bucket id is a DETERMINISTIC function of the key value —
+    ``(k − min) div width`` — never ``spark_partition_id()`` over
+    ``repartitionByRange``: range partitioning samples its bounds, so
+    two evaluations of the same plan can split differently, and a
+    totals map keyed by partition id then mis-offsets the second
+    evaluation (caught at 5 M rows: off by the rows that moved between
+    splits; invisible at unit-test sizes where both evaluations sample
+    identical bounds). Skewed key distributions only unbalance bucket
+    SIZES, never correctness."""
     if num_ranges is None:
         num_ranges = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
         )
-    ranged = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    lo, hi = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if lo is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo)) // num_ranges + 1)
+    # integer DIV, not float division: exact past 2^53
+    bucket = F.expr(f"(cast(`{order_col}` as bigint) - {int(lo)}) div {width}")
+    bucketed = df.withColumn("__bkt", bucket)
     totals = {
-        r["__pid"]: r["s"]
-        for r in ranged.groupBy("__pid")
+        r["__bkt"]: r["s"]
+        for r in bucketed.groupBy("__bkt")
         .agg(F.sum(value_col).alias("s"))
         .collect()
     }
     offsets, running = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = running
-        running += totals[pid] or 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b] or 0
     offset_col = (
         F.element_at(
             F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("__pid"),
+            F.col("__bkt"),
         )
         if offsets
         else F.lit(0)
     )
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    return ranged.withColumn(
+    w = Window.partitionBy("__bkt").orderBy(order_col)
+    return bucketed.withColumn(
         out_col, (F.sum(value_col).over(w) + offset_col).cast("long")
-    ).drop("__pid")
+    ).drop("__bkt")
 
 
 def pack_sequences(

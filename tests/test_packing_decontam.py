@@ -46,6 +46,28 @@ def test_prefix_sum_matches_serial(spark):
         assert got[k] == running
 
 
+def test_prefix_sum_stable_across_evaluations(spark):
+    """Regression for the repartitionByRange bug: range partitioning
+    SAMPLES its bounds, so a totals map keyed by partition id can
+    mis-offset a later re-evaluation of the same plan. Buckets must be
+    a deterministic function of the key value: two separate actions on
+    one prefix_sum plan (and two separately built plans) must agree."""
+    rows = [((i * 37) % 10_000, 1) for i in range(5_000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).dropDuplicates(["k"])
+    out = prefix_sum(df, "k", "v", "cum", num_ranges=13)
+    first = {r.k: r.cum for r in out.collect()}
+    second = {r.k: r.cum for r in out.collect()}  # re-evaluates the plan
+    assert first == second
+    rebuilt = {
+        r.k: r.cum
+        for r in prefix_sum(df, "k", "v", "cum", num_ranges=13).collect()
+    }
+    assert first == rebuilt
+    # and it is the true prefix sum
+    for rank, k in enumerate(sorted(first), start=1):
+        assert first[k] == rank
+
+
 def test_pack_sequences_window_math(spark):
     # token counts: 3, 4, 0, 6 -> stream of 13 tokens, ctx=5
     df = spark.createDataFrame(
