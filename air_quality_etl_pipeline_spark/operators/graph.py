@@ -112,12 +112,19 @@ def connected_components(
 
         return sym.coalesce(1).mapInPandas(local_union_find, out_schema)
 
-    # distributed min-label propagation (see module docstring)
+    # distributed min-label propagation + pointer jumping (see module
+    # docstring). Neighbor propagation alone converges in O(diameter)
+    # rounds — a 50-node chain silently exceeds max_iter=30 (caught by
+    # a 10k-chain stress test; the fixpoint check below would mask it).
+    # The pointer-jump step (lbl ← lbl of lbl) doubles the propagation
+    # distance per round, so convergence is O(log diameter): 30 rounds
+    # cover any graph that fits on hardware.
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("node", "u"), on="u"
@@ -126,13 +133,30 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: follow the label one hop (labels form a
+        # pointer forest toward each component's minimum)
+        parent = labels.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        labels = (
+            labels.join(parent, on="lbl", how="left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.col("lbl2")).alias("lbl"),
+            )
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("lbl")).first()[0]
         if new_sum == prev_sum:  # labels are monotone ⇒ fixpoint
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 

@@ -78,3 +78,17 @@ def test_dedup_clusters_full_corpus_decision(spark):
     # dropping is_keeper=0 keeps exactly one doc per cluster
     kept = [d for d, (_, k, _) in rows.items() if k]
     assert sorted(kept) == [1, 2, 4, 7]
+
+
+def test_distributed_path_converges_past_max_iter_diameter(spark):
+    """Regression: neighbor-min propagation alone needs O(diameter)
+    rounds — a 2000-node chain exceeds max_iter=30 and used to return
+    wrong labels SILENTLY. With pointer jumping each round the distance
+    doubles (O(log diameter)); the run must both converge and be
+    correct, and non-convergence now raises instead of mislabeling."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(2000)], ["id_a", "id_b"]
+    )
+    cc = connected_components(edges, local_threshold=0)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {0}
