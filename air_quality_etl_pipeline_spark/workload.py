@@ -1171,6 +1171,8 @@ _DRIVER_PRIORITY = [
     "sql_local_supplier_volume",
     "chunk_documents",
     "mixture_sample",
+    "cross_doc_ngram_dup",
+    "vocab_oov_rate",
     # spill-over past the 50-cap (locally verified; round-3 targets)
     "moving_avg_7d",
     "ntile_deciles",

@@ -423,3 +423,141 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "lang", _MIX_WEIGHTS, budget=_MIX_BUDGET
     )
     return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+#: word-5-gram set per document — mirrors word_shingles_of_tokens(n=5)
+_GRAMS5 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 4, 1) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 4), ' ')))"
+)
+
+
+@register(
+    "cross_doc_ngram_dup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+              FROM (SELECT doc_id, unnest({_GRAMS5}) AS g FROM t)),
+    freq AS (SELECT gh, count(*) AS n_docs FROM grams GROUP BY 1),
+    scored AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM grams g JOIN freq f USING (gh) GROUP BY 1)
+    SELECT doc_id, n_grams, n_shared,
+           floor((CAST(n_shared AS DOUBLE) / n_grams) * 10000.0 + 0.5)
+             / 10000.0 AS shared_frac
+    FROM scored
+    """,
+)
+def q_cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram fraction (the corpus-level dedup
+    quality metric of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — distinct from doc_repetition's
+    INTRA-document signals): per document, the fraction of its distinct
+    word-5-grams that appear in at least one OTHER document.
+
+    Relational shape: one explode to 60-bit gram hashes, one
+    vocabulary-sized groupBy for document frequencies, one join back,
+    one per-doc aggregate — two shuffles total, both on narrow hash
+    keys; the document text never re-shuffles. The same pipeline at a
+    higher n and a min-count threshold IS the remove-duplicated-spans
+    preprocessing pass."""
+    from air_quality_etl_pipeline_spark.functions.core import (
+        md5_long,
+        token_array,
+        word_shingles_of_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            word_shingles_of_tokens(token_array(F.col("text")), 5)
+        ).alias("_raw"),
+    ).select("doc_id", md5_long(F.col("_raw")).alias("gh"))
+    freq = grams.groupBy("gh").agg(F.count("*").alias("n_docs"))
+    scored = (
+        grams.join(freq, on="gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        round_portable(
+            F.col("n_shared").cast("double") / F.col("n_grams"), 4
+        ).alias("shared_frac"),
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lower(tok) AS tok
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+        FROM freq) WHERE rk <= 20),
+    scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      GROUP BY 1)
+    SELECT doc_id, n_tokens, n_oov,
+           floor((CAST(n_oov AS DOUBLE) / n_tokens) * 10000.0 + 0.5)
+             / 10000.0 AS oov_frac
+    FROM scored
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage proxy: build the corpus top-20 vocabulary
+    (frequency-ranked, deterministic tiebreak) and report each
+    document's out-of-vocabulary token fraction — the screening metric
+    for "will this corpus tokenize efficiently / is this document
+    gibberish". The vocabulary aggregate is vocabulary-sized, its
+    top-k is a window over that (never the corpus), and the k terms
+    BROADCAST back onto the token stream — the corpus shuffles once,
+    on doc_id, for the final per-doc aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    from air_quality_etl_pipeline_spark.functions.core import token_array
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        F.explode(token_array(F.col("text"))).alias("_raw"),
+    ).select("doc_id", F.lower(F.col("_raw")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("tok", F.lit(True).alias("_in"))
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("_in").isNull().cast("long")).alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        round_portable(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 4
+        ).alias("oov_frac"),
+    )

@@ -126,9 +126,10 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
 
 
 def test_pack_sequences_no_global_sort(spark):
-    # the prefix sum must be the range-partitioned two-phase form:
-    # no single-partition Exchange (the signature of a global window)
+    # the prefix sum must be the bucketed two-phase form: the window
+    # partitions by the deterministic key bucket (hash exchange), never
+    # a single-partition Exchange (the signature of a global window)
     df, _ = QUERIES["pack_sequences"]
     plan = _plan_of(df(spark, SF))
     assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "__bkt" in plan, plan
