@@ -80,14 +80,20 @@ def _shingled(
     text_col: str,
     n: int,
     block_cols: Sequence[str],
+    shingler: str = "char",
 ) -> DataFrame:
-    """``(_id, *blocks, _sh)`` — per-doc distinct char-n-gram arrays,
-    persisted (read twice: candidate generation + verification)."""
+    """``(_id, *blocks, _sh)`` — per-doc distinct n-gram arrays (char
+    or word shingles), persisted (read twice: candidate generation +
+    verification)."""
     blocks = [F.col(c) for c in block_cols]
+    if shingler == "word":
+        sh = word_shingles_of_tokens(token_array(F.col(text_col)), n)
+    elif shingler == "char":
+        sh = char_shingles(F.col(text_col), n)
+    else:
+        raise ValueError(f"unknown shingler: {shingler!r}")
     return df.select(
-        F.col(id_col).alias("_id"),
-        *blocks,
-        char_shingles(F.col(text_col), n).alias("_sh"),
+        F.col(id_col).alias("_id"), *blocks, sh.alias("_sh")
     ).persist()
 
 
@@ -180,6 +186,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_cols: Sequence[str] = (),
     positional: bool = True,
+    shingler: str = "char",
 ) -> DataFrame:
     """Near-dup pairs by character-n-gram Jaccard ≥ *threshold*, with
     PPJoin PREFIX FILTERING (Xiao et al., "Efficient Similarity Joins
@@ -201,13 +208,24 @@ def ngram_jaccard_pairs(
     :func:`ppjoin_candidates`; recall stays exact (the bound only
     discards pairs that provably cannot reach *threshold*).
 
+    PREFIX FILTERING NEEDS A HEAVY-TAILED SHINGLE SPACE: prefixes index
+    each doc under its RAREST tokens, so collisions stay sparse only
+    when most shingles are rare. A tiny shingle vocabulary (e.g. char
+    3-grams over a small alphabet — measured: 100 k docs / ~5 k distinct
+    grams blew past memory in candidate generation) makes every bucket
+    huge and the join quadratic. On such corpora use
+    ``shingler="word"`` (n-gram space is vocab^n — heavy-tailed; the
+    same 100 k docs finish in seconds) or switch to MinHash-LSH, whose
+    candidate volume is capped by the banding scheme rather than the
+    token distribution.
+
     Verification joins candidate ids back to the shingle arrays: the
     size prefilter ``min ≥ t·max`` first, then exact Jaccard computed
     as ``∩ / (|A| + |B| − ∩)`` — arrays are distinct, so the union
     size is arithmetic and the expensive ``array_union``
     materialization disappears.
     """
-    sh = _shingled(df, id_col, text_col, n, block_cols)
+    sh = _shingled(df, id_col, text_col, n, block_cols, shingler)
     cands = ppjoin_candidates(
         sh, threshold, block_cols, positional=positional
     )
