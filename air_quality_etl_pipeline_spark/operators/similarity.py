@@ -211,6 +211,7 @@ def ivf_topk(
     nprobe: int = 2,
     sim_decimals: int = 6,
     dims: int | None = None,
+    assign_mode: str = "catalyst",
 ) -> DataFrame:
     """IVF-style approximate top-k — the inverted-file architecture
     (coarse quantizer → probe lists) expressed relationally:
@@ -222,6 +223,12 @@ def ivf_topk(
        (broadcast centroids ⨯ corpus, rank-1 by cosine) — this is the
        inverted list: at scale you'd repartition + persist it keyed by
        ``cid``, amortized over every later query.
+       ``assign_mode="numpy"`` swaps this one step for the Arrow/BLAS
+       matmul of :func:`assign_nearest_numpy` — the production build
+       path when corpus × centroids is large (500 k × 500 × 64
+       measured: ~90 s Catalyst vs a few s BLAS); hairline cosine ties
+       may assign differently there, so oracle-twinned queries keep
+       the default.
     3. *Probe*: each query ranks the same centroids and searches only
        its ``nprobe`` nearest lists — the equi-join on ``cid`` replaces
        the full corpus scan, cutting work by ~``nprobe/num_centroids``.
@@ -253,31 +260,45 @@ def ivf_topk(
             .drop("centv", "centn", "_cos", "_rn")
         )
 
-    # Assignment is rank-1, so it needs no window sort at all: max_by
-    # over the broadcast-joined scores aggregates map-side (partial
-    # max per corpus id collapses before any exchange), so the shuffle
-    # carries ONE row per corpus vector instead of the whole
-    # corpus × centroid scored relation with its vectors. The ordering
-    # struct (cos, −cid) reproduces the window's (cos DESC, cid ASC)
-    # tie-break exactly.
-    scored_c = c.crossJoin(cents).withColumn(
-        "_cos", _pair_cosine("_v", "_n", "centv", "centn", dims, sim_decimals)
-    )
-    assigned = (
-        scored_c.groupBy("_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("_v"), F.col("_n"), F.col("cid")),
-                F.struct(F.col("_cos"), (-F.col("cid")).alias("_nc")),
-            ).alias("_b")
+    if assign_mode == "numpy":
+        picked = assign_nearest_numpy(
+            c, cents, id_col="_id", vec_col="_v"
         )
-        .select(
+        assigned = c.join(picked, on="_id").select(
             F.col("_id").alias("neighbor_id"),
-            F.col("_b._v").alias("cv"),
-            F.col("_b._n").alias("cn"),
-            F.col("_b.cid").alias("cid"),
+            F.col("_v").alias("cv"),
+            F.col("_n").alias("cn"),
+            "cid",
         )
-    )
+    elif assign_mode == "catalyst":
+        # Assignment is rank-1, so it needs no window sort at all:
+        # max_by over the broadcast-joined scores aggregates map-side
+        # (partial max per corpus id collapses before any exchange), so
+        # the shuffle carries ONE row per corpus vector instead of the
+        # whole corpus × centroid scored relation with its vectors. The
+        # ordering struct (cos, −cid) reproduces the window's
+        # (cos DESC, cid ASC) tie-break exactly.
+        scored_c = c.crossJoin(cents).withColumn(
+            "_cos",
+            _pair_cosine("_v", "_n", "centv", "centn", dims, sim_decimals),
+        )
+        assigned = (
+            scored_c.groupBy("_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("_v"), F.col("_n"), F.col("cid")),
+                    F.struct(F.col("_cos"), (-F.col("cid")).alias("_nc")),
+                ).alias("_b")
+            )
+            .select(
+                F.col("_id").alias("neighbor_id"),
+                F.col("_b._v").alias("cv"),
+                F.col("_b._n").alias("cn"),
+                F.col("_b.cid").alias("cid"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown assign_mode: {assign_mode!r}")
     probes = nearest(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -303,6 +324,63 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_nearest_numpy(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "_id",
+    vec_col: str = "_v",
+    cid_col: str = "cid",
+    centv_col: str = "centv",
+) -> DataFrame:
+    """BLAS-speed nearest-centroid assignment: Arrow-batched
+    ``mapInPandas`` computing one ``(batch × dims) @ (dims × k)``
+    matmul per batch — the production path for INDEX BUILDS (IVF list
+    assignment, k-means at corpus scale), where the Catalyst
+    crossJoin + fold evaluates ``rows × k × dims`` scalar expressions
+    (measured at 500 k × 500 × 64: ~90 s Catalyst vs seconds in BLAS).
+
+    Nearest = maximum cosine, ties to the smallest centroid id (the
+    centroid matrix is ordered by cid, ``argmax`` keeps the first
+    maximum). Float summation ORDER differs from the Catalyst fold, so
+    hairline ties can assign differently — this is the documented
+    production/oracle split (same policy as xxhash64 vs md5 hash
+    families): oracle-twinned queries keep the Catalyst path. The
+    closure is self-contained (k·dims centroid list captured by value,
+    imports inside), so executors need nothing on sys.path. Returns
+    ``(id_col, cid)``.
+    """
+    cent_rows = sorted(
+        (r[cid_col], list(r[centv_col])) for r in centroids.collect()
+    )
+    cids = [c for c, _ in cent_rows]
+    cent_mat = [v for _, v in cent_rows]
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cent_mat, dtype=np.float64)
+        Cn = np.linalg.norm(C, axis=1)
+        Cn[Cn == 0] = 1.0
+        Cu = C / Cn[:, None]
+        ids = np.asarray(cids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = np.linalg.norm(V, axis=1)
+            Vn[Vn == 0] = 1.0
+            cos = (V / Vn[:, None]) @ Cu.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cid": ids[np.argmax(cos, axis=1)]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        assign, f"`{id_col}` {id_type}, cid long"
     )
 
 

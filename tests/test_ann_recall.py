@@ -99,3 +99,24 @@ def test_kmeans_parallel_init_and_fit(spark, sf_dir):
     # full fit from the parallel init: SSE stays monotone
     _, sse = kmeans_fit(e, centroid_stride=16, iterations=2, init="parallel")
     assert len(sse) == 2 and sse[0] >= sse[1] > 0
+
+
+def test_ivf_numpy_assignment_matches_catalyst(spark, sf_dir):
+    """The BLAS build path (assign_mode='numpy') must produce the same
+    top-k as the oracle-exact Catalyst assignment away from hairline
+    cosine ties (this corpus has none at the default parameters)."""
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    a = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(e, q, k=5, dims=64).collect()
+    }
+    b = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(e, q, k=5, dims=64, assign_mode="numpy").collect()
+    }
+    assert a == b
