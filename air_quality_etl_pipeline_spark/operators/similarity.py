@@ -334,6 +334,7 @@ def assign_nearest_numpy(
     vec_col: str = "_v",
     cid_col: str = "cid",
     centv_col: str = "centv",
+    metric: str = "cosine",
 ) -> DataFrame:
     """BLAS-speed nearest-centroid assignment: Arrow-batched
     ``mapInPandas`` computing one ``(batch × dims) @ (dims × k)``
@@ -342,16 +343,19 @@ def assign_nearest_numpy(
     crossJoin + fold evaluates ``rows × k × dims`` scalar expressions
     (measured at 500 k × 500 × 64: ~90 s Catalyst vs seconds in BLAS).
 
-    Nearest = maximum cosine, ties to the smallest centroid id (the
-    centroid matrix is ordered by cid, ``argmax`` keeps the first
-    maximum). Float summation ORDER differs from the Catalyst fold, so
-    hairline ties can assign differently — this is the documented
-    production/oracle split (same policy as xxhash64 vs md5 hash
-    families): oracle-twinned queries keep the Catalyst path. The
-    closure is self-contained (k·dims centroid list captured by value,
-    imports inside), so executors need nothing on sys.path. Returns
-    ``(id_col, cid)``.
+    ``metric="cosine"`` picks the maximum cosine (IVF); ``"euclidean"``
+    the minimum squared distance (k-means). Ties go to the smallest
+    centroid id (the centroid matrix is ordered by cid; argmax/argmin
+    keep the first extremum). Float summation ORDER differs from the
+    Catalyst fold, so hairline ties can assign differently — this is
+    the documented production/oracle split (same policy as xxhash64 vs
+    md5 hash families): oracle-twinned queries keep the Catalyst path.
+    The closure is self-contained (k·dims centroid list captured by
+    value, imports inside), so executors need nothing on sys.path.
+    Returns ``(id_col, cid)``.
     """
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError(f"unknown metric: {metric!r}")
     cent_rows = sorted(
         (r[cid_col], list(r[centv_col])) for r in centroids.collect()
     )
@@ -364,20 +368,25 @@ def assign_nearest_numpy(
         import pandas as pd
 
         C = np.asarray(cent_mat, dtype=np.float64)
-        Cn = np.linalg.norm(C, axis=1)
-        Cn[Cn == 0] = 1.0
-        Cu = C / Cn[:, None]
         ids = np.asarray(cids)
+        if metric == "cosine":
+            Cn = np.linalg.norm(C, axis=1)
+            Cn[Cn == 0] = 1.0
+            Cu = C / Cn[:, None]
+        else:
+            C2 = (C * C).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Vn = np.linalg.norm(V, axis=1)
-            Vn[Vn == 0] = 1.0
-            cos = (V / Vn[:, None]) @ Cu.T
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cid": ids[np.argmax(cos, axis=1)]}
-            )
+            if metric == "cosine":
+                Vn = np.linalg.norm(V, axis=1)
+                Vn[Vn == 0] = 1.0
+                pick = np.argmax((V / Vn[:, None]) @ Cu.T, axis=1)
+            else:
+                d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + C2[None, :]
+                pick = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "cid": ids[pick]})
 
     return vectors.select(id_col, vec_col).mapInPandas(
         assign, f"`{id_col}` {id_type}, cid long"
@@ -391,12 +400,17 @@ def kmeans_update_step(
     centroid_stride: int = 128,
     dist_decimals: int = 6,
     centroids: DataFrame | None = None,
+    assign_mode: str = "catalyst",
 ) -> DataFrame:
     """One Lloyd (k-means) iteration, fully relational:
 
     1. *Assign*: each vector to its nearest centroid by squared
        euclidean distance (broadcast centroids, ``min_by`` aggregate —
        map-side partials, no window sort; ties break on centroid id).
+       ``assign_mode="numpy"`` swaps this step for the Arrow/BLAS
+       matmul (:func:`assign_nearest_numpy`, euclidean metric) — the
+       corpus-scale build path; oracle-twinned queries keep the
+       default.
     2. *Update*: new centroid sums per (cluster, dimension) via
        posexplode + one groupBy — returns
        ``(cid, dim, sum_micro, n_points)``; the caller divides
@@ -420,23 +434,33 @@ def kmeans_update_step(
             F.col("_id").alias("cid"), F.col("_v").alias("centv")
         )
     )
-    f = float(10**dist_decimals)
-    dist = F.expr(
-        "floor(aggregate(zip_with(_v, centv, (x, y) -> (x - y) * (x - y)), "
-        f"0.0D, (acc, x) -> acc + x) * {f}D + 0.5D) / {f}D"
-    )
-    assigned = (
-        v.crossJoin(cents)
-        .withColumn("_dist", dist)
-        .groupBy("_id")
-        .agg(
-            F.min_by(
-                F.struct(F.col("cid"), F.col("_v")),
-                F.struct(F.col("_dist"), F.col("cid")),
-            ).alias("_b")
+    if assign_mode == "numpy":
+        picked = assign_nearest_numpy(
+            v, cents, id_col="_id", vec_col="_v", metric="euclidean"
         )
-        .select("_id", F.col("_b.cid").alias("cid"), F.col("_b._v").alias("_v"))
-    )
+        assigned = v.join(picked, on="_id")
+    elif assign_mode == "catalyst":
+        f = float(10**dist_decimals)
+        dist = F.expr(
+            "floor(aggregate(zip_with(_v, centv, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, x) -> acc + x) * {f}D + 0.5D) / {f}D"
+        )
+        assigned = (
+            v.crossJoin(cents)
+            .withColumn("_dist", dist)
+            .groupBy("_id")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cid"), F.col("_v")),
+                    F.struct(F.col("_dist"), F.col("cid")),
+                ).alias("_b")
+            )
+            .select(
+                "_id", F.col("_b.cid").alias("cid"), F.col("_b._v").alias("_v")
+            )
+        )
+    else:
+        raise ValueError(f"unknown assign_mode: {assign_mode!r}")
     exploded = assigned.select(
         "cid", F.posexplode("_v").alias("_pos", "_x")
     )

@@ -120,3 +120,22 @@ def test_ivf_numpy_assignment_matches_catalyst(spark, sf_dir):
         for r in ivf_topk(e, q, k=5, dims=64, assign_mode="numpy").collect()
     }
     assert a == b
+
+
+def test_kmeans_numpy_assignment_matches_catalyst(spark, sf_dir):
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        kmeans_update_step,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(
+        (r.cid, r.dim, r.sum_micro, r.n_points)
+        for r in kmeans_update_step(e, centroid_stride=128).collect()
+    )
+    b = sorted(
+        (r.cid, r.dim, r.sum_micro, r.n_points)
+        for r in kmeans_update_step(
+            e, centroid_stride=128, assign_mode="numpy"
+        ).collect()
+    )
+    assert a == b
