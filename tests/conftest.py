@@ -1,10 +1,14 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from air_quality_etl_pipeline_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+#: override to re-run the whole suite against another scale factor
+#: (e.g. SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest)
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
