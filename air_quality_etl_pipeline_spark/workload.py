@@ -1173,6 +1173,7 @@ _DRIVER_PRIORITY = [
     "mixture_sample",
     "cross_doc_ngram_dup",
     "vocab_oov_rate",
+    "zscore_anomalies",
     # spill-over past the 50-cap (locally verified; round-3 targets)
     "moving_avg_7d",
     "ntile_deciles",

@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.functions.core import md5_hex15, token_array
+from air_quality_etl_pipeline_spark.functions.core import (
+    md5_hex15,
+    round_portable,
+    token_array,
+)
 from air_quality_etl_pipeline_spark.plans.merge import table_diff, upsert_replace
 from air_quality_etl_pipeline_spark.workload import _dec_sum, _events, _t, register
 from air_quality_etl_pipeline_spark.workload_llm import TOKS
@@ -1445,4 +1449,60 @@ def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
         """
+    )
+
+
+@register(
+    "zscore_anomalies",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+      FROM events GROUP BY 1),
+    m AS (SELECT event_type, n, sv / n AS mu,
+                 sqrt(svv / n - (sv / n) * (sv / n)) AS sd
+          FROM s)
+    SELECT e.event_type,
+           max(m.n) AS n_events,
+           floor(max(mu) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+           floor(max(sd) * 1000000.0 + 0.5) / 1000000.0 AS std_value,
+           CAST(sum(CASE WHEN abs((e.value - mu) / sd) > 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM events e JOIN m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly screening (|z| > 3 against the group's
+    own distribution) — the metric-monitoring primitive for a pipeline's
+    QA stage. Determinism across engines comes from EXACT moment sums:
+    mean and std derive from decimal-accumulated Σv and Σv² (order-
+    independent), cast to double only at the final division, so every
+    z-comparison sees bit-identical thresholds on both engines. Scale:
+    one grouped aggregate (map-side partial), the k-row stats broadcast
+    back onto the scan, second aggregate — the fact table shuffles only
+    on event_type."""
+    e = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("sv"),
+        F.sum(dec * dec).cast("double").alias("svv"),
+    )
+    mu = F.col("sv") / F.col("n")
+    stats = stats.withColumn("mu", mu).withColumn(
+        "sd", F.sqrt(F.col("svv") / F.col("n") - mu * mu)
+    )
+    joined = e.join(F.broadcast(stats), on="event_type")
+    return joined.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        round_portable(F.max("mu"), 6).alias("mean_value"),
+        round_portable(F.max("sd"), 6).alias("std_value"),
+        F.sum(
+            (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3).cast(
+                "long"
+            )
+        ).alias("n_anomalies"),
     )
