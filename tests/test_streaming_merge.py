@@ -83,3 +83,33 @@ def test_available_now_respects_max_files_per_trigger(spark, tmp_path):
     q.awaitTermination()
     assert len(seen_batches) >= 3  # one file per micro-batch
     assert sorted(seen_rows) == list(range(30))  # nothing lost or doubled
+
+
+def test_drop_duplicates_within_watermark_matches_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark (Spark 3.5+): like the
+    streaming_dedup query's dropDuplicates but state for a key is
+    dropped once the watermark passes its FIRST occurrence — the right
+    primitive when duplicates arrive close together (at-least-once
+    sources) and keys are unbounded. On a bounded availableNow replay
+    of the events table it must agree with batch DISTINCT on the key."""
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    got = run_available_now(
+        deduped.select("event_id"), spark, output_mode="append"
+    ).count()
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert got == expect
