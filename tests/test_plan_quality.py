@@ -133,3 +133,29 @@ def test_pack_sequences_no_global_sort(spark):
     plan = _plan_of(df(spark, SF))
     assert "Exchange SinglePartition" not in plan, plan
     assert "__bkt" in plan, plan
+
+
+def test_zscore_broadcasts_group_stats(spark):
+    # the k-row per-type stats broadcast back onto the events scan;
+    # the fact side shuffles only for the grouped aggregates
+    df, _ = QUERIES["zscore_anomalies"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_broadcast_query_set(spark):
+    # broadcast-nested-loop over the 8-query broadcast side is the
+    # intended exact-scan shape; what must never appear is a
+    # non-broadcast cartesian of corpus-sized relations
+    df, _ = QUERIES["hard_negative_mining"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cross_doc_ngram_no_cartesian(spark):
+    df, _ = QUERIES["cross_doc_ngram_dup"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
