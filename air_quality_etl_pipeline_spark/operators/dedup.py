@@ -29,6 +29,7 @@ and you want cheaper hashing.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +46,23 @@ from air_quality_etl_pipeline_spark.functions.core import (
     word_shingles_of_tokens,
 )
 from air_quality_etl_pipeline_spark.operators.text import fingerprint
+
+
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """Normalize a similarity threshold to an exact integer ratio
+    ``(num, den)`` with ``num/den == intended decimal`` so that
+    threshold tests can run in integer arithmetic instead of float.
+
+    ``Fraction(t)`` alone would take the exact binary expansion of the
+    double (huge denominator, faithfully wrong: double ``0.2`` is
+    slightly above 1/5); ``limit_denominator(10**6)`` snaps back to the
+    nearest small rational, which for any threshold written with ≤6
+    decimal places is exactly the number the caller typed.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    return frac.numerator, frac.denominator
 
 
 def exact_dup_groups(
@@ -119,7 +137,23 @@ def ppjoin_candidates(
     matches therefore over-prunes true pairs (caught by the Hypothesis
     recall property on ``['aaa ', 'aaa a']`` at t=0.3). Same shuffle
     count as the plain prefix filter (the pair groupBy replaces the
-    dropDuplicates), strictly fewer verified pairs."""
+    dropDuplicates), strictly fewer verified pairs.
+
+    ARITHMETIC IS EXACT-RATIONAL, NOT FLOAT. ``⌈t·x⌉`` computed with
+    double ``ceil`` over-counts when ``t·x`` is an exact integer but
+    the float product lands just above it (e.g. ``t=0.2, x=12`` →
+    ``ceil(2.0000000000000004)=3``), which would both shorten the
+    prefix below the guaranteed-recall minimum and prune true pairs
+    whose positional bound is tight. The threshold is therefore
+    normalized to a fraction ``num/den``
+    (``Fraction(t).limit_denominator(10**6)`` recovers the intended
+    decimal, e.g. double ``0.2`` → ``1/5``) and both tests become
+    integer arithmetic: prefix length uses ``⌈num·x / den⌉`` as an
+    integer ceil-div, and the positional prune uses the division-free
+    equivalence ``ub/(|A|+|B|−ub) ≥ t  ⇔  ub·(num+den) ≥
+    num·(|A|+|B|)`` — the same form as the verification Jaccard test.
+    """
+    t_num, t_den = _threshold_ratio(threshold)
     toks = sh.select("_id", *block_cols, F.explode("_sh").alias("_t"))
     freq = toks.groupBy("_t").agg(F.count("*").alias("_f"))
     # per-doc shingles sorted by (global freq, token): struct sort_array
@@ -132,10 +166,10 @@ def ppjoin_candidates(
             ).alias("_o")
         )
     )
-    p_len = (
-        F.size("_o")
-        - F.ceil(F.lit(threshold) * F.size("_o")).cast("int")
-        + F.lit(1)
+    # |s| − ⌈t·|s|⌉ + 1 with the ceil as an exact integer ceil-div
+    p_len = F.expr(
+        f"size(_o) - CAST(({t_num}L * size(_o) + {t_den - 1}L)"
+        f" DIV {t_den}L AS INT) + 1"
     )
     prefixes = ordered.select(
         "_id",
@@ -172,10 +206,12 @@ def ppjoin_candidates(
     ub = F.least(
         F.col("_sza") - F.col("_pa0"), F.col("_szb") - F.col("_pb0")
     )
-    alpha = F.ceil(
-        F.lit(threshold) / (1.0 + threshold) * (F.col("_sza") + F.col("_szb"))
+    # reachable ⇔ ub/(|A|+|B|−ub) ≥ t ⇔ ub·(num+den) ≥ num·(|A|+|B|):
+    # integer-exact, no float ceil of α = ⌈t/(1+t)·(|A|+|B|)⌉ needed
+    reachable = ub * F.lit(t_num + t_den) >= F.lit(t_num) * (
+        F.col("_sza") + F.col("_szb")
     )
-    return pairs.filter(ub >= alpha).select("id_a", "id_b")
+    return pairs.filter(reachable).select("id_a", "id_b")
 
 
 def ngram_jaccard_pairs(

@@ -37,10 +37,14 @@ def _parse_cron_field(spec: str, lo: int, hi: int) -> frozenset[int]:
             a, b = int(a_s), int(b_s)
         else:
             a = b = int(part)
-        if not (lo <= a <= hi + (1 if hi == 6 else 0) and a <= b):
+        # dow allows the literal 7 as a Sunday alias (Vixie cron); any
+        # other out-of-range bound must raise BEFORE the %7 wrap below,
+        # or '5-9' would silently become Fri–Tue instead of an error
+        wiggle = 1 if hi == 6 else 0
+        if not (lo <= a <= hi + wiggle and a <= b <= hi + wiggle):
             raise ValueError(f"cron field out of range: {spec!r}")
         out.update(range(a, b + 1, step))
-    if hi == 6:  # day-of-week: 7 == Sunday == 0
+    if hi == 6:  # day-of-week: only the value 7 wraps (7 == Sunday == 0)
         out = {v % 7 for v in out}
     if any(v < lo or v > hi for v in out):
         raise ValueError(f"cron field out of range: {spec!r}")
@@ -102,7 +106,10 @@ class Schedule:
     def next_fire(self, after: datetime) -> datetime:
         """First fire time strictly after *after* (minute granularity)."""
         t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
-        for _ in range(366 * 5):  # bounded: any real cron fires within 5y
+        # Bounded walk. The worst real gap is '0 0 29 2 *' straddling a
+        # skipped century leap year: 2096-02-29 → 2104-02-29 is 8 years,
+        # so 5 years would falsely report "never fires" there — walk 9.
+        for _ in range(366 * 9):
             if t.month in self.months and self._day_matches(t):
                 for hh in sorted(self.hours):
                     if hh < t.hour:

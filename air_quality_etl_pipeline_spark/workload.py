@@ -57,6 +57,16 @@ def register(name: str, oracle: str | None):
 #: engine resolves a table once; this dict is that catalog. DataFrame
 #: plans are immutable, so reuse is safe. Keying on the session object
 #: itself (kept alive by the dict) scopes entries to a live session.
+#:
+#: LIFECYCLE: entries are never evicted, and the session key keeps each
+#: SparkSession (and its JVM handle) reachable for the life of the
+#: process. That is the right trade for this registry's lifecycles —
+#: one session per pytest run / bench run / driver gate, O(10 tables ×
+#: 3 sf dirs) entries of lightweight plan objects. If this registry
+#: ever backs a long-lived multi-tenant service that cycles sessions,
+#: switch the session key to a weakref (``weakref.WeakValueDictionary``
+#: keyed per-session, or evict on ``SparkSession.stop``) so stopped
+#: sessions and their cached plans can be collected.
 _SCAN_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -78,11 +88,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: the read path on every action but never re-runs Python-side writes.
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 
+#: Queries whose BUILDER performs the work the query represents (sink
+#: round-trip writes, REST ingest, DAG execution, streaming
+#: run-to-completion): their returned DataFrame is only a read-back of
+#: an already-materialized result, so a cached plan re-times the
+#: read-back, not the operator. ``prepared`` rebuilds these per call;
+#: populated here and extended by the workload_* modules at import.
+SIDE_EFFECT_QUERIES: set[str] = set()
+
 
 def prepared(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The resolved DataFrame for a registered pure query, built once
     per (session, sf_dir) — re-running an action on it re-executes the
-    plan against current data, exactly like a prepared statement."""
+    plan against current data, exactly like a prepared statement.
+    Queries in :data:`SIDE_EFFECT_QUERIES` are rebuilt on every call so
+    each sample repeats the builder-time work they represent."""
+    if name in SIDE_EFFECT_QUERIES:
+        return QUERIES[name][0](spark, sf_dir)
     key = (spark, sf_dir, name)
     df = _PLAN_CACHE.get(key)
     if df is None:
@@ -1097,71 +1119,16 @@ from air_quality_etl_pipeline_spark import workload_analytics  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sketches  # noqa: E402,F401
 
 #: Driver-verification priority. The driver's correctness gate checks
-#: the FIRST 50 registered queries (CORRECTNESS_r01.json == the first 50
-#: of the round-1 registry, verbatim). Round 1 left 54 queries without a
-#: driver-green row and flagged 4 as hash-weak; this list front-loads
-#: exactly those so round 2's gate covers them: the 4 formerly
-#: hash-mismatched queries first (canonicalization fixed — HUGEINT
-#: promotion in their oracles), then the previously-unchecked queries.
-#: The 8 analytics-extension queries listed last inside the priority
-#: block are the deliberate spill-over if the gate still caps at 50 —
-#: each is pytest-verified locally (test_oracle_parity) and round 3
-#: picks them up. Everything the driver already verified green in round
-#: 1 follows in original order.
+#: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
+#: the 116 registered queries have a driver-green row; the 20 below
+#: (12 round-2 additions + 8 analytics spill-overs) have never been
+#: driver-checked — they go FIRST so CORRECTNESS_r03 reaches 116/116
+#: lifetime coverage. Round-3 additions follow (so new operators get a
+#: same-round driver signal), and the remaining slots pad with the
+#: OLDEST driver greens — the 46 queries last verified in round 1 —
+#: for drift re-confirmation, in their round-1 order.
 _DRIVER_PRIORITY = [
-    # hash-weak in round 1, now canonicalized — must re-verify
-    "gold_star_fact",
-    "ytd_cumulative",
-    "simhash_values",
-    "label_centroids",
-    # no driver signal yet (round-1 registry positions 51-104)
-    "kmeans_update_step",
-    "inverted_index_search",
-    "ingest_rest_bronze",
-    "sink_partitioned_roundtrip",
-    "csv_header_cast_roundtrip",
-    "pipeline_dag_run",
-    "skew_salted_join",
-    "streaming_daily_window",
-    "streaming_sliding_window",
-    "session_windows",
-    "streaming_dedup",
-    "streaming_stateful_counts",
-    "sort_layout_roundtrip",
-    "streaming_stream_join",
-    "tfidf_terms",
-    "sample_hash",
-    "sample_stratified",
-    "curate_top_k",
-    "dedup_clusters",
-    "corpus_curation_e2e",
-    "sample_weighted",
-    "asof_join_signup",
-    "interval_join_follow",
-    "json_props_extract",
-    "pivot_event_type",
-    "grouping_sets_measures",
-    "scd2_intervals",
-    "semi_join_exists",
-    "first_last_per_user",
-    "merge_upsert_update",
-    "set_ops_cohorts",
-    "distinct_to_date",
-    "profile_nulls",
-    "sql_pricing_summary",
-    "winnow_fingerprint",
-    "rolling_active_users",
-    "conversion_latency",
-    "incremental_rollup",
-    "unpivot_measures",
-    "quality_expectations",
-    "time_weighted_avg",
-    "activity_gaps",
-    "cohort_retention",
-    "share_of_parent",
-    "sketch_hll_distinct",
-    "sketch_quantile_band",
-    # new in round 2 (never driver-checked; before round-1 greens)
+    # never driver-checked (round-2 additions) — must be in the r3 gate
     "kmeans_parallel_init",
     "decontaminate_eval",
     "pack_sequences",
@@ -1174,7 +1141,7 @@ _DRIVER_PRIORITY = [
     "cross_doc_ngram_dup",
     "vocab_oov_rate",
     "zscore_anomalies",
-    # spill-over past the 50-cap (locally verified; round-3 targets)
+    # never driver-checked (round-2 analytics spill-overs)
     "moving_avg_7d",
     "ntile_deciles",
     "above_avg_orders",
@@ -1183,6 +1150,79 @@ _DRIVER_PRIORITY = [
     "snapshot_diff",
     "user_journey",
     "funnel_steps",
+    # new in round 3 (never driver-checked; same-round signal)
+    "sql_returned_items",
+    "sql_top_supplier",
+    "sql_parts_supplier",
+    "sql_small_qty_revenue",
+    "sql_large_volume_customer",
+    "sql_discounted_revenue",
+    "sql_promo_revenue",
+    "sql_market_share",
+    "unigram_logprob_score",
+    "heavy_hitter_ngrams",
+    "kl_corpus_divergence",
+    "percent_rank_docs",
+    "random_projection_lsh",
+    "url_canonical_dedup",
+    "suffix_prefix_dup",
+    "length_band_near_dup",
+    "bloom_filter_join",
+    "stopword_profile",
+    "char_ngram_lid_confusion",
+    "token_histogram_bands",
+    "minhash_containment",
+    "doc_dup_fraction_by_lang",
+    "robots_quality_gate",
+    "domain_balance_sample",
+    "contamination_overlap_stats",
+    # oldest greens (last verified round 1) — padding / drift re-check
+    "silver_filter_dedup",
+    "dim_date",
+    "dim_part_category",
+    "avg_by_month",
+    "filtered_count",
+    "filtered_distinct_count",
+    "leading_group_top1",
+    "argmax_with_ties",
+    "mom_change",
+    "yoy_change",
+    "group_rank",
+    "per_100k",
+    "share_of_total",
+    "segment_region_map",
+    "anti_join_new_keys",
+    "merge_upsert",
+    "cube_measures",
+    "topk_orders",
+    "events_daily_window",
+    "quantiles",
+    "rollup_measures",
+    "star_join_wide",
+    "display_labels",
+    "month_rollup",
+    "union_append",
+    "distinct_coverage",
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "bpe_token_count",
+    "text_scrub",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_composition",
+    "ann_cosine_topk",
+    "ann_sign_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "embedding_normalize",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "dedup_fuzzy_edit",
+    "doc_repetition",
+    "embedding_quantize_int8",
 ]
 
 _snapshot = dict(QUERIES)

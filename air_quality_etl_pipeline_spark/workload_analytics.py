@@ -1462,13 +1462,14 @@ def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
       FROM events GROUP BY 1),
     m AS (SELECT event_type, n, sv / n AS mu,
-                 sqrt(svv / n - (sv / n) * (sv / n)) AS sd
+                 sqrt(greatest(0.0, svv / n - (sv / n) * (sv / n))) AS sd
           FROM s)
     SELECT e.event_type,
            max(m.n) AS n_events,
            floor(max(mu) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
            floor(max(sd) * 1000000.0 + 0.5) / 1000000.0 AS std_value,
-           CAST(sum(CASE WHEN abs((e.value - mu) / sd) > 3 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN sd > 0 AND abs((e.value - mu) / sd) > 3
+                         THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_anomalies
     FROM events e JOIN m USING (event_type)
     GROUP BY 1
@@ -1492,17 +1493,21 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * dec).cast("double").alias("svv"),
     )
     mu = F.col("sv") / F.col("n")
+    # clamp the variance (float cancellation in svv/n − mu² can dip a
+    # constant group's variance fractionally below 0 → NaN sqrt) and
+    # gate the z-test on sd > 0: a constant group has 0 anomalies, not
+    # a NULL/NaN/inf divide that Spark and DuckDB resolve differently
     stats = stats.withColumn("mu", mu).withColumn(
-        "sd", F.sqrt(F.col("svv") / F.col("n") - mu * mu)
+        "sd",
+        F.sqrt(F.greatest(F.lit(0.0), F.col("svv") / F.col("n") - mu * mu)),
     )
     joined = e.join(F.broadcast(stats), on="event_type")
+    is_anomaly = (F.col("sd") > 0) & (
+        F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3
+    )
     return joined.groupBy("event_type").agg(
         F.max("n").alias("n_events"),
         round_portable(F.max("mu"), 6).alias("mean_value"),
         round_portable(F.max("sd"), 6).alias("std_value"),
-        F.sum(
-            (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3).cast(
-                "long"
-            )
-        ).alias("n_anomalies"),
+        F.sum(is_anomaly.cast("long")).alias("n_anomalies"),
     )

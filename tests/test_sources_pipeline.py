@@ -179,6 +179,26 @@ def test_schedule_cron_fields():
         Schedule("* * * *")
 
 
+def test_schedule_cron_range_upper_bound_validated():
+    """An out-of-range range END must raise, not wrap: '5-9' in dow is
+    invalid (the %7 Sunday-alias normalization is only for the literal
+    7), and the same range in a non-dow field is invalid too."""
+    with pytest.raises(ValueError):
+        Schedule("0 0 * * 5-9")
+    with pytest.raises(ValueError):
+        Schedule("0 25-30 * * *")
+    # literal 7 stays a valid Sunday alias, alone and as a range end
+    assert Schedule("0 0 * * 7").dows == frozenset({0})
+    assert Schedule("0 0 * * 5-7").dows == frozenset({5, 6, 0})
+
+
+def test_schedule_feb29_across_skipped_century_leap():
+    """2100 is not a leap year, so Feb-29 crons gap 8 years around it
+    (2096-02-29 → 2104-02-29); the bounded day-walk must cover it."""
+    s = Schedule("0 0 29 2 *")
+    assert s.next_fire(datetime(2096, 3, 1)) == datetime(2104, 2, 29)
+
+
 def test_scheduled_pipeline_runs_only_when_due():
     pipe = ScheduledPipeline(
         [Activity("x", lambda ctx: 1)], schedule=Schedule.weekly("thursday", 6)

@@ -452,6 +452,36 @@ def test_ppjoin_positional_filter_prunes_without_losing_pairs(
     assert got == truth
 
 
+def test_ppjoin_exact_rational_threshold_arithmetic(spark):
+    """Float-ceil regression: at t=0.2 with |A|=10, |B|=2 sharing
+    exactly B's 2 tokens, J = 2/10 = 0.2 is EXACTLY the threshold.
+    Double arithmetic computes ⌈0.2·10⌉ = ceil(2.0000000000000004) = 3
+    (prefix one short of the recall guarantee — the earliest common
+    token sits at A's position 8, just past the truncated prefix) and
+    α = ⌈0.2/1.2·12⌉ = ceil(2.0000000000000004) = 3 > ub = 2 (positional
+    prune of a true pair). The exact-rational forms keep the pair."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        ppjoin_candidates,
+    )
+
+    # common tokens c0/c1 have global freq 2, A's fillers freq 1, so
+    # the ascending-frequency order puts c0/c1 LAST in A (positions
+    # 8-9) — the tight case for both the prefix and positional bounds
+    a_tokens = [f"u{i:02d}" for i in range(8)] + ["c0", "c1"]
+    b_tokens = ["c0", "c1"]
+    sh = spark.createDataFrame(
+        [("a", a_tokens), ("b", b_tokens)], ["_id", "_sh"]
+    )
+    for positional in (False, True):
+        got = {
+            (r.id_a, r.id_b)
+            for r in ppjoin_candidates(
+                sh, 0.2, positional=positional
+            ).collect()
+        }
+        assert ("a", "b") in got, f"positional={positional}"
+
+
 # ---------------------------------------------------------------------------
 # write_with_metrics: QA counters ride the write job (no second scan)
 # ---------------------------------------------------------------------------
