@@ -1117,6 +1117,7 @@ from air_quality_etl_pipeline_spark import workload_curation  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_temporal  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_analytics  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sketches  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_corpus  # noqa: E402,F401
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
@@ -1166,7 +1167,7 @@ _DRIVER_PRIORITY = [
     "random_projection_lsh",
     "url_canonical_dedup",
     "suffix_prefix_dup",
-    "length_band_near_dup",
+    "zipf_token_ranks",
     "bloom_filter_join",
     "stopword_profile",
     "char_ngram_lid_confusion",

@@ -1511,3 +1511,346 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.max("sd"), 6).alias("std_value"),
         F.sum(is_anomaly.cast("long")).alias("n_anomalies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped SQL suite (round 3): the remaining classic query shapes,
+# run through spark.sql over registered views — exercises scalar
+# subqueries, disjunctive predicates, conditional aggregation, and
+# group-filter (HAVING) through the SQL front-end rather than the
+# DataFrame DSL. Revenue math rides DECIMAL(18,2) sums (order-
+# independent) cast to DOUBLE only at the end, so both engines see
+# bit-identical values.
+# ---------------------------------------------------------------------------
+
+_REV = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+def _sql_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+
+
+@register(
+    "sql_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_REV} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue lost to returns in a quarter. Star join — nation broadcasts,
+    the orders/lineitem join shuffles on the order key — then a top-20
+    TakeOrderedAndProject (no global sort materialization)."""
+    _sql_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {_REV} AS revenue
+        FROM customer_v c
+        JOIN orders_v o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "sql_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REV} AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over a
+    quarter, then the supplier(s) hitting the maximum — an uncorrelated
+    scalar subquery over the same CTE. The decimal-exact revenue makes
+    the max-equality test engine-portable (bit-identical doubles).
+    Catalyst evaluates the scalar subquery once (a one-row broadcast),
+    not per-row."""
+    _sql_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        f"""
+        WITH rev AS (
+          SELECT l_suppkey, {_REV} AS total_revenue
+          FROM lineitem_v
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier_v s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        """
+    )
+
+
+@register(
+    "sql_parts_supplier",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_sql_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per part group under negated + IN-list predicates (lineitem
+    stands in for partsupp in this schema). The part-side filters push
+    into the parquet scan; count(DISTINCT) expands partial aggregation
+    before the exchange."""
+    _sql_views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part_v p JOIN lineitem_v l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#5'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+        GROUP BY 1, 2, 3
+        """
+    )
+
+
+@register(
+    "sql_small_qty_revenue",
+    """
+    WITH lim AS (
+      SELECT l_partkey AS pk,
+             (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*)) * 0.2 AS qty_lim
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN lim a ON a.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qty_lim
+    """,
+)
+def q_sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    20% of their part's average quantity. The per-part average is a
+    decimal-exact sum divided in double (identical fp sequence on both
+    engines — avg(DECIMAL) itself would be DOUBLE with engine-specific
+    accumulation order), re-joined on the part key: the classic
+    aggregate-then-self-join decorrelation of Q17's correlated
+    subquery."""
+    _sql_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        WITH lim AS (
+          SELECT l_partkey AS pk,
+                 (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*)) * 0.2 AS qty_lim
+          FROM lineitem_v GROUP BY 1)
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0 AS avg_yearly
+        FROM lineitem_v l
+        JOIN part_v p ON p.p_partkey = l.l_partkey
+        JOIN lim a ON a.pk = l.l_partkey
+        WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qty_lim
+        """
+    )
+
+
+@register(
+    "sql_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+    """,
+)
+def q_sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): orders whose total
+    quantity exceeds 300, with their customer. HAVING over a
+    decimal-exact sum so the >300 cut is identical on both engines;
+    the group-by key includes the order attributes, so no second join
+    back to orders is needed."""
+    _sql_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               date_format(CAST(o.o_orderdate AS DATE), 'yyyy-MM-dd')
+                 AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM customer_v c
+        JOIN orders_v o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2, 3, 4, 5
+        HAVING sum(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+        """
+    )
+
+
+@register(
+    "sql_discounted_revenue",
+    f"""
+    SELECT {_REV} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_sql_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): three disjunctive
+    brand/size/quantity clauses over the part join — the classic
+    OR-of-ANDs predicate that tests the optimizer's ability to keep the
+    join equi (the l_partkey = p_partkey conjunct stays common) while
+    evaluating the disjunction as a post-join filter."""
+    _sql_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        f"""
+        SELECT {_REV} AS revenue
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 15)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 25)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 35)
+        """
+    )
+
+
+@register(
+    "sql_promo_revenue",
+    """
+    SELECT floor(100.0
+             * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-02-01'
+    """,
+)
+def q_sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percent of a month's revenue
+    from PROMO parts — conditional aggregation with both branches in
+    DECIMAL so numerator and denominator are exact before the one
+    double division, rounded in-query to 4 places on both engines."""
+    _sql_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT floor(CAST(100 AS DOUBLE)
+                 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) * 1E4 + 0.5) / 1E4 AS promo_pct
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l.l_shipdate AS DATE) < DATE '1997-02-01'
+        """
+    )
+
+
+@register(
+    "sql_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             ns.n_name AS supp_nation,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+)
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_2 suppliers' share
+    of yearly revenue delivered into ASIA customers — a 7-table join
+    where every dimension broadcasts and only orders/lineitem shuffle,
+    then one conditional-aggregation pass; share division happens once
+    per year-row over decimal-exact sums."""
+    _sql_views(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "nation", "region", "supplier",
+    )
+    return spark.sql(
+        """
+        WITH vol AS (
+          SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                 ns.n_name AS supp_nation,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+          FROM lineitem_v l
+          JOIN orders_v o ON l.l_orderkey = o.o_orderkey
+          JOIN customer_v c ON o.o_custkey = c.c_custkey
+          JOIN nation_v nc ON c.c_nationkey = nc.n_nationkey
+          JOIN region_v r ON nc.n_regionkey = r.r_regionkey
+          JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+          JOIN nation_v ns ON s.s_nationkey = ns.n_nationkey
+          WHERE r.r_name = 'ASIA')
+        SELECT o_year,
+               floor(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE) * 1E6 + 0.5)
+                 / 1E6 AS mkt_share
+        FROM vol GROUP BY 1
+        """
+    )

@@ -1,0 +1,1062 @@
+"""Corpus-analysis workload (round 3): the monitoring / curation
+operators a large-scale training-data pipeline runs NEXT TO the dedup
+and sampling passes — frequency analysis (Zipf ranks, heavy-hitter
+n-grams), distribution comparison (unigram log-likelihood, KL
+divergence), language-ID confusion, URL canonicalization dedup,
+prefix-truncation dup groups, containment joins, Bloom-filter join
+pre-filtering, rule-based quality gating, per-domain rebalancing, and
+train/eval contamination profiling.
+
+Every query is a registered ``(spark_fn, duckdb_oracle)`` pair like the
+rest of the registry. Float determinism policy: any mean/divergence
+over per-row doubles quantizes each term to DECIMAL before the sum
+(order-independent), divides in double, and rounds in-query on both
+engines; threshold comparisons run on integer or decimal-exact values
+wherever a boundary could differ between engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import (
+    dot_product,
+    md5_long,
+    round_portable,
+    token_array,
+    word_shingles_of_tokens,
+)
+from air_quality_etl_pipeline_spark.operators.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    predicted_lang_of_tokens,
+    word_bigrams,
+)
+from air_quality_etl_pipeline_spark.workload import _t, register
+from air_quality_etl_pipeline_spark.workload_llm import TOKS, _sql_list
+
+#: lowercased whitespace tokens — the shared tokenization of this module
+LTOKS = f"list_transform({TOKS}, x -> lower(x))"
+
+#: distinct word-5-gram SQL over a ``toks`` array column (mirrors
+#: functions.core.word_shingles_of_tokens, incl. the ≥1 clamp)
+GRAMS5 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 4, 1) + 1), "
+    "i -> array_to_string(toks[i:i+4], ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Frequency analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "zipf_token_ranks",
+    f"""
+    WITH toks AS (SELECT unnest({LTOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS total FROM freq)
+    SELECT CAST(rk AS BIGINT) AS rank, tok, n,
+           CAST(rk * n AS BIGINT) AS rank_times_freq,
+           floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.5)
+             / 1000000.0 AS share
+    FROM (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+          FROM freq), tot
+    WHERE rk <= 50
+    """,
+)
+def q_zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency table (top-50) with the rank·frequency product —
+    the eyeball check that the corpus follows Zipf's law (a flat
+    product column) and the vocabulary head a tokenizer trainer
+    samples first. One vocabulary-sized aggregate; the top-50 window
+    runs over the VOCABULARY relation, never the corpus, and the
+    scalar total broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select(F.lower(F.col("_raw")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            "n",
+            (F.col("rank") * F.col("n")).cast("long").alias("rank_times_freq"),
+            round_portable(
+                F.col("n").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "heavy_hitter_ngrams",
+    f"""
+    WITH t AS (SELECT {LTOKS} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t WHERE len(toks) >= 2),
+    freq AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1),
+    tot AS (SELECT CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS total FROM freq)
+    SELECT CAST(rk AS BIGINT) AS rank, gram, n,
+           floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.5)
+             / 1000000.0 AS share
+    FROM (SELECT gram, n, row_number() OVER (ORDER BY n DESC, gram ASC) AS rk
+          FROM freq), tot
+    WHERE rk <= 25
+    """,
+)
+def q_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 word bigrams with corpus share — the heavy-hitter query
+    behind boilerplate detection (the same n-grams repeated across a
+    crawl are navigation chrome / license headers). Exact counting via
+    one explode + one n-gram-keyed aggregate; at 100 TB swap the exact
+    count for a count-min/Misra-Gries partial per partition feeding
+    the same final ranking — the query shape is unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.transform(token_array(F.col("text")), F.lower).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    grams = t.select(F.explode(word_bigrams(F.col("toks"))).alias("gram"))
+    freq = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "gram",
+            "n",
+            round_portable(
+                F.col("n").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution scoring (unigram LM, KL divergence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unigram_logprob_score",
+    f"""
+    WITH toks AS (
+      SELECT lang, source, tok
+      FROM (SELECT lang, source, unnest({LTOKS}) AS tok FROM documents)),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+    scored AS (
+      SELECT t.lang, t.source,
+             CAST(ln(CAST(f.n AS DOUBLE) / tot.total)
+                  AS DECIMAL(18,9)) AS lp
+      FROM toks t JOIN freq f USING (tok), tot)
+    SELECT lang, source, count(*) AS n_tokens,
+           floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logprob
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per (lang, source): the mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheapest perplexity proxy for spotting a slice that doesn't look
+    like the rest of the corpus (the screening stage before a real LM
+    scorer). The vocabulary aggregate broadcasts back onto the token
+    stream; per-token log-probs quantize to DECIMAL(18,9) so the
+    group sum is order-independent, and the one double division per
+    group rounds in-query."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "source",
+        F.explode(token_array(F.col("text"))).alias("_raw"),
+    ).select("lang", "source", F.lower(F.col("_raw")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = toks.agg(F.count("*").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            F.ln(F.col("n").cast("double") / F.col("total"))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count("*").alias("n_tokens"),
+        round_portable(
+            F.sum("lp").cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )
+
+
+@register(
+    "kl_corpus_divergence",
+    f"""
+    WITH toks AS (
+      SELECT source, tok
+      FROM (SELECT source, unnest({LTOKS}) AS tok FROM documents)),
+    sf AS (SELECT source, tok, count(*) AS ns FROM toks GROUP BY 1, 2),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+           FROM toks GROUP BY 1),
+    cf AS (SELECT tok, count(*) AS nc FROM toks GROUP BY 1),
+    ct AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM toks),
+    terms AS (
+      SELECT s.source,
+             CAST((CAST(s.ns AS DOUBLE) / st.n_src)
+                  * ln((CAST(s.ns AS DOUBLE) / st.n_src)
+                       / (CAST(c.nc AS DOUBLE) / ct.n_corpus))
+                  AS DECIMAL(18,12)) AS term
+      FROM sf s JOIN st USING (source) JOIN cf c USING (tok), ct)
+    SELECT source, n_tokens,
+           floor(kl_sum * 1000000.0 + 0.5) / 1000000.0 AS kl_divergence
+    FROM (SELECT t.source, max(st.n_src) AS n_tokens,
+                 CAST(sum(t.term) AS DOUBLE) AS kl_sum
+          FROM terms t JOIN st ON t.source = st.source
+          GROUP BY 1)
+    """,
+)
+def q_kl_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions, per source — the
+    mixture-monitoring statistic: a source whose divergence drifts up
+    is changing register relative to the corpus (or is contaminated).
+    Every source's support is a subset of the corpus's, so no
+    smoothing term is needed. Both aggregates are vocabulary-sized;
+    per-term contributions quantize to DECIMAL(18,12) for an
+    order-independent sum."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select("source", F.lower(F.col("_raw")).alias("tok"))
+    sf = toks.groupBy("source", "tok").agg(F.count("*").alias("ns"))
+    st = toks.groupBy("source").agg(F.count("*").alias("n_src"))
+    cf = toks.groupBy("tok").agg(F.count("*").alias("nc"))
+    ct = toks.agg(F.count("*").alias("n_corpus"))
+    p = F.col("ns").cast("double") / F.col("n_src")
+    q = F.col("nc").cast("double") / F.col("n_corpus")
+    terms = (
+        sf.join(F.broadcast(st), on="source")
+        .join(F.broadcast(cf), on="tok")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            (p * F.ln(p / q)).cast("decimal(18,12)").alias("term"),
+        )
+    )
+    agg = (
+        terms.join(F.broadcast(st), on="source")
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_tokens"),
+            F.sum("term").cast("double").alias("kl_sum"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        round_portable(F.col("kl_sum"), 6).alias("kl_divergence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking / distribution windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "percent_rank_docs",
+    """
+    SELECT doc_id, lang, n_chars,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5)
+             / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000.0 + 0.5)
+             / 1000000.0 AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC)
+    """,
+)
+def q_percent_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-language document-length distribution placement:
+    percent_rank, cume_dist, and decile per document — the length-
+    percentile feature curation filters cut on. The (n_chars, doc_id)
+    order is total, so every rank function is deterministic; one
+    shuffle on lang."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("n_chars"), F.asc("doc_id")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        round_portable(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_portable(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss / sign sketch)
+# ---------------------------------------------------------------------------
+
+#: deterministic ±1 projection coefficients, hash-derived so the Spark
+#: expression and the SQL oracle embed the SAME literal matrix
+_RP_DIMS_IN = 64
+_RP_DIMS_OUT = 8
+_RP_SCALE = 1.0 / math.sqrt(_RP_DIMS_OUT)
+
+
+def _rp_coeffs(j: int) -> list[float]:
+    return [
+        1.0
+        if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+        == 0
+        else -1.0
+        for i in range(_RP_DIMS_IN)
+    ]
+
+
+def _rp_oracle() -> str:
+    projs = []
+    for j in range(_RP_DIMS_OUT):
+        coeffs = "[" + ", ".join(repr(c) for c in _rp_coeffs(j)) + "]"
+        projs.append(
+            f"list_sum(list_transform(range(1, {_RP_DIMS_IN + 1}), "
+            f"i -> v[i] * ({coeffs})[i])) * {_RP_SCALE!r} AS raw_{j}"
+        )
+    proj_cols = ",\n             ".join(projs)
+    rounded = ", ".join(
+        f"floor(raw_{j} * 1000000.0 + 0.5) / 1000000.0 AS p_{j}"
+        for j in range(_RP_DIMS_OUT)
+    )
+    sig = " || ".join(
+        f"CASE WHEN raw_{j} >= 0 THEN '1' ELSE '0' END"
+        for j in range(_RP_DIMS_OUT)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 32),
+    proj AS (SELECT vec_id,
+             {proj_cols}
+             FROM e)
+    SELECT vec_id, {rounded}, {sig} AS sign_sig
+    FROM proj
+    """
+
+
+@register("random_projection_lsh", _rp_oracle())
+def q_random_projection_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection 64→8 dims (Achlioptas, "Database-
+    friendly random projections", PODS 2001: ±1 coefficients preserve
+    pairwise distances in JL fashion) plus the 8-bit sign signature —
+    the dimensionality-reduction front of an LSH index. The ±1 matrix
+    is hash-derived and embedded as literals on BOTH engines, and each
+    projection unrolls into a fixed fold (bit-identical doubles). Runs
+    entirely inside the scan: no shuffle, no UDF."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 32)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    raws = [
+        (
+            dot_product(
+                F.col("v"),
+                F.array(*[F.lit(c) for c in _rp_coeffs(j)]),
+                dims=_RP_DIMS_IN,
+            )
+            * F.lit(_RP_SCALE)
+        ).alias(f"raw_{j}")
+        for j in range(_RP_DIMS_OUT)
+    ]
+    proj = e.select("vec_id", *raws)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"raw_{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(_RP_DIMS_OUT)
+        ]
+    )
+    return proj.select(
+        "vec_id",
+        *[
+            round_portable(F.col(f"raw_{j}"), 6).alias(f"p_{j}")
+            for j in range(_RP_DIMS_OUT)
+        ],
+        sig.alias("sign_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization / prefix-truncation dedup
+# ---------------------------------------------------------------------------
+
+#: synthesized URL per document — the corpus has no URL column, so both
+#: engines derive the same messy URL (mixed case, tracking params,
+#: fragment) from (source, lang, doc_id) and canonicalize it
+_URL_SQL = (
+    "'HTTPS://' || upper(source) || '.Example.COM/' || lang "
+    "|| '/item/' || CAST(doc_id % 25 AS VARCHAR) "
+    "|| '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#sec'"
+)
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '#.*$', ''), '\\?.*$', ''), '^https?://', ''),
+               '/+$', '') AS curl
+      FROM u)
+    SELECT curl, count(*) AS n_urls, min(doc_id) AS keeper_id
+    FROM canon GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: lowercase, strip scheme / query
+    string (tracking params) / fragment / trailing slash, then group —
+    the first dedup pass of any web-crawl pipeline (two crawls of the
+    same page differ only in utm_* noise). Canonicalization is
+    scan-local string work; the dedup is one groupBy on the canonical
+    key, exactly the exact-dedup shape."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM/"),
+        F.col("lang"),
+        F.lit("/item/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("/?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#sec"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "#.*$", ""),
+                "\\?.*$",
+                "",
+            ),
+            "^https?://",
+            "",
+        ),
+        "/+$",
+        "",
+    )
+    return (
+        d.select(F.col("doc_id"), curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .filter(F.col("n_urls") >= 2)
+    )
+
+
+@register(
+    "suffix_prefix_dup",
+    """
+    WITH k AS (SELECT doc_id, lang, len(text) AS n,
+                      md5(substr(lower(text), 1, 100)) AS pk
+               FROM documents)
+    SELECT pk AS prefix_key, count(*) AS n_docs,
+           min(doc_id) AS keeper_id,
+           min(n) AS min_len, max(n) AS max_len
+    FROM k GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_suffix_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation duplicate groups: documents sharing their
+    first 100 characters — catches the truncated-recrawl duplicates
+    exact dedup misses (same page, one copy cut short), the min/max
+    length spread showing the truncation. Hash-groupBy on the prefix
+    digest: one shuffle on a 32-byte key, the text never moves."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n"),
+            F.md5(F.substring(F.lower(F.col("text")), 1, 100)).alias(
+                "prefix_key"
+            ),
+        )
+        .groupBy("prefix_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.min("n").alias("min_len"),
+            F.max("n").alias("max_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pre-filtering
+# ---------------------------------------------------------------------------
+
+_BF_BITS = 4096
+_BF_HASHES = 3
+
+
+def _bf_pos_sql(key: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('bf{i}:' || CAST({key} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {_BF_BITS})"
+    )
+
+
+@register(
+    "bloom_filter_join",
+    """
+    SELECT o.o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY 1
+    """,
+)
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join through a Bloom-filter pre-filter: the BUILDING-segment
+    customer keys build a 4096-bit / 3-hash Bloom bitmap (collected as
+    ≤4096 set-bit POSITIONS — bounded by the filter size, not the dim
+    cardinality), the fact scan drops rows failing any membership probe
+    via O(1) substring lookups into the bitmap literal, and an exact
+    broadcast semi-join removes the false positives. The oracle is the
+    plain semi-join — the Bloom stage may only pass supersets. At
+    100 TB this is Spark's own runtime-filter pattern made explicit:
+    the fact table shrinks BEFORE the shuffle, and the bitmap rides the
+    task closure instead of a broadcast exchange."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    dim_keys = c.select(F.col("c_custkey").cast("string").alias("k"))
+    pos_cols = [
+        (md5_long(F.col("k"), salt=f"bf{i}") % _BF_BITS).alias(f"p{i}")
+        for i in range(_BF_HASHES)
+    ]
+    positions = {
+        int(v)
+        for row in dim_keys.select(
+            F.explode(F.array(*pos_cols)).alias("p")
+        )
+        .distinct()
+        .collect()
+        for v in row
+    }
+    bitmap = "".join(
+        "1" if i in positions else "0" for i in range(_BF_BITS)
+    )
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+    probe = None
+    for i in range(_BF_HASHES):
+        hit = (
+            F.substring(
+                F.lit(bitmap),
+                (md5_long(key, salt=f"bf{i}") % _BF_BITS + 1).cast("int"),
+                1,
+            )
+            == "1"
+        )
+        probe = hit if probe is None else (probe & hit)
+    prefiltered = o.filter(probe)
+    exact = prefiltered.join(
+        F.broadcast(c.select("c_custkey")),
+        prefiltered["o_custkey"] == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality profiling / gating
+# ---------------------------------------------------------------------------
+
+def _stopword_count_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter(toks, "
+        f"x -> list_contains({_sql_list(LANG_STOPWORDS[lg])}, x)))"
+        for lg in sorted(LANG_STOPWORDS)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+@register(
+    "stopword_profile",
+    f"""
+    WITH t AS (SELECT lang, {LTOKS} AS toks FROM documents),
+    s AS (SELECT lang, len(toks) AS n,
+                 {_stopword_count_sql()} AS n_stop
+          FROM t WHERE len(toks) > 0)
+    SELECT lang, count(*) AS n_docs,
+           floor(CAST(sum(CAST(CAST(n_stop AS DOUBLE) / n
+                               AS DECIMAL(18,9))) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_stopword_ratio,
+           CAST(sum(CASE WHEN CAST(n_stop AS DOUBLE) / n > 0.1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_heavy
+    FROM s GROUP BY 1
+    """,
+)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword-density profile using each language's OWN
+    stopword list (an English list scored against zh text reads as
+    gibberish): mean ratio and the count of stopword-heavy documents.
+    The per-doc ratio quantizes to DECIMAL(18,9) before the mean so
+    the aggregate is order-independent; the whole query is one
+    scan-local CASE plus a 5-group aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.transform(token_array(F.col("text")), F.lower).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    def _stop_count(lg: str):
+        words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]])
+        return F.size(
+            F.filter(F.col("toks"), lambda x: F.array_contains(words, x))
+        )
+
+    n_stop = None
+    for lg in sorted(LANG_STOPWORDS):
+        cnt = _stop_count(lg)
+        branch = F.when(F.col("lang") == lg, cnt)
+        n_stop = branch if n_stop is None else n_stop.when(
+            F.col("lang") == lg, cnt
+        )
+    n_stop = n_stop.otherwise(F.lit(0))
+    s = t.select(
+        "lang",
+        F.size("toks").alias("n"),
+        n_stop.alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n")
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        round_portable(
+            F.sum(ratio.cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_stopword_ratio"),
+        F.sum((ratio > 0.1).cast("long")).alias("n_stopword_heavy"),
+    )
+
+
+@register(
+    "char_ngram_lid_confusion",
+    f"""
+    WITH t AS (SELECT lang, {LTOKS} AS toks FROM documents),
+    s AS (SELECT lang,
+           {", ".join(
+               f"len(list_filter(toks, x -> list_contains("
+               f"{_sql_list(LANG_STOPWORDS[lg])}, x))) AS s_{lg}"
+               for lg in sorted(LANG_STOPWORDS)
+           )}
+          FROM t)
+    SELECT lang, lang_pred, count(*) AS n_docs FROM (
+      SELECT lang,
+             CASE WHEN {"greatest(" + ", ".join(f"s_{lg}" for lg in sorted(LANG_STOPWORDS)) + ")"} <= 0 THEN 'und'
+               {" ".join(
+                   f"WHEN s_{lg} = "
+                   + "greatest(" + ", ".join(f"s_{l2}" for l2 in sorted(LANG_STOPWORDS)) + ")"
+                   + f" THEN '{lg}'"
+                   for lg in sorted(LANG_STOPWORDS)
+               )}
+               ELSE 'und' END AS lang_pred
+      FROM s)
+    GROUP BY 1, 2
+    """,
+)
+def q_char_ngram_lid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang × predicted lang with
+    document counts — the evaluation view of the lang_id operator
+    (which emits per-doc predictions). Same deterministic stopword-hit
+    argmax; the matrix is a 25-cell aggregate, so the corpus shuffles
+    once on a 2-string key."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.withColumn(
+        "_toks", F.transform(token_array(F.col("text")), F.lower)
+    )
+    return (
+        t.select(
+            "lang",
+            predicted_lang_of_tokens(F.col("_toks")).alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "token_histogram_bands",
+    f"""
+    WITH t AS (SELECT lang, len({TOKS}) AS n FROM documents)
+    SELECT lang,
+           CASE WHEN n < 16 THEN '00-15'
+                WHEN n < 32 THEN '16-31'
+                WHEN n < 64 THEN '32-63'
+                WHEN n < 128 THEN '64-127'
+                ELSE '128+' END AS band,
+           count(*) AS n_docs,
+           min(n) AS min_tokens, max(n) AS max_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_token_histogram_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in power-of-two token bands per
+    language — the distribution panel of a curation dashboard (and the
+    input to choosing chunking/packing sizes). Scan-local banding CASE,
+    one small aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(token_array(F.col("text")))
+    band = (
+        F.when(n < 16, "00-15")
+        .when(n < 32, "16-31")
+        .when(n < 64, "32-63")
+        .when(n < 128, "64-127")
+        .otherwise("128+")
+    )
+    return (
+        d.select("lang", n.alias("n"), band.alias("band"))
+        .groupBy("lang", "band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "robots_quality_gate",
+    f"""
+    WITH t AS (
+      SELECT source, {TOKS} AS toks FROM documents),
+    m AS (
+      SELECT source, len(toks) AS n,
+             len(list_distinct(toks)) AS uniq,
+             len(array_to_string(toks, '')) AS sum_len
+      FROM t),
+    flags AS (
+      SELECT source,
+             CASE WHEN n BETWEEN 10 AND 1000 THEN 0 ELSE 1 END AS f_len,
+             CASE WHEN 5 * uniq >= n THEN 0 ELSE 1 END AS f_uniq,
+             CASE WHEN 2 * n <= sum_len AND sum_len <= 12 * n
+                  THEN 0 ELSE 1 END AS f_wordlen
+      FROM m)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN f_len + f_uniq + f_wordlen = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(f_len) AS BIGINT) AS n_fail_len,
+           CAST(sum(f_uniq) AS BIGINT) AS n_fail_uniq,
+           CAST(sum(f_wordlen) AS BIGINT) AS n_fail_wordlen
+    FROM flags GROUP BY 1
+    """,
+)
+def q_robots_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate (Gopher-rule shape, Rae et al. 2021 app.
+    A1.1) with per-source pass/fail accounting: token count in
+    [10, 1000], unique-token ratio ≥ 0.2, mean word length in [2, 12].
+    EVERY threshold is evaluated in integer arithmetic (5·uniq ≥ n,
+    2·n ≤ Σlen ≤ 12·n) — no float boundary can disagree between
+    engines. Scan-local flags, one aggregate on source."""
+    d = _t(spark, sf_dir, "documents")
+    toks = token_array(F.col("text"))
+    m = d.select(
+        "source",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("uniq"),
+        F.length(F.array_join(toks, "")).alias("sum_len"),
+    )
+    f_len = F.when(F.col("n").between(10, 1000), 0).otherwise(1)
+    f_uniq = F.when(5 * F.col("uniq") >= F.col("n"), 0).otherwise(1)
+    f_wordlen = F.when(
+        (2 * F.col("n") <= F.col("sum_len"))
+        & (F.col("sum_len") <= 12 * F.col("n")),
+        0,
+    ).otherwise(1)
+    flags = m.select(
+        "source",
+        f_len.alias("f_len"),
+        f_uniq.alias("f_uniq"),
+        f_wordlen.alias("f_wordlen"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (
+                F.col("f_len") + F.col("f_uniq") + F.col("f_wordlen") == 0
+            ).cast("long")
+        ).alias("n_pass"),
+        F.sum("f_len").cast("long").alias("n_fail_len"),
+        F.sum("f_uniq").cast("long").alias("n_fail_uniq"),
+        F.sum("f_wordlen").cast("long").alias("n_fail_wordlen"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rebalancing / containment / contamination
+# ---------------------------------------------------------------------------
+
+@register(
+    "domain_balance_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('balance:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rk
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           min(CASE WHEN rk <= 20 THEN doc_id END) AS sample_min_id
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_domain_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rebalancing: cap every source at 20 documents chosen
+    by deterministic hash order (md5-ranked, so the SAME sample on
+    every engine and every run — reproducible corpus construction, per
+    the RefinedWeb/Dolma practice of per-domain caps against
+    boilerplate farms). One window per source partition; at 100 TB
+    this is the standard cap-per-key shuffle, skew-safe because rank
+    truncation happens inside each partition."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(
+            F.concat(F.lit("balance:"), F.col("doc_id").cast("string"))
+        ).asc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("rk") <= 20).cast("long")).alias("n_kept"),
+        F.min(F.when(F.col("rk") <= 20, F.col("doc_id"))).alias(
+            "sample_min_id"
+        ),
+    )
+
+
+@register(
+    "minhash_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {LTOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest({GRAMS5}) AS gram
+          FROM t),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.id_a, p.id_b, p.inter,
+             floor(CAST(p.inter AS DOUBLE) / sa.n * 10000.0 + 0.5)
+               / 10000.0 AS contain_a,
+             floor(CAST(p.inter AS DOUBLE) / sb.n * 10000.0 + 0.5)
+               / 10000.0 AS contain_b,
+             10 * p.inter >= 2 * sa.n OR 10 * p.inter >= 2 * sb.n AS keep
+      FROM pair p JOIN sz sa ON sa.doc_id = p.id_a
+                  JOIN sz sb ON sb.doc_id = p.id_b)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           contain_a, contain_b
+    FROM scored WHERE keep
+    """,
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join (Broder's C(A,B) = |A∩B| / |A|, the asymmetric
+    companion to Jaccard): pairs where ≥20% of either document's
+    word-5-gram set appears in the other — catches quote/excerpt
+    relationships symmetric Jaccard dilutes. Inverted-index shape:
+    grams self-join on the gram key (rare-by-construction for word
+    5-grams), one pair aggregate, sizes joined back; the ≥20% cut is
+    the integer predicate 10·inter ≥ 2·n, immune to float boundaries."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), F.lower).alias("toks"),
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(word_shingles_of_tokens(F.col("toks"), 5)).alias("gram"),
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gram")
+    pair = (
+        ga.join(gb, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sz.select(
+        F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+    )
+    sb = sz.select(
+        F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+    )
+    scored = pair.join(sa, on="id_a").join(sb, on="id_b")
+    keep = (10 * F.col("inter") >= 2 * F.col("na")) | (
+        10 * F.col("inter") >= 2 * F.col("nb")
+    )
+    return scored.filter(keep).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        round_portable(
+            F.col("inter").cast("double") / F.col("na"), 4
+        ).alias("contain_a"),
+        round_portable(
+            F.col("inter").cast("double") / F.col("nb"), 4
+        ).alias("contain_b"),
+    )
+
+
+@register(
+    "doc_dup_fraction_by_lang",
+    """
+    WITH f AS (
+      SELECT lang,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents),
+    g AS (SELECT lang, fp, count(*) AS n FROM f GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           floor(CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS DOUBLE)
+                 / sum(n) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+    FROM g GROUP BY 1
+    """,
+)
+def q_doc_dup_fraction_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language duplication rate: the share of documents whose
+    normalized-content fingerprint occurs ≥2 times — the slice-level
+    health metric that decides WHERE dedup effort goes (a lang with
+    30% dup rate gets the aggressive pass). Fingerprint groupBy then a
+    5-row rollup; the corpus shuffles once on the digest."""
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select("lang", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("lang", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    dup_n = F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0))
+    return g.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        dup_n.cast("long").alias("n_dup_docs"),
+        round_portable(
+            dup_n.cast("double") / F.sum("n"), 4
+        ).alias("dup_frac"),
+    )
+
+
+@register(
+    "contamination_overlap_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {LTOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+          FROM (SELECT doc_id, unnest({GRAMS5}) AS gram FROM t)),
+    eval_g AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    train AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM g LEFT JOIN eval_g e USING (gh)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY 1),
+    banded AS (
+      SELECT CASE
+               WHEN n_shared = 0 THEN '0_clean'
+               WHEN 10 * n_shared <= n_grams THEN '1_low'
+               WHEN 10 * n_shared <= 3 * n_grams THEN '2_mid'
+               ELSE '3_high' END AS band
+      FROM train)
+    SELECT band, count(*) AS n_docs FROM banded GROUP BY 1
+    """,
+)
+def q_contamination_overlap_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train/eval contamination PROFILE (the monitoring companion to
+    the decontaminate_eval removal pass, GPT-3 §2.2): every training
+    document banded by the fraction of its word-5-grams shared with
+    the held-out set (doc_id % 97 — the synthetic eval split). The
+    eval gram set is hashed and broadcast (eval sets are thousands of
+    docs, never corpus-scale); band edges are integer predicates
+    (10·shared ≤ n, 10·shared ≤ 3n), so no float boundary exists."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), F.lower).alias("toks"),
+    )
+    g = t.select(
+        "doc_id",
+        F.explode(word_shingles_of_tokens(F.col("toks"), 5)).alias("gram"),
+    ).select("doc_id", md5_long(F.col("gram")).alias("gh"))
+    eval_g = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select("gh")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    train = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_g), on="gh", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("_hit").isNotNull().cast("long")).alias(
+                "n_shared"
+            ),
+        )
+    )
+    band = (
+        F.when(F.col("n_shared") == 0, "0_clean")
+        .when(10 * F.col("n_shared") <= F.col("n_grams"), "1_low")
+        .when(10 * F.col("n_shared") <= 3 * F.col("n_grams"), "2_mid")
+        .otherwise("3_high")
+    )
+    return (
+        train.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"))
+    )

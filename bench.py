@@ -35,9 +35,14 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
+    # training-data prep (guards the SCALE.md measured numbers)
+    "pack_sequences",
+    "decontaminate_eval",
+    "chunk_documents",
     # streaming twins
     "session_windows",
 ]

@@ -1,0 +1,79 @@
+"""Verify a subset of registered queries against their DuckDB oracles
+at sf0.01 — the same canon/compare the driver's gate applies, runnable
+per-query while iterating: ``python scripts/verify_subset.py name1 name2``
+(no names = all).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from air_quality_etl_pipeline_spark.workload import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    names = sys.argv[1:] or list(QUERIES)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    fails = []
+    for name in names:
+        fn, oracle = QUERIES[name]
+        sdf = fn(spark, sf)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if oracle is None:
+            print(f"rows-only {name}: {len(srows)} rows")
+            continue
+        cur = con.execute(oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        si = sorted(range(len(scols)), key=lambda i: scols[i])
+        di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        s = sorted(tuple(canon(r[i]) for i in si) for r in srows)
+        d = sorted(tuple(canon(r[i]) for i in di) for r in drows)
+        ok = sorted(scols) == sorted(dcols) and s == d
+        print(("OK  " if ok else "FAIL"), name, f"({len(srows)} rows)")
+        if not ok:
+            fails.append(name)
+            if sorted(scols) != sorted(dcols):
+                print("  cols:", sorted(scols), "vs", sorted(dcols))
+            else:
+                diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
+                for a, b in diff:
+                    print("  spark:", a)
+                    print("  duck :", b)
+    print("RESULT:", "ALL MATCH" if not fails else f"MISMATCH: {fails}")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -159,3 +159,51 @@ def test_cross_doc_ngram_no_cartesian(spark):
     plan = _plan_of(df(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_bloom_filter_join_prefilters_before_broadcast_semi(spark):
+    # the Bloom probe must sit in a Filter BELOW the exchange-free
+    # broadcast semi-join (fact rows drop at the scan stage, before any
+    # join), and the exact verify must be a broadcast — never a
+    # shuffled SortMergeJoin
+    df, _ = QUERIES["bloom_filter_join"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "substring" in plan, plan  # the bitmap probe reached a Filter
+
+
+def test_contamination_stats_broadcasts_eval_grams(spark):
+    # the eval gram set joins the train grams as a broadcast (eval sets
+    # are small); the train side must not shuffle for the join
+    df, _ = QUERIES["contamination_overlap_stats"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    # vocabulary frequencies and the scalar total both broadcast back
+    # onto the token stream — the corpus-sized relation never shuffles
+    # to meet a vocabulary-sized one
+    df, _ = QUERIES["unigram_logprob_score"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_random_projection_runs_inside_scan(spark):
+    # the JL projection is scan-local arithmetic: no Exchange, no UDF
+    df, _ = QUERIES["random_projection_lsh"]
+    plan = _plan_of(df(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_canonical_dedup_single_shuffle(spark):
+    # canonicalization is scan-local string work; the dedup is exactly
+    # one hash exchange on the canonical key
+    df, _ = QUERIES["url_canonical_dedup"]
+    plan = _plan_of(df(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # partial+final
+    assert "BatchEvalPython" not in plan
