@@ -1177,7 +1177,14 @@ _DRIVER_PRIORITY = [
     "robots_quality_gate",
     "domain_balance_sample",
     "contamination_overlap_stats",
-    # oldest greens (last verified round 1) — padding / drift re-check
+    "sql_order_priority_count",
+    "sql_customer_distribution",
+    "sql_min_cost_supplier",
+    "asof_nearest_join",
+    "embedding_drift_centroids",
+    # oldest greens (last verified round 1) — overflow past the 50-slot
+    # gate this round (the 50 never-checked queries above fill it);
+    # every name below already has a driver-green row
     "silver_filter_dedup",
     "dim_date",
     "dim_part_category",

@@ -1854,3 +1854,123 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vol GROUP BY 1
         """
     )
+
+
+@register(
+    "sql_order_priority_count",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY 1
+    """,
+)
+def q_sql_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with at least one LATE lineitem (shipped >60 days after order —
+    this schema has no commit/receipt dates), counted by priority. The
+    correlated EXISTS decorrelates into a left-semi hash join; the
+    date filter pushes into the orders scan."""
+    _sql_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders_v o
+        WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-07-01'
+          AND CAST(o.o_orderdate AS DATE) < DATE '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND CAST(l.l_shipdate AS DATE)
+                  > date_add(CAST(o.o_orderdate AS DATE), 60))
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "sql_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): histogram of
+    non-urgent order counts per customer, INCLUDING zero-order
+    customers — the left outer join with an extra join-side predicate
+    (not a WHERE, which would drop the nulls) feeding two stacked
+    aggregations."""
+    _sql_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer_v c
+          LEFT JOIN orders_v o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "sql_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, min(min_price) AS best_price
+      FROM cost GROUP BY 1)
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           CAST(c.min_price AS DOUBLE) AS min_price
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey
+               AND c.min_price = b.best_price
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+    """,
+)
+def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small part, the
+    supplier(s) achieving its lowest observed price — the classic
+    argmin-by-join (aggregate per (part, supplier), aggregate per part,
+    equi-join back on the min; ties keep every witness, as Q2 does).
+    Prices compare as the exact stored doubles on both engines; no
+    derived float crosses the equality."""
+    _sql_views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice) AS min_price
+          FROM lineitem_v GROUP BY 1, 2),
+        best AS (
+          SELECT l_partkey, min(min_price) AS best_price
+          FROM cost GROUP BY 1)
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+               CAST(c.min_price AS DOUBLE) AS min_price
+        FROM cost c
+        JOIN best b ON c.l_partkey = b.l_partkey
+                   AND c.min_price = b.best_price
+        JOIN part_v p ON p.p_partkey = c.l_partkey
+        JOIN supplier_v s ON s.s_suppkey = c.l_suppkey
+        WHERE p.p_size <= 5
+        """
+    )

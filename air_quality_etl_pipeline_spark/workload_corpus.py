@@ -1060,3 +1060,79 @@ def q_contamination_overlap_stats(
         .groupBy("band")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "embedding_drift_centroids",
+    """
+    WITH ex AS (
+      SELECT label, vec_id % 2 = 0 AS is_a, i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS micro
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+    g AS (
+      SELECT label, dim,
+             CAST(sum(CASE WHEN is_a THEN micro ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE micro END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM ex GROUP BY 1, 2),
+    terms AS (
+      SELECT label, na, nb,
+             CAST(((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                    / 1000000.0)
+                  * ((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                     / 1000000.0)
+                  AS DECIMAL(38,18)) AS term
+      FROM g)
+    SELECT CAST(label AS BIGINT) AS label,
+           max(na) AS n_cohort_a, max(nb) AS n_cohort_b,
+           floor(sqrt(CAST(sum(term) AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS l2_shift
+    FROM terms GROUP BY 1
+    """,
+)
+def q_embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the L2 distance between the
+    centroid of cohort A (even vec_ids) and cohort B (odd) — the
+    statistic an embedding pipeline tracks across batches/model
+    versions to catch representation drift. Centroids accumulate in
+    exact integer MICRO-units (the label_centroids pattern — integer
+    sums are order-independent, float sums are not), the per-dimension
+    squared difference quantizes to DECIMAL(38,18) for an
+    order-independent reduce, and one sqrt+round lands the final
+    statistic. One posexplode, one (label, dim)-keyed aggregate, one
+    label-keyed reduce — the vectors never shuffle twice."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select(
+        "label",
+        "is_a",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * 1_000_000.0 + 0.5).cast("long").alias("micro"),
+    )
+    g = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_a"), F.col("micro")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(F.col("micro"))).alias("sb"),
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb"),
+    )
+    d = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    ) / 1_000_000.0
+    terms = g.select(
+        "label", "na", "nb", (d * d).cast("decimal(38,18)").alias("term")
+    )
+    return terms.groupBy("label").agg(
+        F.max("na").alias("n_cohort_a"),
+        F.max("nb").alias("n_cohort_b"),
+        round_portable(
+            F.sqrt(F.sum("term").cast("double")), 6
+        ).alias("l2_shift"),
+    )

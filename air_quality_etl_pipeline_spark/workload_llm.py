@@ -321,9 +321,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cands = minhash_lsh_candidates(
         d, "doc_id", "text", n=5, num_hashes=8, bands=4, shingler="word"
     )
-    csh = d.select(
-        F.col("doc_id").alias("_id"),
-        char_shingles(F.col("text"), 3).alias("_c"),
+    # shingle ONLY the candidate docs: char_shingles' array_distinct is
+    # O(len²) per row and costs ~2 s over the full sf0.1 corpus, while
+    # LSH leaves a few hundred docs to verify — the semi-join makes the
+    # verify stage candidate-sized instead of corpus-sized (measured
+    # 2.9 s → 1.1 s end-to-end; the candidate subtree re-executes once
+    # more for the id set, which the signature pipeline's 0.15 s makes
+    # a good trade)
+    # the pair set feeds both the verify join and the id semi-join —
+    # persist so the band self-join runs once, not twice
+    cands = cands.persist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .union(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    csh = (
+        d.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        .select(
+            F.col("doc_id").alias("_id"),
+            char_shingles(F.col("text"), 3).alias("_c"),
+        )
     )
     verified = (
         cands.join(

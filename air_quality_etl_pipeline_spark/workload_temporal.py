@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from air_quality_etl_pipeline_spark.operators.joins import (
     asof_join,
     count_in_window,
+    interval_join,
 )
 from air_quality_etl_pipeline_spark.workload import _events, register
 
@@ -172,4 +173,64 @@ def q_pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month")
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+@register(
+    "asof_nearest_join",
+    """
+    WITH p AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+          FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, m.view_event_id, m.diff_us
+    FROM p JOIN LATERAL (
+      SELECT v.event_id AS view_event_id, v.v_us - p.p_us AS diff_us
+      FROM v
+      WHERE v.user_id = p.user_id
+        AND v.v_us >= p.p_us - 600000000
+        AND v.v_us <= p.p_us + 600000000
+      ORDER BY abs(v.v_us - p.p_us) ASC, (v.v_us - p.p_us) ASC,
+               v.event_id ASC
+      LIMIT 1) m ON true
+    """,
+)
+def q_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join (the two-sided companion to the backward
+    as-of): each purchase pairs with the temporally closest view by the
+    same user within ±10 minutes — ties prefer the earlier (backward)
+    event, then the lower event id. Candidates come from the banded
+    interval join (bounded fanout, one hash shuffle — never a
+    nested-loop range join), then one window keeps rank 1 per
+    purchase. Integer-microsecond arithmetic end to end."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("v_us"),
+    )
+    # (p_us - 600s - 1, p_us + 600s]  ⇒  v_us ∈ [p_us-600s, p_us+600s]
+    pairs = interval_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="p_us",
+        right_ts="v_us",
+        lower=-600_000_001,
+        upper=600_000_000,
+    )
+    diff = F.col("v_us") - F.col("p_us")
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(diff).asc(), diff.asc(), F.col("view_event_id").asc()
+    )
+    return (
+        pairs.withColumn("diff_us", diff)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("event_id", "user_id", "view_event_id", "diff_us")
     )
