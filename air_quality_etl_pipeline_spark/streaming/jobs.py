@@ -265,3 +265,72 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, max, exact-cents sum) via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49564: composable typed state
+    variables, timers, TTL) and the designated home for custom
+    stateful operators going forward; this engine exposes both so a
+    user can migrate either direction.
+
+    State is ONE ValueState holding ``(n, max, cents)``: count and
+    integer cents are exact/associative (float accumulation would
+    drift vs the batch oracle), max is order-independent by nature.
+    The processor class is defined INSIDE this function and imports
+    pandas inside its methods, so cloudpickle ships it by value and
+    executors never import this package. Update mode: one row per
+    (key, batch); the caller keeps the final row per key.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id bigint, n_events bigint, max_value double, "
+        "sum_value double"
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._s = handle.getValueState(
+                "s", "n BIGINT, mx DOUBLE, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._s.exists():
+                n, mx, cents = self._s.get()
+            else:
+                n, mx, cents = 0, None, 0
+            for pdf in rows:
+                n += len(pdf)
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+                # per-event half-up to exact cents, like CAST(x AS
+                # DECIMAL(18,2)) in the batch aggregate
+                cents += int(
+                    (pdf["value"] * 100).round(0).astype("int64").sum()
+                )
+            self._s.update((n, mx, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "sum_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

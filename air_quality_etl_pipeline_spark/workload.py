@@ -1182,6 +1182,12 @@ _DRIVER_PRIORITY = [
     "sql_min_cost_supplier",
     "asof_nearest_join",
     "embedding_drift_centroids",
+    # round-4 front-load: registered late in round 3, past the 50-slot
+    # gate — pytest-oracle-verified now, driver-checked next round
+    "bm25_search",
+    "chi2_lang_tokens",
+    "train_val_test_split",
+    "orders_gini",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -1974,3 +1974,54 @@ def q_sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_size <= 5
         """
     )
+
+
+@register(
+    "orders_gini",
+    """
+    WITH x AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT n_orders,
+             row_number() OVER (ORDER BY n_orders ASC, o_custkey ASC) AS rk
+      FROM x),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(n_orders AS BIGINT)) AS BIGINT) AS total,
+             CAST(sum(CAST(rk * n_orders AS BIGINT)) AS BIGINT) AS weighted
+      FROM r)
+    SELECT n AS n_customers, total AS n_orders,
+           floor((2.0 * weighted - (n + 1.0) * total)
+                 / (CAST(n AS DOUBLE) * total) * 1000000.0 + 0.5)
+             / 1000000.0 AS gini
+    FROM s
+    """,
+)
+def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of orders across customers (the inequality
+    statistic a pipeline tracks for key-skew early warning: gini → 1
+    means a few hot customers own the workload). The rank-weighted
+    formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) runs on exact integer
+    sums — the only float is the final division, rounded in-query.
+    The window runs over the CUSTOMER aggregate (dimension-sized),
+    never the orders table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    x = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy(F.asc("n_orders"), F.asc("o_custkey"))
+    r = x.withColumn("rk", F.row_number().over(w))
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("n_orders").alias("total"),
+        F.sum(F.col("rk") * F.col("n_orders")).alias("weighted"),
+    )
+    gini = (
+        2.0 * F.col("weighted") - (F.col("n") + 1.0) * F.col("total")
+    ) / (F.col("n").cast("double") * F.col("total"))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("n_orders"),
+        round_portable(gini, 6).alias("gini"),
+    )

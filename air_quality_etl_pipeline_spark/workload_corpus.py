@@ -1136,3 +1136,240 @@ def q_embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum("term").cast("double")), 6
         ).alias("l2_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring / feature selection / split hygiene (round-4 set)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "spark", "row"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest({LTOKS}) AS tok FROM documents)),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+           GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ln((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                     / (df.df + 0.5) + 1.0)
+                  * (tf.tf * ({_BM25_K1} + 1.0))
+                  / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * dl.dl
+                       / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+                  AS DECIMAL(18,9)) AS term_score
+      FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, stats s)
+    SELECT doc_id, score, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT doc_id,
+             floor(CAST(sum(term_score) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS score,
+             row_number() OVER (
+               ORDER BY floor(CAST(sum(term_score) AS DOUBLE) * 1000000.0
+                              + 0.5) / 1000000.0 DESC,
+                        doc_id ASC) AS rk
+      FROM scored GROUP BY 1)
+    WHERE rk <= 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Spärck Jones probabilistic relevance,
+    the k1/b form) for a fixed 3-term query — the retrieval scorer a
+    RAG corpus runs next to the inverted index. Postings restrict to
+    the query terms BEFORE any join (three-term relation, broadcast);
+    document lengths and the corpus stats are one aggregate each;
+    per-term scores quantize to DECIMAL(18,9) so the per-doc sum is
+    order-independent, and the top-20 window orders by the ROUNDED
+    score (ties broken by doc_id) so both engines rank identically."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select("doc_id", F.lower(F.col("_raw")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_), on="tok")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.ln(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+    ).cast("decimal(18,9)")
+    scored = joined.select("doc_id", term_score.alias("term_score"))
+    per_doc = scored.groupBy("doc_id").agg(
+        round_portable(F.sum("term_score").cast("double"), 6).alias(
+            "score"
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "chi2_lang_tokens",
+    f"""
+    WITH toks AS (
+      SELECT lang, tok
+      FROM (SELECT lang, unnest({LTOKS}) AS tok FROM documents)),
+    lt AS (SELECT lang, tok, count(*) AS n11 FROM toks GROUP BY 1, 2),
+    lsum AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+             FROM toks GROUP BY 1),
+    tsum AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+             FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    cells AS (
+      SELECT lt.lang, lt.tok, lt.n11,
+             tsum.n_tok - lt.n11 AS n10,
+             lsum.n_lang - lt.n11 AS n01,
+             tot.n - tsum.n_tok - lsum.n_lang + lt.n11 AS n00,
+             tot.n AS n
+      FROM lt JOIN lsum USING (lang) JOIN tsum USING (tok), tot),
+    chi AS (
+      SELECT lang, tok, n11,
+             floor(CAST(n AS DOUBLE)
+                   * (CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)
+                   * (CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)
+                   / ((CAST(n11 AS DOUBLE) + n10) * (CAST(n01 AS DOUBLE) + n00)
+                      * (CAST(n11 AS DOUBLE) + n01)
+                      * (CAST(n10 AS DOUBLE) + n00))
+                   * 10000.0 + 0.5) / 10000.0 AS chi2
+      FROM cells)
+    SELECT lang, tok, CAST(n11 AS BIGINT) AS n_in_lang, chi2,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY chi2 DESC, tok ASC) AS rk
+          FROM chi)
+    WHERE rk <= 5
+    """,
+)
+def q_chi2_lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² token–language association (the feature-selection statistic
+    of Manning/Schütze §5.3): the 5 tokens most characteristic of each
+    language by the 2×2 contingency χ², computed from exact integer
+    cell counts with ONE double expression (identical operation order
+    on both engines) and in-query rounding. All aggregates are
+    vocabulary- or language-sized; the corpus shuffles once to build
+    the (lang, tok) cells."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select("lang", F.lower(F.col("_raw")).alias("tok"))
+    lt = toks.groupBy("lang", "tok").agg(F.count("*").alias("n11"))
+    lsum = toks.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    tsum = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    tot = toks.agg(F.count("*").alias("n"))
+    cells = (
+        lt.join(F.broadcast(lsum), on="lang")
+        .join(F.broadcast(tsum), on="tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "tok",
+            "n11",
+            (F.col("n_tok") - F.col("n11")).alias("n10"),
+            (F.col("n_lang") - F.col("n11")).alias("n01"),
+            (
+                F.col("n") - F.col("n_tok") - F.col("n_lang") + F.col("n11")
+            ).alias("n00"),
+            "n",
+        )
+    )
+    num = (
+        F.col("n11").cast("double") * F.col("n00")
+        - F.col("n10").cast("double") * F.col("n01")
+    )
+    chi2 = (
+        F.col("n").cast("double")
+        * num
+        * num
+        / (
+            (F.col("n11").cast("double") + F.col("n10"))
+            * (F.col("n01").cast("double") + F.col("n00"))
+            * (F.col("n11").cast("double") + F.col("n01"))
+            * (F.col("n10").cast("double") + F.col("n00"))
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("tok"))
+    scored = cells.select(
+        "lang",
+        "tok",
+        F.col("n11").cast("long").alias("n_in_lang"),
+        round_portable(chi2, 4).alias("chi2"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang", "tok", "n_in_lang", "chi2",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "train_val_test_split",
+    """
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by salted content-id
+    hash — membership is a pure function of the id, so re-running the
+    pipeline (or running it on another engine) assigns every document
+    to the SAME split: the reproducibility property leakage audits
+    depend on. Scan-local hash + one small aggregate; the per-lang
+    breakdown is the balance check."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

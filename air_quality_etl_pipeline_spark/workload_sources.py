@@ -525,6 +525,15 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(counts, spark, output_mode="complete")
 
 
+# NOTE: `streaming.jobs.tws_user_stats` (the transformWithStateInPandas
+# twin of q_streaming_stateful_counts) is implemented and unit-tested
+# behind an availability gate, but NOT registered as a driver query:
+# Spark's TWS state-server protocol needs `google.protobuf`, which this
+# container lacks (see SCALE.md "Environment blockers"). On a cluster
+# with protobuf installed, register it exactly like
+# streaming_stateful_counts with the same batch oracle.
+
+
 # Builders above that DO the work at construction time (write a sink,
 # run an ingest/DAG, or drive a stream to completion) — their returned
 # DataFrame is a read-back, so bench/prepared must rebuild per sample

@@ -5,6 +5,7 @@ insert-if-absent merge inside each batch)."""
 
 from __future__ import annotations
 
+import pytest
 import shutil
 
 from pyspark.sql import functions as F
@@ -113,3 +114,55 @@ def test_drop_duplicates_within_watermark_matches_batch_distinct(spark, sf_dir):
         .count()
     )
     assert got == expect
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf "
+    "(absent in this container — see SCALE.md environment blockers)",
+)
+def test_tws_user_stats_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas running stats must equal the batch
+    groupBy exactly (count/max/decimal-cents sum)."""
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.operators.cleaning import dedup_first
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        tws_user_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(sf)
+    updates = run_available_now(
+        tws_user_stats(stream), spark, output_mode="update"
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup_first(
+            updates, ["user_id"], order_by=[F.col("n_events").desc()]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want
