@@ -1188,6 +1188,8 @@ _DRIVER_PRIORITY = [
     "chi2_lang_tokens",
     "train_val_test_split",
     "orders_gini",
+    "bpe_pair_counts",
+    "dedup_span_runs",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -1373,3 +1373,131 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH toks AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest({LTOKS}) AS tok FROM documents) GROUP BY 1),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair, freq
+      FROM toks, unnest(range(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 2),
+    agg AS (SELECT pair, CAST(sum(CAST(freq AS BIGINT)) AS BIGINT) AS n
+            FROM pairs GROUP BY 1)
+    SELECT CAST(rk AS BIGINT) AS rank, pair, n
+    FROM (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rk
+          FROM agg)
+    WHERE rk <= 20
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-step statistic (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units", ACL 2016 §3.2): the
+    adjacent character-pair frequencies over the VOCABULARY weighted by
+    word frequency — the argmax of this table is the next merge. The
+    corpus collapses to its vocabulary first (one aggregate), pairs
+    explode from the vocabulary relation only (thousands of rows, not
+    the corpus), and repeated pairs inside a word count once per
+    position exactly as the reference algorithm does."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(token_array(F.col("text"))).alias("_raw"))
+        .select(F.lower(F.col("_raw")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = toks.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("rank").cast("long").alias("rank"), "pair", "n")
+    )
+
+
+@register(
+    "dedup_span_runs",
+    f"""
+    WITH t AS (SELECT doc_id, {LTOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(array_to_string(toks[u.i:u.i+4], ' ')),
+              1, 15))::BIGINT AS gh
+      FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)),
+    df AS (SELECT gh, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1),
+    flagged AS (
+      SELECT g.doc_id, g.pos FROM g JOIN df USING (gh)
+      WHERE df.n_docs >= 2),
+    islands AS (
+      SELECT doc_id,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos ASC) AS island
+      FROM flagged),
+    runs AS (SELECT doc_id, count(*) AS run_len
+             FROM islands GROUP BY doc_id, island)
+    SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_shared_run,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1
+    """,
+)
+def q_dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection prep (Lee et al., ACL 2022 — their
+    dedup removes exact substrings ≥50 tokens, not whole documents):
+    per document, the LONGEST run of consecutive word-5-grams that
+    also appear in some other document, via gaps-and-islands over the
+    shared-gram positions. A long run = a copied span to cut; isolated
+    shared grams are phrase-level noise. Positions ride the explode
+    (no second scan), the document-frequency aggregate is
+    vocabulary-sized, and the island window partitions by doc —
+    corpus shuffles once on doc_id."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), F.lower).alias("toks"),
+    )
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - F.lit(4), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        md5_long(F.col("gram")).alias("gh"),
+    )
+    df_ = g.groupBy("gh").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = g.join(df_, on="gh").filter(F.col("n_docs") >= 2)
+    w = W.partitionBy("doc_id").orderBy(F.asc("pos"))
+    islands = flagged.select(
+        "doc_id", (F.col("pos") - F.row_number().over(w)).alias("island")
+    )
+    runs = islands.groupBy("doc_id", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_shared_run"),
+        F.count("*").cast("long").alias("n_runs"),
+    )

@@ -373,3 +373,31 @@ def test_minhash_signatures_match_python_ground_truth(spark):
         for doc_id, text in docs
     }
     assert got_affine == expected_affine
+
+
+def test_driver_priority_names_all_registered():
+    """Every name in _DRIVER_PRIORITY must be a registered query — the
+    ordering code silently skips unknown names, so a typo would
+    quietly drop a query from the driver's 50-slot verification gate."""
+    from air_quality_etl_pipeline_spark.workload import (
+        _DRIVER_PRIORITY,
+        QUERIES,
+    )
+
+    unknown = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert unknown == [], f"priority names not in registry: {unknown}"
+    dupes = [
+        n for n in set(_DRIVER_PRIORITY)
+        if _DRIVER_PRIORITY.count(n) > 1
+    ]
+    assert dupes == [], f"duplicate priority names: {dupes}"
+
+
+def test_side_effect_queries_all_registered():
+    from air_quality_etl_pipeline_spark.workload import (
+        QUERIES,
+        SIDE_EFFECT_QUERIES,
+    )
+
+    unknown = sorted(n for n in SIDE_EFFECT_QUERIES if n not in QUERIES)
+    assert unknown == [], f"side-effect names not in registry: {unknown}"
