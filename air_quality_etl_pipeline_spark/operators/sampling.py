@@ -127,7 +127,7 @@ def mixture_sample(
     budget: int,
     salt: str = "mix",
 ) -> DataFrame:
-    """Domain-mixture downsampling: pick ≈\ *budget* rows whose source
+    r"""Domain-mixture downsampling: pick ≈\ *budget* rows whose source
     composition matches *target_weights* (the Pile/Llama-style
     training-mix step: "20% web, 40% code, ..."), deterministically.
 

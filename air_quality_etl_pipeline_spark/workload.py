@@ -1118,6 +1118,7 @@ from air_quality_etl_pipeline_spark import workload_temporal  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_analytics  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sketches  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_corpus  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_sql  # noqa: E402,F401
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
@@ -1190,6 +1191,13 @@ _DRIVER_PRIORITY = [
     "orders_gini",
     "bpe_pair_counts",
     "dedup_span_runs",
+    "sql_volume_shipping",
+    "sql_product_profit",
+    "sql_important_parts",
+    "sql_late_shipments",
+    "sql_potential_promotion",
+    "sql_waiting_suppliers",
+    "sql_sales_opportunity",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row
