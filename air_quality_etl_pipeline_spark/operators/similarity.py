@@ -894,3 +894,105 @@ def cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 8,
+    threshold: float = 0.35,
+    centroid_stride: int | None = None,
+    sim_decimals: int = 6,
+    dims: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space coarsely, then drop any vector whose cosine to a LOWER-id
+    member of the SAME cluster exceeds *threshold* — semantic
+    duplicates that exact/MinHash dedup cannot see.
+
+    Relational decomposition (no all-pairs anywhere):
+
+    1. *Cluster*: assign every vector to its nearest of *num_clusters*
+       deterministic centroids (ids ``< num_clusters``, or every
+       ``centroid_stride``-th id) — broadcast centroids, map-side
+       ``max_by`` rank-1, ONE row per vector on the exchange (same
+       shape as :func:`ivf_topk`'s assignment; a k-means fit slots in
+       via :func:`kmeans_fit` when determinism isn't required).
+    2. *Pair*: self-join WITHIN clusters on ``id_a < id_b`` — the
+       quadratic term is bounded by the largest cluster, which is the
+       knob SemDeDup scales with (clusters ∝ corpus / target size).
+    3. *Resolve*: keep the lowest id of each dup relation — a vector
+       drops iff SOME earlier same-cluster vector is within the
+       threshold, so the kept set is exactly the greedy lowest-id
+       exemplar cover, computable in one aggregation (no iteration).
+
+    Returns every input id: ``(vec_id, cluster, status, n_dup_neighbors,
+    max_dup_cosine)`` with status ``keep``/``drop``; the rounded-cosine
+    tie policy makes the output engine-reproducible.
+    """
+    c = df.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm_expr("_v"))
+    if centroid_stride is None:
+        cent_filter = F.col("_id") < num_clusters
+    else:
+        cent_filter = F.col("_id") % centroid_stride == 0
+    cents = F.broadcast(
+        c.filter(cent_filter).select(
+            F.col("_id").alias("cid"),
+            F.col("_v").alias("centv"),
+            F.col("_n").alias("centn"),
+        )
+    )
+    scored = c.crossJoin(cents).withColumn(
+        "_cos", _pair_cosine("_v", "_n", "centv", "centn", dims, sim_decimals)
+    )
+    assigned = (
+        scored.groupBy("_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("_v"), F.col("_n"), F.col("cid")),
+                F.struct(F.col("_cos"), (-F.col("cid")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            "_id",
+            F.col("_b._v").alias("_v"),
+            F.col("_b._n").alias("_n"),
+            F.col("_b.cid").alias("cluster"),
+        )
+    )
+    earlier = assigned.select(
+        F.col("cluster"),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"),
+    )
+    dup_stats = (
+        assigned.join(earlier, on="cluster")
+        .filter(F.col("id_b") < F.col("_id"))
+        .withColumn(
+            "_cos", _pair_cosine("_v", "_n", "v_b", "n_b", dims, sim_decimals)
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_neighbors"),
+            F.max("_cos").alias("max_dup_cosine"),
+        )
+    )
+    return (
+        assigned.join(dup_stats, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cluster"),
+            F.when(F.col("n_dup_neighbors").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            F.coalesce(F.col("n_dup_neighbors"), F.lit(0).cast("long")).alias(
+                "n_dup_neighbors"
+            ),
+            "max_dup_cosine",
+        )
+    )

@@ -272,3 +272,100 @@ def tfidf_terms(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         idf.alias("idf"),
         (F.col("tf_total") * idf).alias("tfidf"),
     )
+
+
+def apply_bpe_merge(symbols: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge ``(left, right) → left+right`` to a symbol
+    array, greedily left-to-right (the standard BPE apply order), as a
+    pure Catalyst fold — no UDF, so a merge pass stays inside the scan.
+
+    The fold walks the array once building the output: append the
+    merged symbol when the previous output element is *left* and the
+    current input is *right* (and the previous element isn't itself the
+    result of a merge consuming *left* — handled naturally because the
+    merged token ``left+right`` differs from ``left``)."""
+    la, ra = F.lit(left), F.lit(right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == ra),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, ra)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    lowercase: bool = True,
+) -> list[tuple[int, str, str, int]]:
+    """Learn *n_merges* BPE merges from a corpus (Sennrich et al.,
+    ACL'16 §3.2), distributed the way a production tokenizer trainer
+    is: the corpus collapses ONCE into a word-frequency relation
+    (vocabulary-sized — orders of magnitude smaller than the corpus),
+    and every iteration runs two vocabulary-local steps:
+
+    1. adjacent-pair counting weighted by word frequency — one
+       aggregation over the vocab relation;
+    2. the argmax pair (count DESC, pair ASC — deterministic) comes
+       back to the driver (ONE row — the only driver data per round),
+       and :func:`apply_bpe_merge` rewrites the symbol arrays in place.
+
+    The vocab relation is re-cached each round so lineage stays O(1)
+    deep (the same ``localCheckpoint`` discipline as the connected-
+    components loop in operators/graph.py). Returns
+    ``[(rank, left, right, pair_count), ...]``.
+
+    At 100 TB: the corpus pass is one shuffle to build word counts;
+    every subsequent round touches only |vocab| rows — this is why BPE
+    trainers scale, and the relational phrasing preserves exactly that
+    property.
+    """
+    toks = F.explode(token_array(F.col(text_col))).alias("word")
+    words = df.select(toks)
+    if lowercase:
+        words = words.select(F.lower(F.col("word")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.split(F.col("word"), "").alias("syms"), "n")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        top = pairs[0]
+        merges.append((rank, top["l"], top["r"], top["cnt"]))
+        vocab = vocab.select(
+            apply_bpe_merge(F.col("syms"), top["l"], top["r"]).alias("syms"),
+            "n",
+        ).localCheckpoint(eager=True)
+    return merges

@@ -1119,6 +1119,7 @@ from air_quality_etl_pipeline_spark import workload_analytics  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sketches  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_corpus  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sql  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_training  # noqa: E402,F401
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
@@ -1198,6 +1199,13 @@ _DRIVER_PRIORITY = [
     "sql_potential_promotion",
     "sql_waiting_suppliers",
     "sql_sales_opportunity",
+    "semantic_dedup",
+    "pq_codes",
+    "pq_adc_search",
+    "bigram_logprob_score",
+    "sketch_cm_heavy_hitters",
+    "embedding_covariance",
+    "bpe_learn_merges",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -1,0 +1,439 @@
+"""Training-data engine extensions (round 3): semantic dedup
+(SemDeDup), product quantization (encode + ADC search), a bigram LM
+scorer, a Count-Min heavy-hitter sketch with an accuracy contract, the
+covariance/Gram building block for PCA whitening, and a distributed
+BPE merge trainer.
+
+Same registry contract as every other workload module: each query is a
+``(spark_fn, duckdb_oracle)`` pair; money/float math quantizes to
+integer micro-units or DECIMAL before any order-sensitive reduction so
+both engines see identical cells. The BPE trainer is iterative
+(argmax → rewrite per round) and registers rows-only, the documented
+weaker check for genuinely non-SQL-expressible loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import (
+    md5_long,
+    round_portable,
+    token_array,
+)
+from air_quality_etl_pipeline_spark.operators.pq import (
+    collect_codebook,
+    pq_adc_topk,
+    pq_encode,
+)
+from air_quality_etl_pipeline_spark.operators.similarity import semantic_dedup
+from air_quality_etl_pipeline_spark.workload import _t, register
+
+#: DuckDB twins of the cosine / norm folds used by operators.similarity
+#: (same element order ⇒ same doubles; see workload_llm._COS).
+_NORM = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+_DOT64 = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _cos6(a: str, b: str) -> str:
+    dot = _DOT64.format(a=a, b=b)
+    na = _NORM.format(v=a)
+    nb = _NORM.format(v=b)
+    return f"floor(({dot}) / ({na} * {nb}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    s AS (SELECT e.vec_id, e.v, c.cid, {_cos6('e.v', 'c.cv')} AS cos
+          FROM e, c),
+    a AS (SELECT vec_id, v, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+          FROM s),
+    m AS (SELECT vec_id, v, cid AS cluster FROM a WHERE rk = 1),
+    p AS (SELECT x.vec_id,
+                 CAST(count(*) AS BIGINT) AS n_dup_neighbors,
+                 max({_cos6('x.v', 'y.v')}) AS max_dup_cosine
+          FROM m x JOIN m y
+            ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+          WHERE {_cos6('x.v', 'y.v')} >= 0.35
+          GROUP BY 1)
+    SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+           CASE WHEN p.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS status,
+           COALESCE(p.n_dup_neighbors, 0) AS n_dup_neighbors,
+           p.max_dup_cosine
+    FROM m LEFT JOIN p ON m.vec_id = p.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: coarse-cluster (8
+    deterministic centroids), then drop vectors with a ≥0.35-cosine
+    earlier neighbor in the same cluster. See
+    operators.similarity.semantic_dedup for the plan-shape contract
+    (broadcast centroids, map-side rank-1 assignment, cluster-bounded
+    self-join)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, num_clusters=8, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+#: DuckDB codebook CTE: sub-vectors of the 16 lowest-id embeddings,
+#: one row per (subspace j ∈ 0..7, code ∈ 0..15).
+_PQ_CB = """
+    cb AS (SELECT vec_id AS code, j.j AS j,
+                  v[j.j * 8 + 1 : j.j * 8 + 8] AS cv
+           FROM e, (SELECT unnest(range(0, 8)) AS j) j
+           WHERE vec_id < 16)
+"""
+
+#: micro-quantized squared L2 between sub-vector j of a full vector
+#: column and a codebook row (same element order as operators.pq).
+_PQ_D2 = (
+    "CAST(floor(list_sum(list_transform(range(1, 9), "
+    "i -> ({v}[cb.j * 8 + i] - cb.cv[i]) * ({v}[cb.j * 8 + i] - cb.cv[i])))"
+    " * 1e6 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "pq_codes",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_PQ_CB},
+    d AS (SELECT e.vec_id, cb.j, cb.code,
+                 {_PQ_D2.format(v='e.v')} AS dmicro
+          FROM e, cb),
+    r AS (SELECT vec_id, j, code, row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY dmicro ASC, code ASC) AS rk
+          FROM d)
+    SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+    FROM r WHERE rk = 1
+    """,
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the embeddings table: 8 sub-spaces × 16 codes
+    (codebook = the 16 lowest-id vectors — deterministic; kmeans_fit
+    per sub-space is the production upgrade). Encode is map-only:
+    distances evaluate as straight-line codegen inside the scan and
+    the argmin is array_position(min). See operators/pq.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = collect_codebook(e, m=8, k=16, dims=64)
+    return pq_encode(e, cb)
+
+
+@register(
+    "pq_adc_search",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_PQ_CB},
+    d AS (SELECT e.vec_id, cb.j, cb.code,
+                 {_PQ_D2.format(v='e.v')} AS dmicro
+          FROM e, cb),
+    codes AS (SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY dmicro ASC, code ASC) AS rk
+        FROM d) WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+    lut AS (SELECT q.query_id, cb.j, cb.code,
+                   {_PQ_D2.format(v='q.qv')} AS dmicro
+            FROM q, cb),
+    s AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+                 CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code
+          WHERE l.query_id <> c.vec_id
+          GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micro ASC, neighbor_id ASC) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 for 4 query vectors over the PQ-compressed corpus:
+    broadcast lookup tables, integer micro-unit distance sums (exact ⇒
+    order-independent), corpus vectors untouched after encoding."""
+    e = _t(spark, sf_dir, "embeddings")
+    cb = collect_codebook(e, m=8, k=16, dims=64)
+    return pq_adc_topk(e, e.filter(F.col("vec_id") < 4), cb, topk=5)
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring
+# ---------------------------------------------------------------------------
+
+from air_quality_etl_pipeline_spark.workload_llm import TOKS
+
+_LTOKS = f"list_transform({TOKS}, x -> lower(x))"
+
+
+@register(
+    "bigram_logprob_score",
+    f"""
+    WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+           FROM t),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM flat GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM flat GROUP BY 1),
+    scored AS (
+      SELECT f.doc_id,
+             CAST(ln(CAST(c12.n12 AS DOUBLE) / c1.n1) AS DECIMAL(18,9)) AS lp
+      FROM flat f
+      JOIN c12 ON f.w1 = c12.w1 AND f.w2 = c12.w2
+      JOIN c1 ON f.w1 = c1.w1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+)
+def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram LM score: mean ln p(w2|w1) under the
+    corpus's own bigram MLE — the next perplexity proxy up from
+    unigram_logprob_score (catches scrambled/boilerplate text that has
+    normal unigram stats). The bigram- and unigram-count relations are
+    vocabulary-sized aggregations joined back onto the token stream;
+    per-token terms quantize to DECIMAL(18,9) so the doc sum is
+    order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            token_array(F.col("text")), lambda x: F.lower(x)
+        ).alias("toks"),
+    )
+    flat = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = flat.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = flat.groupBy("w1").agg(F.count("*").alias("n1"))
+    scored = (
+        flat.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .select(
+            "doc_id",
+            F.ln(F.col("n12").cast("double") / F.col("n1"))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        round_portable(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+@register(
+    "sketch_cm_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_LTOKS}) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    counters AS (
+      SELECT d.d,
+             (('0x' || substr(md5('cm' || d.d || ':' || tok), 1, 15))::BIGINT)
+               % {_CM_WIDTH} AS bucket,
+             CAST(sum(n) AS BIGINT) AS cnt
+      FROM freq, (SELECT unnest(range(0, {_CM_DEPTH})) AS d) d
+      GROUP BY 1, 2),
+    top AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+            FROM freq),
+    probes AS (
+      SELECT t.tok, t.n, d.d,
+             (('0x' || substr(md5('cm' || d.d || ':' || t.tok), 1, 15))::BIGINT)
+               % {_CM_WIDTH} AS bucket
+      FROM (SELECT tok, n FROM top WHERE rk <= 20) t,
+           (SELECT unnest(range(0, {_CM_DEPTH})) AS d) d),
+    est AS (
+      SELECT p.tok, p.n, min(c.cnt) AS estimate
+      FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+      GROUP BY 1, 2)
+    SELECT tok, n AS exact_count, CAST(estimate AS BIGINT) AS cm_estimate,
+           CAST(estimate - n AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def q_sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) accuracy check:
+    build a depth-4 × width-1024 counter array from the token-frequency
+    relation, then compare the sketch estimate against the exact count
+    for the 20 most frequent tokens. CM guarantees estimate ≥ exact
+    (``overcount`` ≥ 0) and ≤ exact + εN w.h.p. — the integer counters
+    make the whole query exactly reproducible. At scale the counter
+    build is ONE aggregation to d·w cells regardless of vocabulary
+    size; that fixed footprint is the reason to sketch at all."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select(F.lower(F.col("_raw")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("n"))
+    rows = freq.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).cast("long").alias("d"),
+                        (md5_long(F.col("tok"), salt=f"cm{dd}") % _CM_WIDTH)
+                        .alias("bucket"),
+                    )
+                    for dd in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("_h"),
+    )
+    counters = (
+        rows.select("n", "_h.d", "_h.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    top = (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+    probes = top.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).cast("long").alias("d"),
+                        (md5_long(F.col("tok"), salt=f"cm{dd}") % _CM_WIDTH)
+                        .alias("bucket"),
+                    )
+                    for dd in range(_CM_DEPTH)
+                ]
+            )
+        ).alias("_h"),
+    ).select("tok", "n", "_h.d", "_h.bucket")
+    return (
+        F.broadcast(probes)
+        .join(counters, on=["d", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+        .select(
+            "tok",
+            F.col("n").alias("exact_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).cast("long").alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Covariance / Gram block (the PCA-whitening building block)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_covariance",
+    """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (SELECT i.i AS i, j.j AS j
+              FROM (SELECT unnest(range(1, 9)) AS i) i,
+                   (SELECT unnest(range(1, 9)) AS j) j
+              WHERE j.j >= i.i)
+    SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(v[p.i] * v[p.j] * 1000000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM e, pairs p
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram/covariance sums for the first 8 dimensions —
+    the distributed half of PCA/whitening: the d×d second-moment matrix
+    is ONE partial-aggregated pass (d²/2 running sums per partition, a
+    d²/2-row exchange), after which the eigendecomposition is a driver-
+    side O(d³) numpy call on a matrix that fits in L2 cache. Products
+    quantize to integer micro-units so the sums are exact on both
+    engines."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = []
+    for i in range(1, 9):
+        for j in range(i, 9):
+            cells.append(
+                F.struct(
+                    F.lit(i).cast("long").alias("dim_i"),
+                    F.lit(j).cast("long").alias("dim_j"),
+                    F.floor(
+                        F.element_at("v", i)
+                        * F.element_at("v", j)
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    .cast("long")
+                    .alias("micro"),
+                )
+            )
+    return (
+        e.select(F.explode(F.array(*cells)).alias("_c"))
+        .groupBy("_c.dim_i", "_c.dim_j")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("_c.micro").cast("long").alias("sum_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (iterative — rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@register("bpe_learn_merges", None)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer: 6 merge rounds over the word-frequency
+    relation (Sennrich ACL'16). Iterative argmax → rewrite loop, so
+    rows-only at the driver; exactness vs a pure-Python reference is
+    pinned in tests/test_training_ops.py. See
+    operators.text.learn_bpe_merges for the scale contract (corpus
+    collapses once; every round is vocabulary-local)."""
+    from air_quality_etl_pipeline_spark.operators.text import (
+        learn_bpe_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=6)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )

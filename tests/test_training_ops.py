@@ -1,0 +1,161 @@
+"""Round-3 training-data operators: BPE merge learning (vs a pure-
+Python reference — the exactness pin for the one iterative, rows-only
+query), SemDeDup invariants, PQ encode/ADC contracts, and the Count-Min
+overcount guarantee."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.pq import (
+    collect_codebook,
+    pq_adc_topk,
+    pq_encode,
+)
+from air_quality_etl_pipeline_spark.operators.similarity import semantic_dedup
+from air_quality_etl_pipeline_spark.operators.text import (
+    apply_bpe_merge,
+    learn_bpe_merges,
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE
+# ---------------------------------------------------------------------------
+
+def ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich-style reference: greedy left-to-right apply,
+    argmax pair by (count DESC, pair ASC)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges
+
+
+def test_apply_bpe_merge_greedy(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],), (["x"],)],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            apply_bpe_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got[0] == ["aa", "a"]          # greedy left-to-right, no overlap
+    assert got[1] == ["a", "b", "a", "b"]  # untouched
+    assert got[2] == ["x"]
+
+
+def test_bpe_matches_reference(spark, sf_dir):
+    words = duckdb.sql(
+        f"""
+        SELECT lower(tok) AS w, count(*) AS n FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM '{sf_dir}/documents.parquet' WHERE trim(text) <> '')
+        GROUP BY 1
+        """
+    ).fetchall()
+    expected = ref_bpe({w: n for w, n in words}, 6)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = learn_bpe_merges(d, n_merges=6)
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_semantic_dedup_invariants(embeddings):
+    out = semantic_dedup(embeddings, num_clusters=8, threshold=0.35)
+    rows = out.collect()
+    n = embeddings.count()
+    assert len(rows) == n                      # every vector classified
+    assert {r["cluster"] for r in rows} <= set(range(8))
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        # the earliest member of a cluster has no earlier neighbor
+        assert lowest["status"] == "keep"
+    for r in rows:
+        if r["status"] == "drop":
+            assert r["n_dup_neighbors"] >= 1
+            assert r["max_dup_cosine"] >= 0.35
+        else:
+            assert r["n_dup_neighbors"] == 0
+            assert r["max_dup_cosine"] is None
+
+
+# ---------------------------------------------------------------------------
+# PQ
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_shape_and_range(embeddings):
+    cb = collect_codebook(embeddings, m=8, k=16, dims=64)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    codes = pq_encode(embeddings, cb)
+    n = embeddings.count()
+    assert codes.count() == n * 8
+    stats = codes.agg(
+        F.min("code"), F.max("code"), F.countDistinct("subspace")
+    ).first()
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] == 8
+
+
+def test_pq_codebook_vectors_encode_to_themselves(embeddings):
+    """A codebook source vector's sub-vector is at distance 0 from its
+    own centroid, so vector c must encode to code c in every subspace."""
+    cb = collect_codebook(embeddings, m=8, k=16, dims=64)
+    codes = pq_encode(embeddings.filter(F.col("vec_id") < 16), cb)
+    for r in codes.collect():
+        assert r["code"] == r["vec_id"], r
+
+
+def test_pq_adc_ranks_are_contract_shaped(embeddings):
+    cb = collect_codebook(embeddings, m=8, k=16, dims=64)
+    out = pq_adc_topk(
+        embeddings, embeddings.filter(F.col("vec_id") < 4), cb, topk=5
+    ).collect()
+    assert len(out) == 4 * 5
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert r["adc_micro"] >= 0
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r["adc_micro"] for r in rs]
+        assert dists == sorted(dists)
+        # the query itself is excluded
+        assert all(r["neighbor_id"] != q for r in rs)
