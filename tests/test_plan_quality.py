@@ -207,3 +207,51 @@ def test_url_canonical_dedup_single_shuffle(spark):
     plan = _plan_of(df(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # partial+final
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
+    # assignment is broadcast-centroids ⨯ corpus (structurally small
+    # side); the pair stage must be a same-cluster equi join, never a
+    # corpus-level cartesian
+    df, _ = QUERIES["semantic_dedup"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_encode_is_map_only(spark):
+    # PQ encoding computes every code inside the scan: no Exchange,
+    # no join, no aggregate anywhere in the plan
+    df, _ = QUERIES["pq_codes"]
+    plan = _plan_of(df(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pq_adc_broadcasts_lut(spark):
+    # the lookup table (queries × m × k) must broadcast; the code
+    # relation streams through a broadcast hash join — a sort-merge
+    # join here would shuffle the full code relation per query batch
+    df, _ = QUERIES["pq_adc_search"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cm_sketch_probe_side_broadcasts(spark):
+    # the 20-token probe relation broadcasts onto the d×w counter
+    # relation; the counter build itself is one hash aggregate
+    df, _ = QUERIES["sketch_cm_heavy_hitters"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_covariance_single_aggregation(spark):
+    # the Gram block is scan → project/explode → partial agg → one
+    # exchange of d²/2 rows → final agg; exactly one Exchange
+    df, _ = QUERIES["embedding_covariance"]
+    plan = _plan_of(df(spark, SF))
+    assert plan.count("Exchange") <= 2, plan  # hashpartitioning only
+    assert "Join" not in plan, plan
