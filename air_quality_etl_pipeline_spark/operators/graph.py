@@ -197,3 +197,77 @@ def dedup_clusters(
         .alias("is_keeper"),
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+def pagerank_pico(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in integer PICO-units (Page et al. '99, simplified: no
+    dangling-mass redistribution) — every arithmetic step is BIGINT
+    floor-division, so the result is bit-identical across engines and
+    partition orders with NO float anywhere:
+
+    - ``r0 = 10^12 div N``
+    - per edge: ``contrib = r(src) div outdeg(src)`` (exact int)
+    - ``r' = ((100-d)·10^12 div 100) div N + (d · Σ contrib) div 100``
+
+    Relational shape per round (the Pregel step as SQL): one hash join
+    of the edge list with the rank relation on ``src``, one partial-
+    aggregated sum groupBy on ``dst``, one left join back to the node
+    set. Ranks are one BIGINT per node — at 100 TB the edge list
+    dominates and it co-partitions on ``src`` across rounds, so only
+    the (node-sized) rank relation reshuffles. The loop materializes
+    per round (Spark: small rank relation → ``localCheckpoint`` keeps
+    lineage O(1)); *iterations* is fixed so an oracle can unroll it.
+
+    Returns ``(node, rank_pico)``. ``Σ rank_pico ≤ 10^12`` strictly:
+    besides floor-div truncation (≤ N pico-units/round), DANGLING nodes
+    (no out-edges) evaporate their mass each round in this simplified
+    variant — redistribute it (one scalar aggregate per round) if
+    conserved mass matters for the use case. The tests pin an exact
+    3-round integer trace including the dangling decay.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n_rel = F.broadcast(nodes.agg(F.count("*").cast("long").alias("n")))
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    base_pct = 100 - damping_pct
+    ranks = nodes.crossJoin(n_rel).select(
+        "id", F.expr("CAST(1000000000000 AS BIGINT) div n").alias("pico")
+    )
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), on="src")
+            .join(deg, on="src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("pico div outdeg").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, on="id", how="left")
+            .crossJoin(n_rel)
+            .select(
+                "id",
+                F.expr(
+                    f"(CAST({base_pct} AS BIGINT) * 10000000000) div n"
+                    f" + (CAST({damping_pct} AS BIGINT)"
+                    f" * COALESCE(s, CAST(0 AS BIGINT))) div 100"
+                ).alias("pico"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("id").alias("node"), F.col("pico").alias("rank_pico"))

@@ -1206,6 +1206,9 @@ _DRIVER_PRIORITY = [
     "sketch_cm_heavy_hitters",
     "embedding_covariance",
     "bpe_learn_merges",
+    "pagerank_trade_graph",
+    "ann_recall_at_k",
+    "pca_project",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

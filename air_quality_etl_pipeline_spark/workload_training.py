@@ -437,3 +437,170 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer pico-units — exact cross-engine, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) // nn.n AS pico
+           FROM nodes, nn)"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f"""
+    c{t} AS (SELECT e.dst AS id,
+                    CAST(sum(r.pico // d.outdeg) AS BIGINT) AS s
+             FROM edges e
+             JOIN r{t - 1} r ON e.src = r.id
+             JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+    r{t} AS (SELECT nd.id,
+                    (CAST(15 AS BIGINT) * 10000000000) // nn.n
+                      + (CAST(85 AS BIGINT) * COALESCE(c{t}.s, 0)) // 100
+                      AS pico
+             FROM nodes nd LEFT JOIN c{t} ON nd.id = c{t}.id, nn)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT id AS node, CAST(pico AS BIGINT) AS rank_pico FROM r{iterations}
+    """
+    )
+
+
+@register("pagerank_trade_graph", _pagerank_oracle(3))
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (3 rounds,
+    d=0.85): the Pregel iteration as relational algebra — see
+    operators.graph.pagerank_pico for the integer pico-unit arithmetic
+    that makes an ITERATIVE float algorithm exactly reproducible by an
+    unrolled SQL oracle (every step is BIGINT floor-division)."""
+    from air_quality_etl_pipeline_spark.operators.graph import pagerank_pico
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    return pagerank_pico(edges, iterations=3, damping_pct=85)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF index vs exact search
+# ---------------------------------------------------------------------------
+
+def _recall_oracle() -> str:
+    from air_quality_etl_pipeline_spark.workload_llm import _ivf_oracle
+
+    ivf_body = _ivf_oracle(stride=128, nprobe=2, k=5).strip()
+    # reuse the registered IVF oracle verbatim as a subquery; the exact
+    # side re-derives brute-force top-5 with the same cosine fragment
+    return f"""
+    WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 floor((list_sum(list_transform(range(1, 65),
+                        i -> q.v[i] * e2.v[i]))
+                   / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(e2.v, x -> x * x)))))
+                   * 1000000.0 + 0.5) / 1000000.0 DESC,
+                 e2.vec_id ASC) AS rank
+        FROM (SELECT vec_id, v FROM e2 WHERE vec_id < 8) q, e2
+        WHERE e2.vec_id <> q.vec_id)
+      WHERE rank <= 5),
+    approx AS ({ivf_body}),
+    hits AS (
+      SELECT x.query_id, CAST(count(*) AS BIGINT) AS hits
+      FROM exact x JOIN approx a
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY 1)
+    SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """
+
+
+@register("ann_recall_at_k", _recall_oracle())
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@5 of the IVF index (stride 128,
+    nprobe 2) against exact brute-force cosine, per query — the metric
+    an ANN deployment tunes nprobe against. Both sides are the already-
+    registered operators; the eval is one equi join + count."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(e, q, k=5, dims=64).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        e, q, k=5, centroid_stride=128, nprobe=2, dims=64
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / 5
+            ).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (driver-side eigh — rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@register("pca_project", None)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the embeddings onto their top-4 principal components:
+    exact integer-quantized moment pass (one Arrow/BLAS scan) →
+    driver-side eigh on the 64×64 covariance → map-side projection
+    against the constant-folded component literal. Eigendecomposition
+    is genuinely non-relational ⇒ rows-only at the driver; the spectral
+    contracts are pinned in tests/test_training_ops.py. See
+    operators/pca.py."""
+    from air_quality_etl_pipeline_spark.operators.pca import (
+        pca_components,
+        project,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(e, dims=64, q=4)
+    return project(e, comps)

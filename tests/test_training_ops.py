@@ -159,3 +159,63 @@ def test_pq_adc_ranks_are_contract_shaped(embeddings):
         assert dists == sorted(dists)
         # the query itself is excluded
         assert all(r["neighbor_id"] != q for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+def test_pca_spectral_contracts(embeddings):
+    import numpy as np
+
+    from air_quality_etl_pipeline_spark.operators.pca import (
+        pca_components,
+        project,
+    )
+
+    comps, eigs = pca_components(embeddings, dims=64, q=4)
+    c = np.array(comps)
+    # orthonormal basis, eigenvalues descending and positive
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-9)
+    assert eigs == sorted(eigs, reverse=True)
+    assert all(e > 0 for e in eigs)
+    # sign pin: the largest-|x| entry of each component is positive
+    for row in c:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # projected variance per PC matches its eigenvalue (PCA's defining
+    # property); the projection is rounded at 1e-6 so tolerate 1e-4
+    out = project(embeddings, comps).toPandas()
+    for pc in range(4):
+        vals = out[out["pc"] == pc]["value"].to_numpy()
+        assert abs(vals.var() - eigs[pc]) < 1e-4, (pc, vals.var(), eigs[pc])
+
+
+def test_pca_moment_pass_is_exact_across_runs(embeddings):
+    from air_quality_etl_pipeline_spark.operators.pca import moment_sums_micro
+
+    g1, s1, n1 = moment_sums_micro(embeddings.repartition(7))
+    g2, s2, n2 = moment_sums_micro(embeddings.repartition(3))
+    assert (g1, s1, n1) == (g2, s2, n2)  # integer sums ⇒ partition-proof
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_and_dangling(spark):
+    from air_quality_etl_pipeline_spark.operators.graph import pagerank_pico
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r["node"]: r["rank_pico"] for r in pagerank_pico(edges, 3).collect()}
+    assert set(out) == {"a", "b", "c"}
+    # hand-computed 3-iteration fixed trace (integer floor-div per step;
+    # 'c' is dangling, so its mass evaporates — the documented
+    # simplified-variant semantics, NOT conserved mass)
+    assert out["a"] == 50_000_000_000          # base term only (no in-edges)
+    assert out["b"] == 71_250_000_000          # base + d·(a/2)
+    assert out["c"] == 131_812_500_000         # base + d·(a/2 + b)
+    assert sum(out.values()) <= 1_000_000_000_000
+    # 'c' (two in-edges) outranks 'b' (one)
+    assert out["c"] > out["b"] > out["a"]
