@@ -140,6 +140,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     topk: int = 5,
+    encode_mode: str = "arrow",
 ) -> DataFrame:
     """Asymmetric-distance top-k: exact query sub-vector → quantized
     corpus. Returns ``(query_id, neighbor_id, adc_micro, rank)`` where
@@ -150,8 +151,12 @@ def pq_adc_topk(
     Plan shape: the LUT is queries × m × k rows (tiny — broadcast); the
     code relation streams through the join and the (query, vector) sum
     partial-aggregates map-side. The corpus vectors are never touched
-    after encoding — that is the point of PQ."""
-    codes = pq_encode(corpus, codebook, id_col, vec_col)
+    after encoding — that is the point of PQ. *encode_mode* picks the
+    corpus-encode path — ``"arrow"`` (default; ~20× throughput) or
+    ``"catalyst"`` (pure-JVM plan); both are bit-identical
+    (agreement-tested), so the choice is operational, not semantic."""
+    enc = pq_encode_arrow if encode_mode == "arrow" else pq_encode
+    codes = enc(corpus, codebook, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_q")
     ).withColumn("_dmat", _dmat("_q", codebook))
@@ -183,3 +188,63 @@ def pq_adc_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_micro", "rank")
     )
+
+
+def pq_encode_arrow(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched encode — bit-identical to :func:`pq_encode` but
+    ~20× the throughput: the Catalyst HOF path evaluates m·k
+    interpreted folds per row (~0.5 ms/vector single-threaded); here
+    each Arrow batch runs the same arithmetic as vectorized numpy.
+
+    Exactness is engineered, not hoped for: the distance accumulates
+    with an explicit per-dimension loop (``acc = acc + diff²``) — the
+    SAME left-associated float64 fold order as the Catalyst lambda and
+    the DuckDB ``list_sum`` twin (numpy's ``.sum()`` would use pairwise
+    summation and drift in the last ulp) — then micro-quantizes before
+    ``argmin`` (first-min ⇒ lowest code, matching ``array_position``).
+    The agreement test in tests/test_training_ops.py pins
+    Catalyst ≡ Arrow on every vector.
+
+    The closure is self-contained (imports inside, codebook captured as
+    plain lists) so workers never import this package."""
+    m = len(codebook)
+    k = len(codebook[0])
+    dsub = len(codebook[0][0])
+    cb = [[list(c) for c in sub] for sub in codebook]
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cb, dtype="float64")  # (m, k, dsub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            M = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            n = M.shape[0]
+            codes = np.empty((n, m), dtype="int64")
+            for j in range(m):
+                sub = M[:, j * dsub : (j + 1) * dsub]
+                acc = np.zeros((n, k), dtype="float64")
+                for i in range(dsub):
+                    diff = sub[:, i : i + 1] - C[j][:, i][None, :]
+                    acc = acc + diff * diff
+                dm = np.floor(acc * 1e6 + 0.5).astype("int64")
+                codes[:, j] = dm.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, m),
+                    "subspace": np.tile(np.arange(m, dtype="int64"), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).mapInPandas(encode, "vec_id long, subspace long, code long")

@@ -105,3 +105,122 @@ def quantile_band_contract(
             & (F.col("estimate") <= F.col("band_hi"))
         ).cast("long"),
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. RANDOM'02) set sketches
+    per group + pairwise Jaccard estimation, with the exact Jaccard
+    alongside as the accuracy contract.
+
+    The mergeable-sketch pattern that matters at 100 TB: each group's
+    token set collapses to its k smallest 60-bit md5 hashes (k rows,
+    ONE partial-aggregated pass — bottom-k is a per-group min-heap
+    map-side), and every pairwise comparison afterwards touches only
+    sketch-sized relations: J ≈ |{h ∈ bottom-k(A ∪ B)} ∩ A ∩ B| / k.
+    The exact-Jaccard columns exist for the contract check and a small
+    demo corpus — at scale you'd emit only the estimates.
+
+    Deterministic by construction (md5 order, ties impossible modulo
+    60-bit collisions), so a SQL oracle reproduces it bit-for-bit.
+    Returns ``(source_a, source_b, kmv_matches, kmv_jaccard,
+    exact_jaccard)`` for every unordered group pair.
+    """
+    from air_quality_etl_pipeline_spark.functions.core import md5_long
+
+    toks = df.select(
+        F.col(group_col).alias("g"), F.col(token_col).alias("tok")
+    ).distinct()
+    hashed = toks.select(
+        "g", md5_long(F.col("tok"), salt="kmv").alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("g").orderBy(F.asc("h"))
+    sig = (
+        hashed.withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") <= k)
+        .select("g", "h")
+    )
+    srcs = sig.select("g").distinct()
+    pairs = F.broadcast(
+        srcs.alias("x")
+        .crossJoin(srcs.alias("y"))
+        .filter(F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("a"), F.col("y.g").alias("b"))
+    )
+    ua = pairs.join(sig.withColumnRenamed("g", "a"), on="a").select(
+        "a", "b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(sig.withColumnRenamed("g", "b"), on="b").select(
+        "a", "b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ua.union(ub)
+        .groupBy("a", "b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("a", "b").orderBy(F.asc("h"))
+    est = (
+        merged.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= k)
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+                "kmv_matches"
+            )
+        )
+        .withColumn(
+            "kmv_jaccard", F.col("kmv_matches").cast("double") / F.lit(k)
+        )
+    )
+    sizes = toks.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        toks.alias("p")
+        .join(toks.alias("q"), on="tok")
+        .filter(F.col("p.g") < F.col("q.g"))
+        .groupBy(F.col("p.g").alias("a"), F.col("q.g").alias("b"))
+        .agg(F.count("*").cast("long").alias("ninter"))
+    )
+    exact = (
+        pairs.join(inter, on=["a", "b"], how="left")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("g", "a")).withColumnRenamed(
+                "n", "na"
+            ),
+            on="a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("g", "b")).withColumnRenamed(
+                "n", "nb"
+            ),
+            on="b",
+        )
+        .select(
+            "a",
+            "b",
+            (
+                F.coalesce(F.col("ninter"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / (
+                    F.col("na") + F.col("nb")
+                    - F.coalesce(F.col("ninter"), F.lit(0).cast("long"))
+                )
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        est.join(exact, on=["a", "b"])
+        .select(
+            F.col("a").alias("source_a"),
+            F.col("b").alias("source_b"),
+            "kmv_matches",
+            "kmv_jaccard",
+            "exact_jaccard",
+        )
+    )

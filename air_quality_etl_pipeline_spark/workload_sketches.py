@@ -88,3 +88,71 @@ def q_sketch_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("band_hi"), 6).alias("band_hi"),
         "within_band",
     )
+
+
+# KMV is fully deterministic (md5 order statistics), so unlike HLL /
+# t-digest the RAW estimates are oracle-verifiable, not just the
+# contract flag.
+_KMV_TOKS = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+@register(
+    "sketch_kmv_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source AS g, lower(tok) AS tok
+      FROM (SELECT source, unnest({_KMV_TOKS}) AS tok FROM documents)),
+    hashed AS (
+      SELECT DISTINCT g,
+             ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT AS h
+      FROM toks),
+    sig AS (SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM hashed) WHERE rn <= 64),
+    srcs AS (SELECT DISTINCT g FROM sig),
+    pairs AS (SELECT x.g AS a, y.g AS b FROM srcs x, srcs y WHERE x.g < y.g),
+    merged AS (
+      SELECT a, b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.a, p.b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sig s ON s.g = p.a
+        UNION ALL
+        SELECT p.a, p.b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sig s ON s.g = p.b)
+      GROUP BY 1, 2, 3),
+    est AS (
+      SELECT a, b, CAST(sum(in_a * in_b) AS BIGINT) AS kmv_matches FROM (
+        SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
+        FROM merged) WHERE rn <= 64
+      GROUP BY 1, 2),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    inter AS (
+      SELECT p.g AS a, q.g AS b, CAST(count(*) AS BIGINT) AS ninter
+      FROM toks p JOIN toks q USING (tok) WHERE p.g < q.g GROUP BY 1, 2)
+    SELECT p.a AS source_a, p.b AS source_b, e.kmv_matches,
+           CAST(e.kmv_matches AS DOUBLE) / 64 AS kmv_jaccard,
+           CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(i.ninter, 0)) AS exact_jaccard
+    FROM pairs p
+    JOIN est e ON e.a = p.a AND e.b = p.b
+    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    JOIN sizes sa ON sa.g = p.a
+    JOIN sizes sb ON sb.g = p.b
+    """,
+)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set sketches per document source + pairwise Jaccard
+    estimates against the exact value — the mergeable-sketch path for
+    cross-source content-overlap monitoring (every pairwise step
+    touches only k-row signatures). See operators.sketches.kmv_jaccard."""
+    from air_quality_etl_pipeline_spark.functions.core import token_array
+    from air_quality_etl_pipeline_spark.operators.sketches import kmv_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(token_array(F.col("text"))).alias("_raw"),
+    ).select("source", F.lower(F.col("_raw")).alias("tok"))
+    return kmv_jaccard(toks, "source", "tok", k=64)

@@ -25,7 +25,7 @@ from air_quality_etl_pipeline_spark.functions.core import (
 from air_quality_etl_pipeline_spark.operators.pq import (
     collect_codebook,
     pq_adc_topk,
-    pq_encode,
+    pq_encode_arrow,
 )
 from air_quality_etl_pipeline_spark.operators.similarity import semantic_dedup
 from air_quality_etl_pipeline_spark.workload import _t, register
@@ -125,12 +125,12 @@ _PQ_D2 = (
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoding of the embeddings table: 8 sub-spaces × 16 codes
     (codebook = the 16 lowest-id vectors — deterministic; kmeans_fit
-    per sub-space is the production upgrade). Encode is map-only:
-    distances evaluate as straight-line codegen inside the scan and
-    the argmin is array_position(min). See operators/pq.py."""
+    per sub-space is the production upgrade). Encode is map-only; the
+    Arrow/numpy path is bit-identical to the Catalyst HOF path
+    (agreement-tested) at ~20× the throughput. See operators/pq.py."""
     e = _t(spark, sf_dir, "embeddings")
     cb = collect_codebook(e, m=8, k=16, dims=64)
-    return pq_encode(e, cb)
+    return pq_encode_arrow(e, cb)
 
 
 @register(

@@ -43,6 +43,11 @@ HEADLINE = [
     "pack_sequences",
     "decontaminate_eval",
     "chunk_documents",
+    # round-3 additions: semantic dedup, PQ search, LM scoring, sketches
+    "semantic_dedup",
+    "pq_adc_search",
+    "bigram_logprob_score",
+    "sketch_cm_heavy_hitters",
     # streaming twins
     "session_windows",
 ]

@@ -219,3 +219,12 @@ def test_pagerank_mass_and_dangling(spark):
     assert sum(out.values()) <= 1_000_000_000_000
     # 'c' (two in-edges) outranks 'b' (one)
     assert out["c"] > out["b"] > out["a"]
+
+
+def test_pq_arrow_encode_agrees_with_catalyst(embeddings):
+    from air_quality_etl_pipeline_spark.operators.pq import pq_encode_arrow
+
+    cb = collect_codebook(embeddings, m=8, k=16, dims=64)
+    a = sorted(map(tuple, pq_encode(embeddings, cb).collect()))
+    b = sorted(map(tuple, pq_encode_arrow(embeddings, cb).collect()))
+    assert a == b
