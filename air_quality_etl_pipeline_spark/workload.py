@@ -1209,6 +1209,7 @@ _DRIVER_PRIORITY = [
     "pagerank_trade_graph",
     "ann_recall_at_k",
     "pca_project",
+    "sketch_kmv_jaccard",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row
