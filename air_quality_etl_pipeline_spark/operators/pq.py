@@ -248,3 +248,110 @@ def pq_encode_arrow(
     return corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("_v")
     ).mapInPandas(encode, "vec_id long, subspace long, code long")
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 5,
+    centroid_stride: int = 128,
+    nprobe: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN index architecture (Jégou et
+    al., TPAMI'11 §V) — coarse quantizer partitions the corpus into
+    inverted lists, product quantization compresses the residents, and
+    a query scans only its ``nprobe`` nearest lists with ADC lookup
+    tables. Composition of :func:`~.similarity.ivf_topk`'s routing
+    with :func:`pq_adc_topk`'s scoring:
+
+    - *assignment* (corpus → list) is a map-side ``max_by`` over the
+      broadcast centroid set — one row per vector on the wire, no
+      window sort;
+    - *codes* come from the Arrow encode path (bit-identical to the
+      Catalyst path, agreement-tested);
+    - *search* joins the slim ``(vec_id, cid, subspace, code)``
+      relation to the broadcast probe set on ``cid`` and the broadcast
+      LUT on ``(query_id, subspace, code)``, then partial-aggregates
+      the ``m`` integer micro-distances per (query, vector).
+
+    At scale the code relation would be written out bucketed by
+    ``cid`` once and reused across every query batch; all per-query
+    state (probes, LUT) is broadcast-sized. Distances are integer
+    micro-units end-to-end, so ranking is exact and engine-portable.
+    """
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        _norm_expr,
+        _pair_cosine,
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm_expr("_v"))
+    cents = F.broadcast(
+        c.filter(F.col("_id") % centroid_stride == 0).select(
+            F.col("_id").alias("cid"),
+            F.col("_v").alias("centv"),
+            F.col("_n").alias("centn"),
+        )
+    )
+    # rank-1 list assignment: max_by on (rounded cosine DESC, cid ASC)
+    # — ties break to the LOWEST cid via the negated id in the struct
+    scored = c.crossJoin(cents).withColumn(
+        "_cos", _pair_cosine("_v", "_n", "centv", "centn", None, sim_decimals)
+    )
+    assign = scored.groupBy(F.col("_id").alias("vec_id")).agg(
+        F.max_by(
+            "cid", F.struct(F.col("_cos").alias("c"), (-F.col("cid")).alias("t"))
+        ).alias("cid")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_q")
+    ).withColumn("_qn", _norm_expr("_q"))
+    qscored = q.crossJoin(cents).withColumn(
+        "_cos", _pair_cosine("_q", "_qn", "centv", "centn", None, sim_decimals)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cid").asc()
+    )
+    probes = F.broadcast(
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+    codes = pq_encode_arrow(corpus, codebook, id_col, vec_col)
+    lut = F.broadcast(
+        q.withColumn("_dmat", _dmat("_q", codebook))
+        .select("query_id", F.posexplode("_dmat").alias("subspace", "_dd"))
+        .select(
+            "query_id",
+            F.col("subspace").cast("long").alias("subspace"),
+            F.posexplode("_dd").alias("code", "dmicro"),
+        )
+        .select(
+            "query_id",
+            "subspace",
+            F.col("code").cast("long").alias("code"),
+            "dmicro",
+        )
+    )
+    cand = codes.join(assign, on="vec_id").join(probes, on="cid")
+    adc = (
+        cand.join(lut, on=["query_id", "subspace", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )

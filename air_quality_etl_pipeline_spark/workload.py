@@ -1120,6 +1120,7 @@ from air_quality_etl_pipeline_spark import workload_sketches  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_corpus  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sql  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_training  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_graph  # noqa: E402,F401
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
@@ -1210,6 +1211,15 @@ _DRIVER_PRIORITY = [
     "ann_recall_at_k",
     "pca_project",
     "sketch_kmv_jaccard",
+    "copurchase_pairs",
+    "triangle_count",
+    "entity_link_names",
+    "dedup_canonical_docs",
+    "lsh_recall_eval",
+    "ivf_pq_search",
+    "orc_roundtrip",
+    "jsonl_roundtrip",
+    "streaming_topk_daily",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -1,0 +1,353 @@
+"""Graph-analytics and entity-resolution workload (round 3): the
+relational-graph operators a curation pipeline reaches for once the
+pair/cluster machinery exists — co-occurrence graph building, triangle
+counting / clustering coefficient, blocked record linkage (entity
+resolution), cluster-representative selection (the survivor policy a
+near-dup pass feeds into), and LSH recall evaluation against an
+exact-similarity ground truth.
+
+Every query is a registered ``(spark_fn, duckdb_oracle)`` pair. Graph
+edges are built from the TPC-H-shaped fact tables (co-purchase: parts
+sharing an order), so edge construction itself is a distributed join,
+not a toy literal. Iteration-free operators only — the iterative graph
+ops (connected components, PageRank) live in operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import round_portable
+from air_quality_etl_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from air_quality_etl_pipeline_spark.operators.graph import connected_components
+from air_quality_etl_pipeline_spark.workload import _t, register
+from air_quality_etl_pipeline_spark.workload_llm import (
+    SIMHASH_PAIRS_CTES,
+    TOKS,
+    _minhash_oracle,
+    _word_shingles_sql,
+)
+
+#: distinct (order, part) pairs → co-purchase edge list with support.
+#: Shared CTE between copurchase_pairs and triangle_count so both
+#: engines resolve triangles over the exact same edge set.
+_COPURCHASE_CTES = """
+    d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+              FROM pp GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase edges: parts appearing together in ≥2
+    distinct orders. Plan shape: distinct on (order, part) bounds the
+    per-order fan-out, the self-join shuffles both sides on
+    ``l_orderkey`` (one exchange, reused for both join inputs), and the
+    support filter prunes the random-co-occurrence noise so the edge
+    list stays orders of magnitude smaller than the pair space."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "copurchase_pairs",
+    f"""
+    WITH {_COPURCHASE_CTES}
+    SELECT part_a, part_b, n_orders FROM edges
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequently-bought-together pairs (market-basket co-occurrence):
+    the bipartite order–part fact projected onto parts. The same shape
+    builds co-citation, co-click, and document–entity co-occurrence
+    graphs at corpus scale."""
+    return _copurchase_edges(spark, sf_dir)
+
+
+@register(
+    "triangle_count",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    e AS (SELECT part_a AS a, part_b AS b FROM edges),
+    deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(deg * (deg - 1)) AS BIGINT) // 2 AS n_wedges
+              FROM deg),
+    ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN floor(3.0 * n_triangles / n_wedges * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE 0.0 END AS clustering_coeff
+    FROM stats, ec, tri
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph — the standard cohesion statistic (Watts-Strogatz
+    transitivity). Triangles enumerate as two equi-joins over the
+    ordered edge list (a<b<c by construction, so each triangle is
+    counted exactly once); wedges come from the degree relation, which
+    is node-sized. The edge list is persisted — it feeds four
+    consumers (two join legs via reuse, the degree pass, the edge
+    count) and rebuilding it would redo the order self-join each
+    time."""
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    e = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("n_wedges"),
+    )
+    ec = e.agg(F.count("*").cast("long").alias("n_edges"))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    out = stats.crossJoin(ec).crossJoin(tri)
+    coeff = F.when(
+        F.col("n_wedges") > 0,
+        round_portable(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        coeff.alias("clustering_coeff"),
+    )
+
+
+@register(
+    "entity_link_names",
+    """
+    WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+                   FROM part GROUP BY 1),
+    b AS (SELECT p_name, n_parts,
+                 list_extract(string_split(p_name, ' '), 2) AS blk
+          FROM names)
+    SELECT a.p_name AS name_a, c.p_name AS name_b,
+           CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist,
+           a.n_parts AS n_parts_a, c.n_parts AS n_parts_b
+    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 2
+    """,
+)
+def q_entity_link_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (entity resolution) over part names:
+    aggregate to the distinct-name level first (standard ER practice —
+    compare VALUES, not records), block on the head noun, and link
+    names within a block at Levenshtein ≤ 2. The expensive aggregation
+    (name → record count) is corpus-sized and distributed; the
+    pairwise edit-distance comparison runs on the blocked NAME
+    vocabulary, which is orders of magnitude smaller — exactly the
+    blocking discipline that makes linkage feasible at scale
+    (Fellegi-Sunter blocking; the quadratic term is per-block)."""
+    p = _t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count("*").cast("long").alias("n_parts"))
+    b = names.withColumn("blk", F.element_at(F.split("p_name", " "), 2))
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.p_name") < F.col("y.p_name")),
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("x.p_name"), F.col("y.p_name"))
+        )
+        .filter(F.col("dist") <= 2)
+    )
+    return pairs.select(
+        F.col("x.p_name").alias("name_a"),
+        F.col("y.p_name").alias("name_b"),
+        F.col("dist").cast("long").alias("dist"),
+        F.col("x.n_parts").alias("n_parts_a"),
+        F.col("y.n_parts").alias("n_parts_b"),
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE {SIMHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM sim_pairs
+              UNION SELECT id_b, id_a FROM sim_pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    decided AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             sum(n_chars) OVER (PARTITION BY cluster_id) AS total_chars
+      FROM decided)
+    SELECT cluster_id, doc_id AS keeper_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM ranked WHERE rk = 1 AND n_members >= 2
+    """,
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: near-dup clusters (SimHash
+    pairs → connected components) reduced to one CANONICAL document
+    each — the survivor policy that keeps the RICHEST member (most
+    characters; lowest id on ties) instead of dedup_clusters'
+    smallest-id rule. This is the quality-aware variant every corpus
+    pipeline actually ships: among near-duplicates, keep the longest/
+    cleanest copy. Only multi-member clusters are emitted (the
+    singleton majority never leaves the window stage). Same plan
+    contract as dedup_clusters: components iterate only the pair
+    graph; the corpus relation is touched once for the join and once
+    for the per-cluster window."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(
+        d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    decided = (
+        d.select("doc_id", "n_chars")
+        .join(comp, on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = decided.select(
+        "cluster_id",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        )
+        .alias("rk"),
+        F.count("*").over(w).alias("n_members"),
+        F.sum("n_chars").over(w).alias("total_chars"),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "lsh_recall_eval",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_word_shingles_sql(5)} AS s FROM t),
+    tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    truth AS (SELECT id_a, id_b FROM tp WHERE j >= 0.7),
+    found AS ({_minhash_oracle(num_hashes=8, bands=4, thr=0.7, n=5,
+                               family="md5")}),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM found)
+    SELECT n_true, n_found,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE floor(CAST(n_found AS DOUBLE) / n_true
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS recall
+    FROM c1, c2
+    """,
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH dedup path against EXACT similarity
+    ground truth — the ann_recall_at_k of the dedup family. Truth =
+    word-5-gram Jaccard ≥ 0.7 pairs from the PPJoin prefix-filter join
+    (provably exact recall, so it equals brute force without the
+    oracle's quadratic scan); found = the banded MinHash candidates
+    that verify at the same threshold. Answers the capacity-planning
+    question every banding scheme raises: what fraction of true
+    near-dups does 8-hashes/4-bands actually surface? The two pair
+    sets are corpus-independent summaries (two counts), so the query
+    output is one row regardless of scale."""
+    d = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=5, threshold=0.7, shingler="word"
+    )
+    found = minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=5,
+        num_hashes=8,
+        bands=4,
+        threshold=0.7,
+        hash_family="md5",
+        shingler="word",
+    )
+    nt = truth.agg(F.count("*").cast("long").alias("n_true"))
+    nf = found.agg(F.count("*").cast("long").alias("n_found"))
+    return nt.crossJoin(nf).select(
+        "n_true",
+        "n_found",
+        F.when(F.col("n_true") == 0, F.lit(1.0))
+        .otherwise(
+            round_portable(
+                F.col("n_found").cast("double") / F.col("n_true"), 6
+            )
+        )
+        .alias("recall"),
+    )

@@ -525,6 +525,113 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(counts, spark, output_mode="complete")
 
 
+# ---------------------------------------------------------------------------
+# Format coverage: ORC and JSON-lines round trips (round 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "orc_roundtrip",
+    """
+    SELECT r_name, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format coverage beyond parquet: land nation as ORC
+    (Spark's other first-class columnar sink — same predicate-pushdown
+    and column-pruning surface), read it back, broadcast-join region,
+    aggregate. A type mismatch or value corruption in the ORC
+    writer/reader pair breaks the hash against the parquet-sourced
+    oracle."""
+    path = f"{SCRATCH}/nation_orc"
+    shutil.rmtree(path, ignore_errors=True)
+    n = _t(spark, sf_dir, "nation")
+    n.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    r = _t(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(r), back["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events GROUP BY 1
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip — the interchange format half of S-series
+    coverage: write events as JSONL, read back with an EXPLICIT schema
+    (schema-on-read; inference is a second full scan and can demote
+    types), aggregate. Exercises the two classic JSONL hazards:
+    timestamp serialization (ISO-8601 under the UTC session zone) and
+    double round-tripping (Jackson emits shortest-round-trip literals,
+    so the decimal-quantized sum is exact)."""
+    path = f"{SCRATCH}/events_jsonl"
+    shutil.rmtree(path, ignore_errors=True)
+    from air_quality_etl_pipeline_spark.workload import _events
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema(e.schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@register(
+    "streaming_topk_daily",
+    """
+    WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                      event_type, count(*) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n_events, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY day
+            ORDER BY n_events DESC, event_type ASC) AS rk FROM d)
+    WHERE rk <= 3
+    """,
+)
+def q_streaming_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k serving pattern: the watermarked tumbling-window
+    aggregate runs as a stream (availableNow), and the rank-within-day
+    top-3 runs as a batch query over the stream's result table — the
+    standard split, since multi-level aggregation (rank over an
+    aggregate) is not expressible in one incremental streaming query.
+    The stream half is exactly streaming_daily_window's operator tree;
+    the oracle computes the fused batch equivalent."""
+    stream = read_events_stream(spark, sf_dir)
+    daily = run_available_now(daily_counts(stream), spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("day", "event_type", "n_events", "rank")
+    )
+
+
 # NOTE: `streaming.jobs.tws_user_stats` (the transformWithStateInPandas
 # twin of q_streaming_stateful_counts) is implemented and unit-tested
 # behind an availability gate, but NOT registered as a driver query:
@@ -553,5 +660,8 @@ SIDE_EFFECT_QUERIES.update(
         "streaming_stateful_counts",
         "streaming_stream_join",
         "streaming_static_enrich",
+        "orc_roundtrip",
+        "jsonl_roundtrip",
+        "streaming_topk_daily",
     }
 )

@@ -604,3 +604,86 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     comps, _ = pca_components(e, dims=64, q=4)
     return project(e, comps)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse routing + ADC scoring — the full billion-scale index
+# ---------------------------------------------------------------------------
+
+#: assignment cosine — the SAME rounded fragment as the ann_ivf_topk
+#: oracle (workload_llm._ivf_oracle), so routing decisions agree.
+_IVF_COS = (
+    "floor((list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x * x))))) * 1000000.0 + 0.5) "
+    "/ 1000000.0"
+)
+
+
+@register(
+    "ivf_pq_search",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 128 = 0),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e.v', b='c.cv')} DESC,
+                          c.cid ASC) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS.format(a='q.v', b='c.cv')} DESC,
+                          c.cid ASC) AS rn
+        FROM e q, cent c WHERE q.vec_id < 4) WHERE rn <= 2),
+    {_PQ_CB},
+    d AS (SELECT e.vec_id, cb.j, cb.code,
+                 {_PQ_D2.format(v='e.v')} AS dmicro
+          FROM e, cb),
+    codes AS (SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY dmicro ASC, code ASC) AS rk
+        FROM d) WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+    lut AS (SELECT q.query_id, cb.j, cb.code,
+                   {_PQ_D2.format(v='q.qv')} AS dmicro
+            FROM q, cb),
+    s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                 CAST(sum(l.dmicro) AS BIGINT) AS adc_micro
+          FROM probes p
+          JOIN assign a ON a.cid = p.cid
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN lut l ON l.query_id = p.query_id
+                    AND l.j = c.j AND l.code = c.code
+          WHERE a.vec_id <> p.query_id
+          GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_micro, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_micro ASC, neighbor_id ASC) AS rank FROM s)
+    WHERE rank <= 5
+    """,
+)
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC top-5 for 4 queries: coarse centroids route each
+    query to its 2 nearest inverted lists; only residents of those
+    lists are scored, and scoring reads the PQ codes (integer ADC),
+    never the raw vectors. The composition that serves billion-vector
+    corpora: routing cuts the scan by nprobe/num_lists, PQ cuts the
+    bytes per scanned vector to ``m`` codes. See
+    operators/pq.py:ivf_pq_topk for the plan-shape contract."""
+    from air_quality_etl_pipeline_spark.operators.pq import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = collect_codebook(e, m=8, k=16, dims=64)
+    return ivf_pq_topk(
+        e,
+        e.filter(F.col("vec_id") < 4),
+        cb,
+        topk=5,
+        centroid_stride=128,
+        nprobe=2,
+    )
