@@ -255,3 +255,57 @@ def test_embedding_covariance_single_aggregation(spark):
     plan = _plan_of(df(spark, SF))
     assert plan.count("Exchange") <= 2, plan  # hashpartitioning only
     assert "Join" not in plan, plan
+
+
+def test_copurchase_self_join_is_equi(spark):
+    # the order self-join must hash/sort-merge on l_orderkey — a
+    # nested-loop over lineitem² is the classic market-basket blowup
+    df, _ = QUERIES["copurchase_pairs"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_triangle_joins_are_equi(spark):
+    # triangle enumeration = two equi-joins over the ordered edge
+    # list; the only non-equi joins allowed are the 1-row scalar
+    # combiners at the very top (BroadcastNestedLoopJoin on single-row
+    # aggregates), never a CartesianProduct
+    df, _ = QUERIES["triangle_count"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_entity_link_blocked_join_is_equi(spark):
+    # the name-pair comparison joins on the blocking key; without the
+    # block equi-condition the linkage is quadratic in the vocabulary
+    df, _ = QUERIES["entity_link_names"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_canonical_docs_no_cartesian(spark):
+    # pairs → components → one corpus join + one cluster window; no
+    # stage may fall back to a cartesian over documents
+    df, _ = QUERIES["dedup_canonical_docs"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lsh_recall_joins_are_bounded(spark):
+    # both pair generators (PPJoin prefix buckets, MinHash band
+    # buckets) are equi-joins; only the final 1-row count combiner may
+    # be a nested-loop
+    df, _ = QUERIES["lsh_recall_eval"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_pq_broadcasts_probes_and_lut(spark):
+    # probes (queries × nprobe) and the ADC lookup table broadcast;
+    # the code relation is the only big input and it must never be
+    # nested-looped
+    df, _ = QUERIES["ivf_pq_search"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
