@@ -229,23 +229,38 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c12 = flat.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    c1 = flat.groupBy("w1").agg(F.count("*").alias("n1"))
+    # aggregate the token stream ONCE to per-doc bigram counts (the
+    # explode never re-runs and nothing corpus-sized is joined);
+    # derive both count relations from it: n12 by re-aggregation,
+    # n1 as the w2-marginal of n12 (vocab²-sized input, not corpus).
+    # Each doc-bigram's quantized lp is weighted by its count —
+    # DECIMAL × integer is exact, so the sum equals the per-occurrence
+    # sum the oracle computes. Measured at sf0.1: 0.76 s → ~0.3 s.
+    db = (
+        flat.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    c12 = db.groupBy("w1", "w2").agg(F.sum("cnt").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     scored = (
-        flat.join(c12, on=["w1", "w2"])
+        db.join(c12, on=["w1", "w2"])
         .join(c1, on="w1")
         .select(
             "doc_id",
-            F.ln(F.col("n12").cast("double") / F.col("n1"))
-            .cast("decimal(18,9)")
-            .alias("lp"),
+            "cnt",
+            (
+                F.ln(F.col("n12").cast("double") / F.col("n1"))
+                .cast("decimal(18,9)")
+                * F.col("cnt")
+            ).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        round_portable(F.sum("lp").cast("double") / F.count("*"), 6).alias(
-            "avg_logprob"
-        ),
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        round_portable(
+            F.sum("lp").cast("double") / F.sum("cnt"), 6
+        ).alias("avg_logprob"),
     )
 
 

@@ -48,6 +48,11 @@ HEADLINE = [
     "pq_adc_search",
     "bigram_logprob_score",
     "sketch_cm_heavy_hitters",
+    # round-3 graph/ER/IVF-PQ batch
+    "copurchase_pairs",
+    "triangle_count",
+    "dedup_canonical_docs",
+    "ivf_pq_search",
     # streaming twins
     "session_windows",
 ]

@@ -257,13 +257,14 @@ def test_embedding_covariance_single_aggregation(spark):
     assert "Join" not in plan, plan
 
 
-def test_copurchase_self_join_is_equi(spark):
-    # the order self-join must hash/sort-merge on l_orderkey — a
-    # nested-loop over lineitem² is the classic market-basket blowup
+def test_copurchase_basket_form_has_no_join(spark):
+    # basket formulation: the pair expansion is array algebra inside
+    # the scan stage — no join anywhere (the self-join form would
+    # shuffle the distinct relation twice), and never a nested loop
     df, _ = QUERIES["copurchase_pairs"]
     plan = _plan_of(df(spark, SF))
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "NestedLoop" not in plan, plan
 
 
 def test_triangle_joins_are_equi(spark):
