@@ -310,3 +310,31 @@ def test_ivf_pq_broadcasts_probes_and_lut(spark):
     plan = _plan_of(df(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    # DPP: a partitioned fact joined to a FILTERED dim must prune fact
+    # partitions at RUNTIME from the dim's qualifying keys — the scan
+    # carries a dynamicpruning subquery filter. At 100 TB this is the
+    # difference between scanning one year and scanning the decade
+    # when the predicate lives on the dim side.
+    src = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "o_year", F.year(F.col("o_orderdate").cast("date"))
+    )
+    path = str(tmp_path / "dpp_orders")
+    src.write.partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    # the filter sits on a NON-join dim column, so static predicate
+    # inference cannot rewrite it onto the fact scan — only runtime
+    # pruning from the dim's surviving join keys can skip partitions
+    dim = (
+        spark.range(1992, 1999)
+        .select(
+            F.col("id").cast("int").alias("o_year"),
+            (F.col("id") % 7).alias("era"),
+        )
+        .filter(F.col("era") == 3)
+    )
+    joined = fact.join(dim, on="o_year").agg(F.count("*").alias("n"))
+    plan = _plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
