@@ -1220,6 +1220,11 @@ _DRIVER_PRIORITY = [
     "orc_roundtrip",
     "jsonl_roundtrip",
     "streaming_topk_daily",
+    "bfs_reach_3",
+    "hybrid_rrf_search",
+    "boilerplate_gram_coverage",
+    "trigram_backoff_score",
+    "csv_quarantine_split",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

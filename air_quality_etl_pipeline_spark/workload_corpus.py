@@ -1147,9 +1147,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "bm25_search",
-    f"""
+#: standalone BM25 top-20 SELECT — registered as the bm25_search oracle
+#: and reused verbatim as a subquery by the hybrid_rrf_search oracle
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, tok
       FROM (SELECT doc_id, unnest({LTOKS}) AS tok FROM documents)),
@@ -1180,8 +1180,10 @@ _BM25_B = 0.75
                         doc_id ASC) AS rk
       FROM scored GROUP BY 1)
     WHERE rk <= 20
-    """,
-)
+    """
+
+
+@register("bm25_search", _BM25_ORACLE)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranking (Robertson/Spärck Jones probabilistic relevance,
     the k1/b form) for a fixed 3-term query — the retrieval scorer a
@@ -1500,4 +1502,152 @@ def q_dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("doc_id").agg(
         F.max("run_len").cast("long").alias("max_shared_run"),
         F.count("*").cast("long").alias("n_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion + boilerplate screening (round-3 batch 2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH a AS ({_BM25_ORACLE}),
+    toksb AS (SELECT doc_id, unnest({LTOKS}) AS tok FROM documents),
+    tfb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_sum
+            FROM toksb
+            WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+            GROUP BY 1),
+    b AS (SELECT doc_id, rk FROM (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY tf_sum DESC, doc_id ASC) AS rk
+            FROM tfb) WHERE rk <= 20),
+    fused AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.rank AS bm25_rank,
+             CAST(b.rk AS BIGINT) AS tf_rank,
+             coalesce(1000000 // (60 + a.rank), 0)
+             + coalesce(1000000 // (60 + b.rk), 0) AS rrf_micro
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT doc_id, bm25_rank, tf_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank FROM fused)
+    WHERE fused_rank <= 10
+    """,
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two rankers
+    for the same query: BM25 (length-normalized probabilistic) and raw
+    term frequency — the fusion step every hybrid retrieval stack runs
+    over its lexical and dense legs. RRF weights are integer
+    micro-units (``1e6 div (60 + rank)``), so fusion scores are exact
+    and engine-portable; unmatched docs contribute 0 from the missing
+    leg via the full outer join. Ranker outputs are top-k relations
+    (k=20), so everything past the two ranking passes is
+    constant-sized."""
+    d = _t(spark, sf_dir, "documents")
+    a = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    toks = d.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select("doc_id", F.lower(F.col("_raw")).alias("tok"))
+    tfb = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf_sum"))
+    )
+    wb = Window.orderBy(F.desc("tf_sum"), F.asc("doc_id"))
+    b = (
+        tfb.withColumn("tf_rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("tf_rank") <= 20)
+        .select("doc_id", "tf_rank")
+    )
+    fused = (
+        a.join(b, on="doc_id", how="full_outer")
+        .withColumn(
+            "rrf_micro",
+            (
+                F.coalesce(
+                    F.expr("div(1000000, 60 + bm25_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("div(1000000, 60 + tf_rank)"), F.lit(0)
+                )
+            ).cast("long"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= 10)
+        .select("doc_id", "bm25_rank", "tf_rank", "rrf_micro", "fused_rank")
+    )
+
+
+@register(
+    "boilerplate_gram_coverage",
+    f"""
+    WITH t AS (SELECT doc_id, {LTOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, unnest({GRAMS5}) AS gram FROM t),
+    df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+    hot AS (SELECT gram FROM (
+              SELECT gram, row_number() OVER (
+                ORDER BY df DESC, gram ASC) AS rk
+              FROM df) WHERE rk <= 20),
+    cov AS (SELECT g.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN hot.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     AS n_hot
+            FROM g LEFT JOIN hot ON g.gram = hot.gram
+            GROUP BY 1)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hot AS BIGINT) AS n_hot,
+           floor(CAST(n_hot AS DOUBLE) / n_grams * 1000000.0 + 0.5)
+             / 1000000.0 AS hot_frac
+    FROM cov WHERE n_hot > 0
+    """,
+)
+def q_boilerplate_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate screening (the C4/CCNet hot-phrase heuristic): find
+    the corpus's 20 most document-frequent word-5-grams — navigation
+    chrome, cookie banners, license footers in a real crawl — and
+    report, per affected document, what fraction of its distinct grams
+    are hot. Downstream a curation pass drops or trims high-fraction
+    docs. The hot set is a top-k over the VOCABULARY relation and
+    broadcasts back onto the gram stream; per-doc coverage is one
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), lambda x: F.lower(x)).alias(
+            "toks"
+        ),
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(word_shingles_of_tokens(F.col("toks"), 5)).alias("gram"),
+    )
+    df_ = g.groupBy("gram").agg(F.count("*").alias("df"))
+    wh = Window.orderBy(F.desc("df"), F.asc("gram"))
+    hot = (
+        df_.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= 20)
+        .select("gram", F.lit(1).alias("_hot"))
+    )
+    cov = (
+        g.join(F.broadcast(hot), on="gram", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
+        )
+    )
+    return cov.filter(F.col("n_hot") > 0).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hot").cast("long").alias("n_hot"),
+        round_portable(
+            F.col("n_hot").cast("double") / F.col("n_grams"), 6
+        ).alias("hot_frac"),
     )

@@ -369,3 +369,64 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("recall"),
     )
+
+
+@register(
+    "bfs_reach_3",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    bidir AS (SELECT part_a AS src, part_b AS dst FROM edges
+              UNION ALL SELECT part_b, part_a FROM edges),
+    seeds AS (SELECT DISTINCT src AS node FROM bidir
+              ORDER BY node ASC LIMIT 3),
+    h1 AS (SELECT DISTINCT b.dst AS node
+           FROM seeds s JOIN bidir b ON b.src = s.node),
+    h2 AS (SELECT DISTINCT b.dst AS node
+           FROM h1 JOIN bidir b ON b.src = h1.node),
+    h3 AS (SELECT DISTINCT b.dst AS node
+           FROM h2 JOIN bidir b ON b.src = h2.node),
+    lv AS (SELECT node, 0 AS hops FROM seeds
+           UNION ALL SELECT node, 1 FROM h1
+           UNION ALL SELECT node, 2 FROM h2
+           UNION ALL SELECT node, 3 FROM h3)
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM lv GROUP BY 1
+    """,
+)
+def q_bfs_reach_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability from the 3 lowest-id nodes of the
+    co-purchase graph: per reachable node, its exact hop distance —
+    the bounded-depth traversal behind "related products", citation
+    neighborhoods, and link-expansion crawls. The frontier expansion
+    UNROLLS (depth is a constant, so no driver loop): each level is
+    one equi-join of the previous DISTINCT frontier against the
+    bidirectional edge list, and the min-hop aggregate resolves
+    revisits (a level-k frontier contains back-edges into earlier
+    levels; min picks the true shortest distance). All iterated
+    relations are node-sized, never corpus-sized."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e = edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    bidir = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seeds = (
+        bidir.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy(F.asc("node"))
+        .limit(3)
+    )
+    levels = [seeds]
+    for _ in range(3):
+        prev = levels[-1]
+        nxt = (
+            prev.join(bidir, prev["node"] == bidir["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(nxt)
+    lv = None
+    for hops, frontier in enumerate(levels):
+        tagged = frontier.select("node", F.lit(hops).alias("hops"))
+        lv = tagged if lv is None else lv.unionAll(tagged)
+    return lv.groupBy("node").agg(
+        F.min("hops").cast("long").alias("hops")
+    )

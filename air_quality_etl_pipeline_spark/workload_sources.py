@@ -632,6 +632,59 @@ def q_streaming_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "csv_quarantine_split",
+    """
+    WITH flag AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+                    AS bad, o_totalprice
+                  FROM orders)
+    SELECT CAST(sum(1 - bad) AS BIGINT) AS n_clean,
+           CAST(sum(bad) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN bad = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS clean_price_sum
+    FROM flag
+    """,
+)
+def q_csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+ quarantine path as a driver-checked round trip: write orders
+    as CSV with a deterministic corruption (every 97th order key gets a
+    non-numeric prefix), read back through the PERMISSIVE
+    quarantine reader, and report clean/corrupt counts plus the clean
+    aggregate. The oracle recomputes the same split rule from the
+    source table — a quarantine reader that silently drops or
+    mis-routes rows breaks either count."""
+    from air_quality_etl_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    path = f"{SCRATCH}/orders_quarantine_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit("X"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    o.write.mode("overwrite").option("header", "true").csv(path)
+    clean, corrupt = read_csv_with_quarantine(
+        spark, path, "o_orderkey BIGINT, o_totalprice DOUBLE"
+    )
+    nc = clean.agg(
+        F.count("*").alias("n_clean"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("clean_price_sum"),
+    )
+    nq = corrupt.agg(F.count("*").alias("n_corrupt"))
+    return nc.crossJoin(nq).select(
+        "n_clean", "n_corrupt", "clean_price_sum"
+    )
+
+
 # NOTE: `streaming.jobs.tws_user_stats` (the transformWithStateInPandas
 # twin of q_streaming_stateful_counts) is implemented and unit-tested
 # behind an availability gate, but NOT registered as a driver query:
@@ -663,5 +716,6 @@ SIDE_EFFECT_QUERIES.update(
         "orc_roundtrip",
         "jsonl_roundtrip",
         "streaming_topk_daily",
+        "csv_quarantine_split",
     }
 )

@@ -702,3 +702,193 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=128,
         nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid-backoff scoring on a held-out split
+# ---------------------------------------------------------------------------
+
+@register(
+    "trigram_backoff_score",
+    f"""
+    WITH tok AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+    tr AS (SELECT doc_id, toks FROM tok WHERE doc_id % 2 = 0),
+    te AS (SELECT doc_id, toks FROM tok
+           WHERE doc_id % 2 = 1 AND len(toks) >= 3),
+    trtok AS (SELECT unnest(toks) AS w FROM tr),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM trtok),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1u FROM trtok GROUP BY 1),
+    trbg AS (SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+             FROM tr WHERE len(toks) >= 2),
+    c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS n12
+           FROM trbg GROUP BY 1, 2),
+    trtg AS (SELECT unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1],
+                                w3 := toks[i + 2]))) AS t
+             FROM tr WHERE len(toks) >= 3),
+    c3 AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3,
+                  CAST(count(*) AS BIGINT) AS n123
+           FROM trtg GROUP BY 1, 2, 3),
+    tetg AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+             FROM (SELECT doc_id, unnest(list_transform(
+                     range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> struct_pack(w1 := toks[i], w2 := toks[i + 1],
+                                      w3 := toks[i + 2]))) AS t
+                   FROM te)),
+    db3 AS (SELECT doc_id, w1, w2, w3, CAST(count(*) AS BIGINT) AS cnt
+            FROM tetg GROUP BY 1, 2, 3, 4),
+    scored AS (
+      SELECT d.doc_id, d.cnt,
+             CAST(CASE
+               WHEN c3.n123 IS NOT NULL
+                 THEN ln(CAST(c3.n123 AS DOUBLE) / p12.n12)
+               WHEN p23.n12 IS NOT NULL
+                 THEN ln(0.4 * CAST(p23.n12 AS DOUBLE) / u2.n1u)
+               WHEN u3.n1u IS NOT NULL
+                 THEN ln(0.16 * CAST(u3.n1u AS DOUBLE) / n.n_tokens)
+               ELSE ln(0.16 / CAST(n.n_tokens AS DOUBLE))
+             END AS DECIMAL(18,9)) * d.cnt AS lp
+      FROM db3 d
+      LEFT JOIN c3 ON c3.w1 = d.w1 AND c3.w2 = d.w2 AND c3.w3 = d.w3
+      LEFT JOIN c2 p12 ON p12.w1 = d.w1 AND p12.w2 = d.w2
+      LEFT JOIN c2 p23 ON p23.w1 = d.w2 AND p23.w2 = d.w3
+      LEFT JOIN c1 u2 ON u2.w = d.w2
+      LEFT JOIN c1 u3 ON u3.w = d.w3, n)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+           floor(CAST(sum(lp) AS DOUBLE) / sum(cnt) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_logscore
+    FROM scored GROUP BY 1
+    """,
+)
+def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram LM scoring with stupid backoff (Brants et al.,
+    EMNLP'07: S(w3|w1w2) backs off ×0.4 to the bigram, ×0.4² to the
+    unigram, with a 1/N floor for OOV) — the perplexity-proxy that
+    actually exercises backoff, unlike same-corpus scoring where every
+    n-gram is trivially observed. The LM trains on the even-doc_id
+    half; odd docs are scored. All count relations are
+    vocabulary-sized aggregates of the train half; the test side
+    collapses to per-doc distinct trigram counts before any join, and
+    per-trigram terms quantize to DECIMAL(18,9) (count-weighted — an
+    integer multiple of an exact decimal) so document sums are
+    order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), lambda x: F.lower(x)).alias(
+            "toks"
+        ),
+    )
+    tr = toks.filter(F.col("doc_id") % 2 == 0)
+    te = toks.filter((F.col("doc_id") % 2 == 1) & (F.size("toks") >= 3))
+
+    trtok = tr.select(F.explode("toks").alias("w"))
+    n = trtok.agg(F.count("*").cast("long").alias("n_tokens"))
+    c1 = trtok.groupBy("w").agg(F.count("*").alias("n1u"))
+
+    def bigrams(df):
+        return df.filter(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))
+                    ),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.w1", "b.w2")
+
+    def trigrams(df):
+        return df.filter(F.size("toks") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))
+                    ),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                        F.element_at(F.col("toks"), i + 2).alias("w3"),
+                    ),
+                )
+            ).alias("t"),
+        ).select("doc_id", "t.w1", "t.w2", "t.w3")
+
+    c2 = bigrams(tr).groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c3 = (
+        trigrams(tr)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("n123"))
+    )
+    db3 = (
+        trigrams(te)
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").alias("cnt"))
+    )
+    p12 = c2.select(
+        F.col("w1").alias("p12_w1"),
+        F.col("w2").alias("p12_w2"),
+        F.col("n12").alias("p12_n"),
+    )
+    p23 = c2.select(
+        F.col("w1").alias("p23_w1"),
+        F.col("w2").alias("p23_w2"),
+        F.col("n12").alias("p23_n"),
+    )
+    u2 = c1.select(F.col("w").alias("u2_w"), F.col("n1u").alias("u2_n"))
+    u3 = c1.select(F.col("w").alias("u3_w"), F.col("n1u").alias("u3_n"))
+    joined = (
+        db3.join(c3, on=["w1", "w2", "w3"], how="left")
+        .join(
+            p12,
+            (F.col("w1") == F.col("p12_w1"))
+            & (F.col("w2") == F.col("p12_w2")),
+            "left",
+        )
+        .join(
+            p23,
+            (F.col("w2") == F.col("p23_w1"))
+            & (F.col("w3") == F.col("p23_w2")),
+            "left",
+        )
+        .join(u2, F.col("w2") == F.col("u2_w"), "left")
+        .join(u3, F.col("w3") == F.col("u3_w"), "left")
+        .crossJoin(F.broadcast(n))
+    )
+    score = (
+        F.when(
+            F.col("n123").isNotNull(),
+            F.ln(F.col("n123").cast("double") / F.col("p12_n")),
+        )
+        .when(
+            F.col("p23_n").isNotNull(),
+            F.ln(F.lit(0.4) * F.col("p23_n").cast("double") / F.col("u2_n")),
+        )
+        .when(
+            F.col("u3_n").isNotNull(),
+            F.ln(
+                F.lit(0.16) * F.col("u3_n").cast("double") / F.col("n_tokens")
+            ),
+        )
+        .otherwise(F.ln(F.lit(0.16) / F.col("n_tokens").cast("double")))
+    )
+    scored = joined.select(
+        "doc_id",
+        "cnt",
+        (score.cast("decimal(18,9)") * F.col("cnt")).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_trigrams"),
+        round_portable(
+            F.sum("lp").cast("double") / F.sum("cnt"), 6
+        ).alias("avg_logscore"),
+    )

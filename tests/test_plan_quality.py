@@ -338,3 +338,28 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
     joined = fact.join(dim, on="o_year").agg(F.count("*").alias("n"))
     plan = _plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bfs_frontier_joins_are_equi(spark):
+    # every frontier expansion is an equi-join of a node-sized frontier
+    # against the edge list — never a nested loop over the graph
+    df, _ = QUERIES["bfs_reach_3"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    # the 20-gram hot set broadcasts onto the gram stream; the
+    # corpus-sized gram relation must not shuffle to meet it
+    df, _ = QUERIES["boilerplate_gram_coverage"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_trigram_backoff_no_cartesian(spark):
+    # five left joins against vocabulary-sized count relations plus one
+    # broadcast scalar; nothing may degenerate to a cartesian
+    df, _ = QUERIES["trigram_backoff_score"]
+    plan = _plan_of(df(spark, SF))
+    assert "CartesianProduct" not in plan, plan
