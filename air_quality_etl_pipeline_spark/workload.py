@@ -1225,6 +1225,9 @@ _DRIVER_PRIORITY = [
     "boilerplate_gram_coverage",
     "trigram_backoff_score",
     "csv_quarantine_split",
+    "sql_forecast_revenue",
+    "matryoshka_recall",
+    "quantization_error_stats",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

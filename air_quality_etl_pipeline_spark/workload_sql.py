@@ -375,3 +375,39 @@ def q_sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "sql_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24.0
+    """,
+)
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): one filtered sum
+    over lineitem, no joins — the query that exists to prove range
+    predicates reach the scan (shipdate year, discount band, quantity
+    cap all pushable) and that the aggregate is a pure map-side
+    partial. Revenue quantizes to DECIMAL(18,4) per line (price ×
+    discount carries 4 decimal digits), so the sum is
+    order-independent. Completes the 22-query TPC-H analog suite."""
+    _sql_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem_v
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24.0
+        """
+    )

@@ -892,3 +892,173 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / F.sum("cnt"), 6
         ).alias("avg_logscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation
+# ---------------------------------------------------------------------------
+
+def _mat_cos(a: str, b: str, dims: int) -> str:
+    """Rounded cosine over the first *dims* dimensions (DuckDB twin of
+    _pair_cosine on truncated vectors)."""
+    dot = f"list_sum(list_transform(range(1, {dims + 1}), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, {dims + 1}), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {dims + 1}), i -> {b}[i] * {b}[i])))"
+    return f"floor(({dot}) / ({na} * {nb}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _mat_topk(dims: int, k: int = 5) -> str:
+    return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_mat_cos('q.v', 'e.v', dims)} DESC,
+                          e.vec_id ASC) AS rk
+        FROM emb q, emb e
+        WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id) WHERE rk <= {k}"""
+
+
+@register(
+    "matryoshka_recall",
+    f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+    full_k AS ({_mat_topk(64)}),
+    trunc_k AS ({_mat_topk(16)}),
+    hits AS (SELECT f.query_id, count(*) AS n_hits
+             FROM full_k f JOIN trunc_k t
+               ON f.query_id = t.query_id
+              AND f.neighbor_id = t.neighbor_id
+             GROUP BY 1)
+    SELECT f.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM full_k) f
+    LEFT JOIN hits h ON h.query_id = f.query_id
+    """,
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al.,
+    NeurIPS'22): search with only the FIRST 16 of 64 embedding
+    dimensions and measure top-5 recall against the full-width exact
+    ranking — the capacity question behind shipping truncated
+    embeddings (4× less memory and bandwidth) for the coarse stage of
+    a two-pass retrieval. Both rankings are the broadcast-query exact
+    scan (corpus read once per ranking, never shuffled); the
+    comparison join runs on two top-k relations, constant-sized."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4)
+    full_k = cosine_topk(e, q, k=5).select("query_id", "neighbor_id")
+    trunc = e.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc_k = cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 4), k=5
+    ).select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    hits = (
+        full_k.join(
+            trunc_k,
+            (full_k["query_id"] == trunc_k["query_id"])
+            & (full_k["neighbor_id"] == trunc_k["t_neighbor"]),
+        )
+        .groupBy(full_k["query_id"].alias("query_id"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qids = full_k.select("query_id").distinct()
+    return (
+        qids.join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            round_portable(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(5.0),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "quantization_error_stats",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    qz AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS s,
+                  list_transform(v, x ->
+                    CAST(floor(x / list_max(list_transform(v, y -> abs(y)))
+                               * 127 + 0.5) AS INTEGER)) AS q
+           FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+    dq AS (SELECT vec_id, v, s,
+                  list_transform(q, c -> c * s / 127.0) AS vq
+           FROM qz),
+    err AS (
+      SELECT vec_id,
+             CAST(floor(
+               (list_sum(list_transform(range(1, 65), i -> v[i] * vq[i]))
+                / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(vq, x -> x * x)))))
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS cos,
+             CAST(floor(list_max(list_transform(range(1, 65),
+                    i -> abs(v[i] - vq[i]))) * 1000000.0 + 0.5) AS BIGINT)
+               AS max_abs_err_micro
+      FROM dq)
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(cos) AS DOUBLE) AS min_cos,
+           floor(CAST(sum(cos) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_cos,
+           max(max_abs_err_micro) AS max_err_micro
+    FROM err
+    """,
+)
+def q_quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization fidelity report: quantize (per-vector max-abs
+    int8, the same rule as embedding_quantize_int8), dequantize, and
+    measure per-vector cosine against the original plus the worst
+    element-wise error — the acceptance gate before switching an ANN
+    corpus to int8 (4× memory). Entirely row-local array math inside
+    the scan; the only aggregation is the final 4-cell summary.
+    Per-vector cosines quantize to DECIMAL(18,6) so the corpus mean is
+    order-independent."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    base = e.select("vec_id", v.alias("v")).withColumn(
+        "s", F.expr("array_max(transform(v, x -> abs(x)))")
+    ).filter(F.col("s") > 0)
+    qz = base.withColumn(
+        "q",
+        F.expr(
+            "transform(v, x -> CAST(floor(x / s * 127 + 0.5D) AS INT))"
+        ),
+    ).withColumn("vq", F.expr("transform(q, c -> c * s / 127.0D)"))
+    cos = F.expr(
+        "floor((aggregate(zip_with(v, vq, (x, y) -> x * y), 0.0D,"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"
+        "    * sqrt(aggregate(vq, 0.0D, (acc, x) -> acc + x * x))))"
+        " * 1000000.0D + 0.5D) / 1000000.0D"
+    )
+    err = qz.select(
+        "vec_id",
+        cos.cast("decimal(18,6)").alias("cos"),
+        F.expr(
+            "CAST(floor(array_max(zip_with(v, vq,"
+            " (x, y) -> abs(x - y))) * 1000000.0D + 0.5D) AS BIGINT)"
+        ).alias("max_abs_err_micro"),
+    )
+    return err.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("cos").cast("double").alias("min_cos"),
+        round_portable(
+            F.sum("cos").cast("double") / F.count("*"), 6
+        ).alias("mean_cos"),
+        F.max("max_abs_err_micro").alias("max_err_micro"),
+    )
