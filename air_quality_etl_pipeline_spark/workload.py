@@ -1228,6 +1228,8 @@ _DRIVER_PRIORITY = [
     "sql_forecast_revenue",
     "matryoshka_recall",
     "quantization_error_stats",
+    "cdc_apply_latest",
+    "right_to_forget_scrub",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -234,3 +234,112 @@ def q_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select("event_id", "user_id", "view_event_id", "diff_us")
     )
+
+
+@register(
+    "cdc_apply_latest",
+    """
+    WITH ops AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events),
+    latest AS (
+      SELECT user_id, op, value, ts FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rk
+        FROM ops) WHERE rk = 1)
+    SELECT user_id, op AS last_op,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: replay an insert/update/delete op log
+    into final table state — latest op per key wins (deterministic
+    order: timestamp, then the log's own sequence id), keys whose last
+    op is a delete disappear. This is the consumer half of every CDC
+    pipeline (Debezium → lake table); the reference's MERGE covers the
+    two-way upsert, this covers the log-driven three-way replay. One
+    window shuffle on the key; nothing else touches the log twice."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    ops = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = ops.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return latest.filter(F.col("op") != "D").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias(
+            "last_value"
+        ),
+    )
+
+
+@register(
+    "right_to_forget_scrub",
+    """
+    WITH dl AS (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+    kept AS (SELECT e.* FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM dl WHERE dl.user_id = e.user_id))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_requests,
+           (SELECT CAST(count(*) AS BIGINT) FROM events)
+             - (SELECT CAST(count(*) AS BIGINT) FROM kept)
+             AS n_events_dropped,
+           (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_events_kept,
+           (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM kept) AS kept_value_sum
+    """,
+)
+def q_right_to_forget_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request propagation (GDPR right-to-forget): a deletion
+    list arrives as a TABLE (here: the deterministic user_id % 50
+    cohort), and every fact row for a listed user is dropped via a
+    broadcast left-anti join — the list is structurally small, so the
+    fact side never shuffles. The report row (requests, dropped, kept,
+    kept-sum) is what the compliance job logs; at scale the same
+    anti-join feeds a partition rewrite instead of a count."""
+    e = _events(spark, sf_dir)
+    dl = (
+        e.select("user_id")
+        .filter(F.col("user_id") % 50 == 0)
+        .distinct()
+    )
+    kept = e.join(F.broadcast(dl), on="user_id", how="left_anti")
+    totals = e.agg(F.count("*").alias("n_total"))
+    kept_agg = kept.agg(
+        F.count("*").alias("n_events_kept"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("kept_value_sum"),
+    )
+    nreq = dl.agg(F.count("*").alias("n_requests"))
+    return (
+        nreq.crossJoin(totals)
+        .crossJoin(kept_agg)
+        .select(
+            F.col("n_requests").cast("long").alias("n_requests"),
+            (F.col("n_total") - F.col("n_events_kept"))
+            .cast("long")
+            .alias("n_events_dropped"),
+            F.col("n_events_kept").cast("long").alias("n_events_kept"),
+            "kept_value_sum",
+        )
+    )

@@ -166,3 +166,46 @@ def test_tws_user_stats_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    # exactly-once incremental file processing across RESTARTS: phase 1
+    # drains file A under a checkpoint; phase 2 (a brand-new query on
+    # the SAME checkpoint) must process ONLY the file added in between
+    # — the checkpoint's file log, not the sink, is what prevents
+    # reprocessing. This is the operational core of a production file
+    # stream: the job restarts daily and must never double-count.
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    a = base.filter(F.col("event_id") % 2 == 0)
+    b = base.filter(F.col("event_id") % 2 == 1)
+    a.write.parquet(src + "/a.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(base.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_a = a.count()
+    assert spark.read.parquet(out).count() == n_a
+
+    b.write.parquet(src + "/b.parquet")
+    run_once()
+    sunk = spark.read.parquet(out)
+    # phase 2 appended ONLY b's rows: totals match a+b with no dups
+    assert sunk.count() == n_a + b.count()
+    assert sunk.select("event_id").distinct().count() == base.count()
