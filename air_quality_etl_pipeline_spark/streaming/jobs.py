@@ -334,3 +334,24 @@ def tws_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_process_all(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Like :func:`run_available_now` but drains with
+    ``processAllAvailable()`` under the default micro-batch trigger —
+    required for Python streaming data sources, which do not support
+    ``Trigger.AvailableNow`` (Spark falls back to ONE batch and stops
+    early). ``processAllAvailable`` blocks until the source reports no
+    new offsets, so a finite source is consumed exactly to its end."""
+    name = f"stream_sink_{next(_sink_ids)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

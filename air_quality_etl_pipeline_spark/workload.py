@@ -1230,6 +1230,9 @@ _DRIVER_PRIORITY = [
     "quantization_error_stats",
     "cdc_apply_latest",
     "right_to_forget_scrub",
+    "variant_props_extract",
+    "sql_lateral_topn",
+    "streaming_rest_ingest",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -633,6 +633,64 @@ def q_streaming_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_rest_ingest",
+    """
+    WITH g AS (SELECT s.s, y.y
+               FROM (SELECT unnest(range(0, 5)) AS s) s,
+                    (SELECT unnest([2023, 2024]) AS y) y),
+    payload AS (SELECT CAST(g.s AS VARCHAR) AS state_code,
+                       (g.s * 31 + g.y) % 100 + i.i AS aqi
+                FROM g, (SELECT unnest(range(0, 10)) AS i) i)
+    SELECT state_code, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(aqi) AS BIGINT) AS sum_aqi
+    FROM payload GROUP BY 1
+    """,
+)
+def q_streaming_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 as a STREAMING Python Data Source (Spark 4 Simple API): the
+    param grid is consumed incrementally, ``page_size`` API calls per
+    micro-batch, with the grid index as a checkpointable offset —
+    the cursor-forward REST polling loop expressed as a first-class
+    streaming relation. The Simple API evaluates the reader on the
+    driver (correct for rate-limited pagination) and replays committed
+    ranges deterministically via readBetweenOffsets. Drained with
+    processAllAvailable — Python streaming sources don't support
+    Trigger.AvailableNow. The oracle regenerates the deterministic
+    fake payload in SQL."""
+    import json as _json
+
+    from air_quality_etl_pipeline_spark.sources import rest_datasource
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        run_process_all,
+    )
+
+    # the DataSource class is unpickled inside Spark's streaming-source
+    # runner process, which inherits the JVM's PYTHONPATH — not the
+    # driver's sys.path. Registering the module for by-VALUE pickling
+    # ships the class (and its module globals) in the pickle itself,
+    # so the runner never needs to import this package.
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(rest_datasource)
+    spark.dataSource.register(rest_datasource.RestParamGridDataSource)
+    grid = [
+        {"state": s, "year": y} for s in range(5) for y in (2023, 2024)
+    ]
+    stream = (
+        spark.readStream.format("rest_param_grid")
+        .schema("state_code string, year int, aqi int")
+        .option("param_grid_json", _json.dumps(grid))
+        .option("page_size", "3")
+        .load()
+    )
+    agg = stream.groupBy("state_code").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("aqi").cast("long").alias("sum_aqi"),
+    )
+    return run_process_all(agg, spark, output_mode="complete")
+
+
+@register(
     "csv_quarantine_split",
     """
     WITH flag AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
@@ -717,5 +775,6 @@ SIDE_EFFECT_QUERIES.update(
         "jsonl_roundtrip",
         "streaming_topk_daily",
         "csv_quarantine_split",
+        "streaming_rest_ingest",
     }
 )

@@ -411,3 +411,37 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24.0
         """
     )
+
+
+@register(
+    "sql_lateral_topn",
+    """
+    SELECT c.o_custkey, l.o_orderkey,
+           CAST(CAST(l.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice
+    FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 100) c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
+    """,
+)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer): the
+    SQL-standard per-row derived table, which Catalyst decorrelates
+    into the same window/join plan a hand-written row_number query
+    produces — the planner capability, not just the window function,
+    is what this query pins. Both engines order ties identically
+    (price desc, orderkey asc), so the LIMIT-2 cut is deterministic."""
+    _sql_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.o_custkey, l.o_orderkey,
+               CAST(CAST(l.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 AS o_totalprice
+        FROM (SELECT DISTINCT o_custkey FROM orders_v
+              WHERE o_custkey < 100) c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+                 WHERE o.o_custkey = c.o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
+        """
+    )

@@ -343,3 +343,45 @@ def q_right_to_forget_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_value_sum",
         )
     )
+
+
+@register(
+    "variant_props_extract",
+    """
+    WITH k AS (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(k * k) AS BIGINT) AS sum_k2,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even
+    FROM k GROUP BY 1
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    ``parse_json`` materializes the props column as a binary variant
+    ONCE, and ``variant_get`` pulls typed fields without re-parsing
+    per path — the open-schema ingestion pattern (one parse, many
+    typed reads) that replaces repeated ``get_json_object`` string
+    walks. The oracle reads the same fields with plain JSON
+    extraction; results are integer-exact."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("vp")
+    )
+    k = F.expr("variant_get(vp, '$.k', 'bigint')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(F.col("k") * F.col("k")).cast("long").alias("sum_k2"),
+            F.sum((F.col("k") % 2 == 0).cast("int"))
+            .cast("long")
+            .alias("n_even"),
+        )
+    )
