@@ -1233,6 +1233,9 @@ _DRIVER_PRIORITY = [
     "variant_props_extract",
     "sql_lateral_topn",
     "streaming_rest_ingest",
+    "null_safe_join_counts",
+    "pearson_corr_qty_price",
+    "drill_across_monthly",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

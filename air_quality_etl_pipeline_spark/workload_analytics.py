@@ -2025,3 +2025,155 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("n_orders"),
         round_portable(gini, 6).alias("gini"),
     )
+
+
+@register(
+    "null_safe_join_counts",
+    """
+    WITH a AS (SELECT event_id, nullif(user_id % 10, 0) AS k FROM events),
+    b AS (SELECT nullif(CAST(id AS BIGINT), 0) AS k
+          FROM (SELECT unnest(range(0, 10)) AS id)),
+    eq AS (SELECT CAST(count(*) AS BIGINT) AS n_eq
+           FROM a JOIN b ON a.k = b.k),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n_null_safe
+           FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+    SELECT n_eq, n_null_safe, n_null_safe - n_eq AS n_null_matches
+    FROM eq, ns
+    """,
+)
+def q_null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) next to
+    the plain equi-join on the same keys: the row-count delta is
+    exactly the NULL-key matches a plain join silently drops — the
+    semantics bug class behind "my join lost rows". Both forms plan as
+    hash joins (the null-safe operator is still an equi-condition for
+    Catalyst); the dimension side is a 10-row broadcast."""
+    e = _events(spark, sf_dir)
+    a = e.select(
+        "event_id", F.nullif(F.col("user_id") % 10, F.lit(0)).alias("k")
+    )
+    b = spark.range(0, 10).select(
+        F.nullif(F.col("id").cast("long"), F.lit(0)).alias("k")
+    )
+    eq = a.join(F.broadcast(b), a["k"] == b["k"]).agg(
+        F.count("*").cast("long").alias("n_eq")
+    )
+    ns = a.join(F.broadcast(b), a["k"].eqNullSafe(b["k"])).agg(
+        F.count("*").cast("long").alias("n_null_safe")
+    )
+    return eq.crossJoin(ns).select(
+        "n_eq",
+        "n_null_safe",
+        (F.col("n_null_safe") - F.col("n_eq")).alias("n_null_matches"),
+    )
+
+
+@register(
+    "pearson_corr_qty_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           floor((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+    FROM s
+    """,
+)
+def q_pearson_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, computed PORTABLY from five
+    decimal-exact moment sums and one closed-form double expression —
+    engine-native ``corr()`` reduces in nondeterministic partial-agg
+    order with float state, so two engines (or two runs over different
+    partitionings) can disagree in the last ulp; decimal moments make
+    the reduction exact and push all float math into one deterministic
+    scalar expression. The same trick the covariance/Gram operator
+    uses, in single-aggregate form."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select(
+        "l_returnflag", "n", round_portable(corr, 6).alias("corr_qty_price")
+    )
+
+
+@register(
+    "drill_across_monthly",
+    """
+    WITH rev AS (
+      SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    act AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1)
+    SELECT coalesce(rev.month, act.month) AS month,
+           rev.revenue, rev.n_orders, act.n_events, act.n_users
+    FROM rev FULL OUTER JOIN act ON rev.month = act.month
+    """,
+)
+def q_drill_across_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drill-across: two fact tables (orders revenue, event activity)
+    aggregated SEPARATELY to the conformed month grain, then stitched
+    with a full outer join — the multi-fact BI pattern that must never
+    join raw facts to raw facts (that's a fan-out trap; each fact
+    aggregates to the grain first). Months present in only one fact
+    keep their side's measures and NULL the other's."""
+    o = _t(spark, sf_dir, "orders")
+    e = _events(spark, sf_dir)
+    rev = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM")
+        .alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    act = e.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    rev_m = rev.withColumnRenamed("month", "r_month")
+    return (
+        rev_m.join(
+            act, rev_m["r_month"] == act["month"], how="full_outer"
+        )
+        .select(
+            F.coalesce(F.col("r_month"), F.col("month")).alias("month"),
+            "revenue",
+            "n_orders",
+            "n_events",
+            "n_users",
+        )
+    )
