@@ -1236,6 +1236,7 @@ _DRIVER_PRIORITY = [
     "null_safe_join_counts",
     "pearson_corr_qty_price",
     "drill_across_monthly",
+    "ppr_from_seeds",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -430,3 +430,87 @@ def q_bfs_reach_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv.groupBy("node").agg(
         F.min("hops").cast("long").alias("hops")
     )
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    """Unrolled personalized-PageRank oracle over the trade graph with
+    seeds {c0, c1, c2} — mirrors
+    operators.graph.personalized_pagerank_pico step for step (every
+    term BIGINT floor-division)."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    seeds AS (SELECT id FROM nodes WHERE id IN ('c0', 'c1', 'c2')),
+    -- |S| is the PROVIDED seed-set size (matches the Spark operator,
+    -- which divides by the given set even if a seed is absent from
+    -- the graph), not the count of seeds present in nodes
+    sn AS (SELECT CAST(3 AS BIGINT) AS ns),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    r0 AS (SELECT nd.id,
+                  CASE WHEN s.id IS NOT NULL
+                       THEN CAST(1000000000000 AS BIGINT) // sn.ns
+                       ELSE CAST(0 AS BIGINT) END AS pico
+           FROM nodes nd LEFT JOIN seeds s ON nd.id = s.id, sn)"""
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(f"""
+    c{t} AS (SELECT e.dst AS id,
+                    CAST(sum(r.pico // d.outdeg) AS BIGINT) AS s
+             FROM edges e
+             JOIN r{t - 1} r ON e.src = r.id
+             JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+    r{t} AS (SELECT nd.id,
+                    CASE WHEN sd.id IS NOT NULL
+                         THEN (CAST(15 AS BIGINT) * 10000000000) // sn.ns
+                         ELSE CAST(0 AS BIGINT) END
+                      + (CAST(85 AS BIGINT) * COALESCE(c{t}.s, 0)) // 100
+                      AS pico
+             FROM nodes nd
+             LEFT JOIN seeds sd ON nd.id = sd.id
+             LEFT JOIN c{t} ON nd.id = c{t}.id, sn)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT id AS node, CAST(pico AS BIGINT) AS rank_pico
+    FROM r{iterations} WHERE pico > 0
+    """
+    )
+
+
+@register("ppr_from_seeds", _ppr_oracle(3))
+def q_ppr_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from 3 seed customers over the
+    customer→supplier trade graph (3 rounds, d=0.85): proximity-to-
+    the-seeds ranking, the graph primitive behind "suppliers relevant
+    to THESE customers" — integer pico-units end to end, so the
+    iterative algorithm is exactly reproduced by the unrolled oracle.
+    Only nodes with nonzero mass are emitted (3 hops of seed
+    reachability)."""
+    from air_quality_etl_pipeline_spark.operators.graph import (
+        personalized_pagerank_pico,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+    seeds = spark.range(3).select(
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("id")
+    )
+    out = personalized_pagerank_pico(edges, seeds, iterations=3)
+    return out.filter(F.col("rank_pico") > 0)

@@ -92,3 +92,28 @@ def test_distributed_path_converges_past_max_iter_diameter(spark):
     cc = connected_components(edges, local_threshold=0)
     comps = {r.component for r in cc.collect()}
     assert comps == {0}
+
+
+def test_personalized_pagerank_exact_chain_trace(spark):
+    # a → b → c with seed {a}: every round is exact integer arithmetic,
+    # so the 3-round result is a hand-computable trace — base mass
+    # returns only to the seed, downstream nodes hold damped mass
+    from air_quality_etl_pipeline_spark.operators.graph import (
+        personalized_pagerank_pico,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {
+        r["node"]: r["rank_pico"]
+        for r in personalized_pagerank_pico(
+            edges, seeds, iterations=3
+        ).collect()
+    }
+    assert got == {
+        "a": 150_000_000_000,          # teleport mass only
+        "b": 127_500_000_000,          # 0.85 · a
+        "c": 108_375_000_000,          # 0.85² · a (shifted one round)
+    }
