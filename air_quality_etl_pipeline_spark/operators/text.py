@@ -369,3 +369,36 @@ def learn_bpe_merges(
             "n",
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode_vocab(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode the corpus VOCABULARY with a learned merge list: distinct
+    words → character symbols → each merge applied in rank order as a
+    Catalyst fold (:func:`apply_bpe_merge`). Returns
+    ``(word, char_len, tok_len)``.
+
+    This is the production shape of tokenizer application: the merge
+    walk runs once per DISTINCT word (vocabulary-sized work), and the
+    corpus-sized token stream only joins the resulting lookup table —
+    exactly how fast tokenizers cache word → pieces. The fold chain is
+    ``n_merges`` nested HOF expressions; plan depth is constant in the
+    corpus and linear in the merge count.
+    """
+    words = df.select(F.explode(token_array(F.col(text_col))).alias("word"))
+    if lowercase:
+        words = words.select(F.lower(F.col("word")).alias("word"))
+    vocab = words.distinct().withColumn("syms", F.split(F.col("word"), ""))
+    for _, left, right, _ in merges:
+        vocab = vocab.withColumn(
+            "syms", apply_bpe_merge(F.col("syms"), left, right)
+        )
+    return vocab.select(
+        "word",
+        F.length("word").cast("long").alias("char_len"),
+        F.size("syms").cast("long").alias("tok_len"),
+    )

@@ -1237,6 +1237,7 @@ _DRIVER_PRIORITY = [
     "pearson_corr_qty_price",
     "drill_across_monthly",
     "ppr_from_seeds",
+    "bpe_encode_corpus",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

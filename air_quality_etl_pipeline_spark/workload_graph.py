@@ -8,9 +8,12 @@ exact-similarity ground truth.
 
 Every query is a registered ``(spark_fn, duckdb_oracle)`` pair. Graph
 edges are built from the TPC-H-shaped fact tables (co-purchase: parts
-sharing an order), so edge construction itself is a distributed join,
-not a toy literal. Iteration-free operators only — the iterative graph
-ops (connected components, PageRank) live in operators/graph.py.
+sharing an order; customer→supplier trade), so edge construction
+itself is a distributed join, not a toy literal. Constant-depth
+traversals (triangles, 3-hop BFS) unroll in place; the genuinely
+iterative machinery (connected components, PageRank and its
+personalized variant) lives in operators/graph.py and is driven from
+here with unrolled SQL oracles.
 """
 
 from __future__ import annotations

@@ -1062,3 +1062,47 @@ def q_quantization_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cos"),
         F.max("max_abs_err_micro").alias("max_err_micro"),
     )
+
+
+@register("bpe_encode_corpus", None)
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: learn 6 BPE merges, then
+    encode every document and report its post-merge token count and
+    compression vs raw characters. The merge walk runs once per
+    DISTINCT word (operators.text.bpe_encode_vocab — the word→pieces
+    cache every fast tokenizer keeps); the corpus token stream joins
+    that vocabulary-sized lookup and aggregates per doc. Iterative
+    training upstream ⇒ rows-only at the driver; encode exactness vs a
+    pure-Python reference is pinned in tests/test_training_ops.py."""
+    from air_quality_etl_pipeline_spark.operators.text import (
+        bpe_encode_vocab,
+        learn_bpe_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, n_merges=6)
+    vocab = bpe_encode_vocab(d, merges)
+    stream = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(token_array(F.col("text")), lambda x: F.lower(x))
+        ).alias("word"),
+    )
+    return (
+        stream.join(vocab, on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("char_len").cast("long").alias("n_chars"),
+            F.sum("tok_len").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            round_portable(
+                F.col("n_tokens").cast("double") / F.col("n_chars"), 6
+            ).alias("compression"),
+        )
+    )

@@ -228,3 +228,32 @@ def test_pq_arrow_encode_agrees_with_catalyst(embeddings):
     a = sorted(map(tuple, pq_encode(embeddings, cb).collect()))
     b = sorted(map(tuple, pq_encode_arrow(embeddings, cb).collect()))
     assert a == b
+
+
+def test_bpe_encode_vocab_matches_reference(spark, sf_dir):
+    # encode exactness: every distinct word's piece count must equal a
+    # pure-Python greedy merge walk with the same learned merges
+    from air_quality_etl_pipeline_spark.operators.text import (
+        bpe_encode_vocab,
+        learn_bpe_merges,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe_merges(d, n_merges=6)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, left, right, _ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    got = bpe_encode_vocab(d, merges).collect()
+    assert got, "empty vocabulary"
+    for row in got:
+        assert row["tok_len"] == encode(row["word"]), row["word"]
