@@ -1238,6 +1238,10 @@ _DRIVER_PRIORITY = [
     "drill_across_monthly",
     "ppr_from_seeds",
     "bpe_encode_corpus",
+    "fk_integrity_audit",
+    "weighted_median_price",
+    "topk_with_ties_orders",
+    "dataset_card_summary",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -2177,3 +2177,157 @@ def q_drill_across_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    WITH li_o AS (SELECT CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)),
+    o_c AS (SELECT CAST(count(*) AS BIGINT) AS n
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+    li_p AS (SELECT CAST(count(*) AS BIGINT) AS n
+             FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    SELECT li_o.n AS orphan_lineitems, o_c.n AS orphan_orders,
+           li_p.n AS orphan_part_refs
+    FROM li_o, o_c, li_p
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for three foreign-key
+    relationships (lineitem→orders, orders→customer, lineitem→part) in
+    one report row — the constraint check a lake has to RUN because it
+    cannot DECLARE it. Each check is a left-anti join; the key-only
+    projections keep every probe narrow, and the anti joins on the two
+    big facts shuffle on their join keys (the dim-sided ones
+    broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    li_o = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_lineitems"))
+    )
+    o_c = (
+        o.select("o_custkey")
+        .join(F.broadcast(c.select("c_custkey")),
+              o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_orders"))
+    )
+    li_p = (
+        li.select("l_partkey")
+        .join(F.broadcast(p.select("p_partkey")),
+              li["l_partkey"] == p["p_partkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("orphan_part_refs"))
+    )
+    return li_o.crossJoin(o_c).crossJoin(li_p)
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      FROM lineitem),
+    g AS (SELECT l_returnflag, price, CAST(sum(qty) AS DECIMAL(28,2)) AS q
+          FROM w GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, price, q,
+             sum(q) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cq,
+             sum(q) OVER (PARTITION BY l_returnflag) AS tq
+      FROM g)
+    SELECT l_returnflag,
+           CAST(min(price) AS DOUBLE) AS weighted_median_price
+    FROM cum WHERE cq * 2 >= tq GROUP BY 1
+    """,
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity share reaches 50% — a weighted
+    quantile, which no engine-native percentile computes. Prices
+    pre-aggregate to (group, price) before the window, so the running
+    sum runs over the DISTINCT-price relation, and all comparisons are
+    decimal-exact (``2·cum ≥ total`` avoids dividing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    g = (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        )
+        .groupBy("l_returnflag", "price")
+        .agg(F.sum("qty").cast("decimal(28,2)").alias("q"))
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = g.select(
+        "l_returnflag",
+        "price",
+        F.sum("q").over(wc).alias("cq"),
+        F.sum("q").over(wt).alias("tq"),
+    )
+    return (
+        cum.filter(F.col("cq") * 2 >= F.col("tq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price")
+        )
+    )
+
+
+@register(
+    "topk_with_ties_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+               AS rk
+      FROM orders WHERE o_custkey < 50)
+    SELECT o_custkey, o_orderkey, price, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 2
+    """,
+)
+def q_topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer WITH TIES (``rank``, not
+    ``row_number``): equal-price orders at the boundary all survive,
+    so group output size is variable — the semantics an analyst
+    usually means by "top k" and the one ``row_number`` silently
+    breaks by dropping tied rows nondeterministically. Ranking on the
+    DECIMAL-cast price keeps tie decisions engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("price"),
+            F.rank().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+    )

@@ -1651,3 +1651,59 @@ def q_boilerplate_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hot").cast("double") / F.col("n_grams"), 6
         ).alias("hot_frac"),
     )
+
+
+@register(
+    "dataset_card_summary",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, md5(text) AS fp,
+                      len({LTOKS}) AS n_toks
+               FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_toks AS BIGINT)) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           floor(CAST(sum(CAST(n_toks AS BIGINT)) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_doc_tokens,
+           CAST(sum(CASE WHEN n_toks < 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_docs,
+           floor((1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS exact_dup_rate
+    FROM t
+    """,
+)
+def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card header in one pass: corpus size, token volume,
+    language/source coverage, short-doc count, and the exact-duplicate
+    rate (1 − distinct fingerprints / docs) — the numbers every
+    published dataset reports first. One scan computes all seven
+    measures (count-distincts expand to their standard two-phase
+    plans); nothing is materialized but the single summary row."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(
+            F.transform(token_array(F.col("text")), lambda x: F.lower(x))
+        ).alias("n_toks"),
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_toks").cast("long")).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        round_portable(
+            F.sum(F.col("n_toks").cast("long")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("mean_doc_tokens"),
+        F.sum((F.col("n_toks") < 50).cast("int"))
+        .cast("long")
+        .alias("n_short_docs"),
+        round_portable(
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double") / F.count("*"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
