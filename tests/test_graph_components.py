@@ -117,3 +117,68 @@ def test_personalized_pagerank_exact_chain_trace(spark):
         "b": 127_500_000_000,          # 0.85 · a
         "c": 108_375_000_000,          # 0.85² · a (shifted one round)
     }
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # independent algorithm check: enumerate triangles in pure Python
+    # (adjacency sets) over the same edge list the query builds
+    from air_quality_etl_pipeline_spark.workload import QUERIES
+    from air_quality_etl_pipeline_spark.workload_graph import (
+        _copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r["part_a"], r["part_b"])
+        for r in _copurchase_edges(spark, sf).collect()
+    ]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:  # a < b by construction
+        tri += sum(1 for c in adj[a] & adj[b] if c > b)
+    deg = {n: len(s) for n, s in adj.items()}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    row = QUERIES["triangle_count"][0](spark, sf).collect()[0]
+    assert row["n_triangles"] == tri
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    assert row["n_wedges"] == wedges
+
+
+def test_bfs_matches_bruteforce(spark):
+    # independent BFS in pure Python over the same edges/seeds
+    from collections import deque
+
+    from air_quality_etl_pipeline_spark.workload import QUERIES
+    from air_quality_etl_pipeline_spark.workload_graph import (
+        _copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r["part_a"], r["part_b"])
+        for r in _copurchase_edges(spark, sf).collect()
+    ]
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = sorted(adj)[:3]
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if dist[n] >= 3:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    got = {
+        r["node"]: r["hops"]
+        for r in QUERIES["bfs_reach_3"][0](spark, sf).collect()
+    }
+    assert got == dist
