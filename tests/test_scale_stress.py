@@ -256,3 +256,55 @@ def test_stateful_counts_hotkey_100_to_1(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_copurchase_baskets_6m_rows(spark):
+    # the basket formulation must scale linearly in lineitem rows: 10x
+    # sf0.1 (6 M (order, part) rows) through baskets -> pair explode ->
+    # support filter. A quadratic regression (e.g. losing the distinct
+    # inside collect_set, or a join-based pair build) blows past the
+    # bound by an order of magnitude.
+    import time
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = li.crossJoin(reps).select(
+        (F.col("l_orderkey") * 10 + F.col("rep")).alias("l_orderkey"),
+        "l_partkey",
+    )
+    baskets = big.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"), i + F.lit(2), F.size("parts")
+                        ),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    t0 = time.perf_counter()
+    edges = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .count()
+    )
+    took = time.perf_counter() - t0
+    assert edges > 0
+    # sf0.1 runs ~1.3 s; 10x data with linear scaling plus shuffle
+    # overhead should land well under 60 s on this rig
+    assert took < 60, f"co-purchase at 6M rows took {took:.1f}s"
