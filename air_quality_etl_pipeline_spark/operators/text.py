@@ -12,7 +12,7 @@ any of these need is whatever aggregation the caller adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import (
@@ -401,4 +401,47 @@ def bpe_encode_vocab(
         "word",
         F.length("word").cast("long").alias("char_len"),
         F.size("syms").cast("long").alias("tok_len"),
+    )
+
+
+def crossencoder_rerank_stub(
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    topk: int = 5,
+) -> DataFrame:
+    """Cross-encoder reranking STAGE with the model stubbed: the
+    candidate relation (a first-stage retriever's top-k) flows through
+    an Arrow-batched ``mapInPandas`` scorer — the exact plumbing a real
+    cross-encoder inference pass uses (bounded batch, typed schema,
+    self-contained closure) — but the score is a clearly-marked
+    deterministic fake (md5 of the doc id), since no model runtime is
+    in this container. Swap the body for tokenizer+model inference and
+    nothing else changes. Returns ``(doc_id, ce_score, ce_rank)``,
+    top-*topk* by (score desc, id asc). The candidate set is
+    constant-sized, so the Python boundary sees k rows per query, not
+    the corpus."""
+
+    def score(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"]
+            scores = [
+                int(hashlib.md5(f"rr:{i}".encode()).hexdigest()[:15], 16)
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "ce_score": scores})
+
+    scored = candidates.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        score, "doc_id long, ce_score long"
+    )
+    w = Window.orderBy(F.desc("ce_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("ce_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("ce_rank") <= topk)
+        .select("doc_id", "ce_score", "ce_rank")
     )

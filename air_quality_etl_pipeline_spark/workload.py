@@ -1242,6 +1242,8 @@ _DRIVER_PRIORITY = [
     "weighted_median_price",
     "topk_with_ties_orders",
     "dataset_card_summary",
+    "rerank_crossencoder_stub",
+    "multimodal_blob_dedup",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

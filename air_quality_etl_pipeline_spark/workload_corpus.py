@@ -1707,3 +1707,79 @@ def q_dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "rerank_crossencoder_stub",
+    f"""
+    WITH a AS ({_BM25_ORACLE}),
+    scored AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('rr:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS ce_score
+      FROM a)
+    SELECT doc_id, ce_score, CAST(rk AS BIGINT) AS ce_rank
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY ce_score DESC, doc_id ASC) AS rk FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q_rerank_crossencoder_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 top-20 reranked by a cross-encoder
+    STAGE whose Arrow plumbing is real and whose model is a
+    deterministic stub (no model runtime in this container; the oracle
+    reproduces the stub's md5 score in SQL). The pattern every modern
+    search stack runs — cheap recall stage feeding an expensive
+    precision stage over a constant-sized candidate set. See
+    operators.text.crossencoder_rerank_stub."""
+    from air_quality_etl_pipeline_spark.operators.text import (
+        crossencoder_rerank_stub,
+    )
+
+    cands = q_bm25_search(spark, sf_dir)
+    return crossencoder_rerank_stub(cands, topk=5)
+
+
+@register(
+    "multimodal_blob_dedup",
+    """
+    WITH b AS (SELECT doc_id, md5(substr(text, 1, 60)) AS blob_hash,
+                      octet_length(encode(substr(text, 1, 60))) AS byte_len
+               FROM documents)
+    SELECT blob_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST((count(*) - 1) * min(byte_len) AS BIGINT)
+             AS bytes_reclaimable
+    FROM b GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dedup of BINARY payloads: hash the blob
+    column, group, report duplicate groups and reclaimable bytes — the
+    storage-dedup pass a multimodal lake runs before any pixel-level
+    near-dup (identical files are the overwhelming duplicate class in
+    crawled media). The payload here is the 60-char text prefix cast
+    to binary — a deterministic stand-in for a thumbnail/preview blob
+    with a realistic duplicate rate; the Spark side hashes the BINARY
+    column itself, the oracle hashes the string it derives from (same
+    bytes). One scan-local hash + one groupBy."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.substring(F.col("text"), 1, 60).cast("binary")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("payload")).alias("blob_hash"),
+            F.length(F.col("payload")).cast("long").alias("byte_len"),
+        )
+        .groupBy("blob_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            ((F.count("*") - 1) * F.min("byte_len"))
+            .cast("long")
+            .alias("bytes_reclaimable"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
