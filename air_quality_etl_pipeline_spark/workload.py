@@ -1244,6 +1244,7 @@ _DRIVER_PRIORITY = [
     "dataset_card_summary",
     "rerank_crossencoder_stub",
     "multimodal_blob_dedup",
+    "association_rules",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

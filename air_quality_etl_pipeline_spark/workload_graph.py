@@ -517,3 +517,96 @@ def q_ppr_from_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = personalized_pagerank_pico(edges, seeds, iterations=3)
     return out.filter(F.col("rank_pico") > 0)
+
+
+@register(
+    "association_rules",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    item AS (SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey)
+                    AS BIGINT) AS n_item
+             FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem),
+    rules AS (
+      SELECT e.part_a AS antecedent, e.part_b AS consequent,
+             e.n_orders AS support_ab, a.n_item AS support_a,
+             b.n_item AS support_b, t.n_orders AS n_orders
+      FROM edges e
+      JOIN item a ON a.part = e.part_a
+      JOIN item b ON b.part = e.part_b, tot t
+      UNION ALL
+      SELECT e.part_b, e.part_a, e.n_orders, b.n_item, a.n_item, t.n_orders
+      FROM edges e
+      JOIN item a ON a.part = e.part_a
+      JOIN item b ON b.part = e.part_b, tot t)
+    SELECT antecedent, consequent, support_ab,
+           floor(CAST(support_ab AS DOUBLE) / support_a * 1000000.0 + 0.5)
+             / 1000000.0 AS confidence,
+           floor(CAST(support_ab AS DOUBLE) * n_orders
+                 / (CAST(support_a AS DOUBLE) * support_b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM rules
+    WHERE CAST(support_ab AS DOUBLE) / support_a >= 0.5
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the co-purchase edges (Agrawal et al.,
+    SIGMOD'93 metrics): each frequent pair yields both directed rules
+    with confidence = sup(a,b)/sup(a) and lift =
+    conf / P(b) — the interestingness layer on top of raw pair counts.
+    Item supports are one aggregate over the fact; the rule relation is
+    edge-sized, so the metric joins are cheap. Only confident rules
+    (≥ 0.5) are emitted."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(spark, sf_dir)
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_item")
+    )
+    tot = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_total")
+    )
+    a = item.select(
+        F.col("part").alias("part_a"), F.col("n_item").alias("sup_a")
+    )
+    b = item.select(
+        F.col("part").alias("part_b"), F.col("n_item").alias("sup_b")
+    )
+    base = (
+        edges.join(a, on="part_a")
+        .join(b, on="part_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    fwd = base.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        F.col("n_orders").alias("support_ab"),
+        F.col("sup_a").alias("support_a"),
+        F.col("sup_b").alias("support_b"),
+        F.col("n_total"),
+    )
+    rev = base.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        F.col("n_orders").alias("support_ab"),
+        F.col("sup_b").alias("support_a"),
+        F.col("sup_a").alias("support_b"),
+        F.col("n_total"),
+    )
+    rules = fwd.unionAll(rev)
+    conf = F.col("support_ab").cast("double") / F.col("support_a")
+    lift = (
+        F.col("support_ab").cast("double")
+        * F.col("n_total")
+        / (F.col("support_a").cast("double") * F.col("support_b"))
+    )
+    return (
+        rules.filter(conf >= 0.5)
+        .select(
+            "antecedent",
+            "consequent",
+            "support_ab",
+            round_portable(conf, 6).alias("confidence"),
+            round_portable(lift, 6).alias("lift"),
+        )
+    )
