@@ -1122,6 +1122,26 @@ from air_quality_etl_pipeline_spark import workload_sql  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_training  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_graph  # noqa: E402,F401
 
+# Iterative/training queries whose CONSTRUCTION executes Spark jobs
+# (eager localCheckpoint rounds, driver-side union-find, trainer
+# argmax collects, moment passes): a cached prepared plan would re-time
+# only the post-iteration stages, silently under-reporting the real
+# cost — rebuild these per bench sample, same contract as the
+# write/ingest/stream side-effect queries above them in this set.
+SIDE_EFFECT_QUERIES.update(
+    {
+        "dedup_clusters",
+        "dedup_canonical_docs",
+        "pagerank_trade_graph",
+        "ppr_from_seeds",
+        "bpe_learn_merges",
+        "bpe_encode_corpus",
+        "kmeans_parallel_init",
+        "pca_project",
+        "pack_sequences",
+    }
+)
+
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
 #: the 116 registered queries have a driver-green row; the 20 below
