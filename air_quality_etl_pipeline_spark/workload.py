@@ -1265,6 +1265,10 @@ _DRIVER_PRIORITY = [
     "rerank_crossencoder_stub",
     "multimodal_blob_dedup",
     "association_rules",
+    "sft_pairs_assembly",
+    "padding_waste_report",
+    "mad_outliers",
+    "late_dim_backfill",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -2331,3 +2331,155 @@ def q_topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 2)
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH v AS (SELECT event_type, event_id,
+                      CAST(value AS DECIMAL(18,2)) AS val
+               FROM events),
+    med AS (SELECT event_type, val AS med FROM (
+              SELECT event_type, val,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY val ASC, event_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM v) WHERE rn = (n + 1) // 2),
+    dev AS (SELECT v.event_type, v.event_id, v.val, m.med,
+                   abs(v.val - m.med) AS ad
+            FROM v JOIN med m ON v.event_type = m.event_type),
+    mad AS (SELECT event_type, ad AS mad FROM (
+              SELECT event_type, ad,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY ad ASC, event_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM dev) WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(d.med) AS DOUBLE) AS median_value,
+           CAST(max(x.mad) AS DOUBLE) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3 * x.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad x ON d.event_type = x.event_type
+    GROUP BY 1
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening via Median Absolute Deviation: unlike
+    the z-score (zscore_anomalies) and IQR (iqr_outliers) screens, the
+    MAD's 50% breakdown point survives heavy contamination. Medians
+    are the LOWER median (the value at sorted position ⌈n/2⌉,
+    event_id-tiebroken) so every quantity is a decimal-exact data
+    value — no interpolation, no float drift — and the 3-MAD test
+    compares exact decimals. Two window passes over the per-type value
+    relation, then one aggregate."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+
+    def lower_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col(col).asc(), F.col("event_id").asc()
+        )
+        wt = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wt))
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(v, "val", "med")
+    dev = v.join(med, on="event_type").withColumn(
+        "ad", F.abs(F.col("val") - F.col("med"))
+    )
+    mad = lower_median(
+        dev.select("event_type", "event_id", "ad"), "ad", "mad"
+    )
+    return (
+        dev.join(mad, on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("med").cast("double").alias("median_value"),
+            F.max("mad").cast("double").alias("mad"),
+            F.sum(
+                (F.col("ad") > F.lit(3) * F.col("mad")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "late_dim_backfill",
+    """
+    WITH dim_early AS (SELECT c_custkey, c_mktsegment FROM customer
+                       WHERE c_custkey % 7 <> 0),
+    phase1 AS (
+      SELECT o.o_orderkey,
+             coalesce(d.c_mktsegment, 'UNKNOWN') AS segment
+      FROM orders o LEFT JOIN dim_early d ON o.o_custkey = d.c_custkey),
+    phase2 AS (
+      SELECT o.o_orderkey,
+             coalesce(d.c_mktsegment, 'UNKNOWN') AS segment
+      FROM orders o LEFT JOIN customer d ON o.o_custkey = d.c_custkey)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM phase1
+       WHERE segment = 'UNKNOWN') AS unknown_phase1,
+      (SELECT CAST(count(*) AS BIGINT) FROM phase2
+       WHERE segment = 'UNKNOWN') AS unknown_phase2,
+      (SELECT CAST(count(*) AS BIGINT) FROM phase1 p1 JOIN phase2 p2
+        ON p1.o_orderkey = p2.o_orderkey
+       WHERE p1.segment = 'UNKNOWN' AND p2.segment <> 'UNKNOWN')
+        AS backfilled
+    """,
+)
+def q_late_dim_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts join a PARTIAL dimension
+    (1/7 of customers 'arrive late') and land with an UNKNOWN
+    placeholder instead of being dropped — the inferred-member pattern;
+    once the full dimension lands, the backfill pass resolves exactly
+    the placeholder rows. The report row counts unknowns before/after
+    and the resolved delta, which must reconcile (phase1 unknowns =
+    backfilled + phase2 unknowns)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    early = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def phase(dim):
+        return o.join(
+            F.broadcast(dim), o["o_custkey"] == dim["c_custkey"], "left"
+        ).select(
+            "o_orderkey",
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            ),
+        )
+
+    p1 = phase(early)
+    p2 = phase(c.select("c_custkey", "c_mktsegment"))
+    u1 = p1.filter(F.col("segment") == "UNKNOWN").agg(
+        F.count("*").cast("long").alias("unknown_phase1")
+    )
+    u2 = p2.filter(F.col("segment") == "UNKNOWN").agg(
+        F.count("*").cast("long").alias("unknown_phase2")
+    )
+    bf = (
+        p1.filter(F.col("segment") == "UNKNOWN")
+        .select("o_orderkey")
+        .join(
+            p2.filter(F.col("segment") != "UNKNOWN").select("o_orderkey"),
+            on="o_orderkey",
+        )
+        .agg(F.count("*").cast("long").alias("backfilled"))
+    )
+    return u1.crossJoin(u2).crossJoin(bf)

@@ -1106,3 +1106,166 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Instruction-pair assembly + length-grouped batching economics
+# ---------------------------------------------------------------------------
+
+@register(
+    "sft_pairs_assembly",
+    f"""
+    WITH t AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
+    ok AS (SELECT doc_id, toks FROM t
+           WHERE len(toks) >= 20 AND len(toks) - 10 <= 200),
+    pair AS (SELECT doc_id,
+                    array_to_string(toks[1:10], ' ') AS instruction,
+                    array_to_string(toks[11:len(toks)], ' ') AS response
+             FROM ok)
+    SELECT doc_id,
+           CAST(10 AS BIGINT) AS n_inst_tokens,
+           CAST(length(response) - length(replace(response, ' ', '')) + 1
+                AS BIGINT) AS n_resp_tokens,
+           CAST(length('Q: ' || instruction || chr(10) || 'A: ' || response)
+                AS BIGINT) AS pair_chars
+    FROM pair
+    """,
+)
+def q_sft_pairs_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair assembly: split each document into a
+    10-token instruction head and a response tail, drop under-length
+    docs and over-budget responses, and render the training template
+    ("Q: ...\\nA: ...") — the deterministic half of SFT data prep
+    (the other half, dedup/decontamination/packing, is the rest of
+    this registry). Pure scan-local array and string algebra; the
+    length gates are the budget every SFT pipeline enforces before
+    packing."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), lambda x: F.lower(x)).alias(
+            "toks"
+        ),
+    )
+    ok = toks.filter(
+        (F.size("toks") >= 20) & (F.size("toks") - 10 <= 200)
+    )
+    pair = ok.select(
+        "doc_id",
+        F.array_join(F.slice("toks", 1, 10), " ").alias("instruction"),
+        F.array_join(
+            F.slice(F.col("toks"), 11, F.size("toks") - 10), " "
+        ).alias("response"),
+    )
+    resp_tokens = (
+        F.length("response")
+        - F.length(F.regexp_replace("response", " ", ""))
+        + 1
+    )
+    return pair.select(
+        "doc_id",
+        F.lit(10).cast("long").alias("n_inst_tokens"),
+        resp_tokens.cast("long").alias("n_resp_tokens"),
+        F.length(
+            F.concat(
+                F.lit("Q: "),
+                F.col("instruction"),
+                F.lit("\n"),
+                F.lit("A: "),
+                F.col("response"),
+            )
+        )
+        .cast("long")
+        .alias("pair_chars"),
+    )
+
+
+@register(
+    "padding_waste_report",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_LTOKS}) AS BIGINT) AS n_toks
+               FROM documents),
+    rnd AS (SELECT n_toks,
+                   (row_number() OVER (ORDER BY md5('pad:' ||
+                      CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1) // 32
+                     AS batch
+            FROM t),
+    srt AS (SELECT n_toks,
+                   (row_number() OVER (ORDER BY n_toks ASC, doc_id ASC) - 1)
+                     // 32 AS batch
+            FROM t),
+    w_rnd AS (SELECT count(*) * max(n_toks) - sum(n_toks) AS waste
+              FROM rnd GROUP BY batch),
+    w_srt AS (SELECT count(*) * max(n_toks) - sum(n_toks) AS waste
+              FROM srt GROUP BY batch),
+    a AS (SELECT CAST(sum(waste) AS BIGINT) AS waste_random FROM w_rnd),
+    b AS (SELECT CAST(sum(waste) AS BIGINT) AS waste_sorted FROM w_srt),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT n_docs, n_tokens, waste_random, waste_sorted,
+           floor((1.0 - CAST(waste_sorted AS DOUBLE)
+                  / nullif(waste_random, 0)) * 1000000.0 + 0.5) / 1000000.0
+             AS savings_frac
+    FROM n, a, b
+    """,
+)
+def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching economics: padded-token waste of
+    batch-32 training batches under (a) a deterministic random order
+    and (b) length-sorted order — the measurement that justifies
+    length bucketing in every training data loader (each batch pads to
+    its max). Both orders are md5/length windows over the doc-length
+    relation (one narrow column), and waste is exact integer
+    arithmetic."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(
+            F.transform(token_array(F.col("text")), lambda x: F.lower(x))
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
+    wr = Window.orderBy(
+        F.md5(F.concat(F.lit("pad:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    ws = Window.orderBy(F.col("n_toks").asc(), F.col("doc_id").asc())
+
+    def waste(win) -> DataFrame:
+        batched = t.select(
+            "n_toks",
+            F.expr("0").alias("_d"),
+            ((F.row_number().over(win) - 1) / 32)
+            .cast("long")
+            .alias("batch"),
+        )
+        per = batched.groupBy("batch").agg(
+            (F.count("*") * F.max("n_toks") - F.sum("n_toks")).alias("w")
+        )
+        return per.agg(F.sum("w").cast("long"))
+
+    waste_rnd = waste(wr).toDF("waste_random")
+    waste_srt = waste(ws).toDF("waste_sorted")
+    n = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    return (
+        n.crossJoin(waste_rnd)
+        .crossJoin(waste_srt)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "waste_random",
+            "waste_sorted",
+            round_portable(
+                F.lit(1.0)
+                - F.col("waste_sorted").cast("double")
+                / F.nullif(F.col("waste_random"), F.lit(0)),
+                6,
+            ).alias("savings_frac"),
+        )
+    )
