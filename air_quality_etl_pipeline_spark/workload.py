@@ -1269,6 +1269,10 @@ _DRIVER_PRIORITY = [
     "padding_waste_report",
     "mad_outliers",
     "late_dim_backfill",
+    "table_fingerprint",
+    "knn_classifier_eval",
+    "keyword_extraction_topk",
+    "text_char_entropy",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -2483,3 +2483,50 @@ def q_late_dim_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("backfilled"))
     )
     return u1.crossJoin(u2).crossJoin(bf)
+
+
+@register(
+    "table_fingerprint",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+             1, 15))::BIGINT AS rh
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_fingerprint,
+           CAST(sum(CAST(rh AS DECIMAL(38,0))) % 1000000007 AS BIGINT)
+             AS sum_fingerprint
+    FROM h
+    """,
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: md5 each row's canonical
+    string form, fold with XOR and SUM — the replication/migration
+    audit that answers "are these two copies identical?" without
+    moving either (ship two 8-byte scalars, compare). XOR and SUM are
+    commutative/associative, so partitioning and row order never
+    change the digest; the decimal canonicalization pins float
+    formatting. One scan, one partial-aggregated fold."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    h = o.select(
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+        .cast("long")
+        .alias("rh")
+    )
+    return h.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr("bit_xor(rh)").cast("long").alias("xor_fingerprint"),
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % 1000000007)
+        .cast("long")
+        .alias("sum_fingerprint"),
+    )

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from air_quality_etl_pipeline_spark.functions.core import round_portable
+from air_quality_etl_pipeline_spark.functions.core import (
+    round_portable,
+    token_array,
+)
 from air_quality_etl_pipeline_spark.operators import multimodal
 from air_quality_etl_pipeline_spark.operators.dedup import (
     exact_dup_groups,
@@ -1119,3 +1122,207 @@ def q_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("term").alias("n_matched"))
     )
     return hits.filter(F.col("n_matched") == len(terms)).select("doc_id")
+
+
+@register(
+    "knn_classifier_eval",
+    f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    nn AS (
+      SELECT query_id, true_label, n_label FROM (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               e.label AS n_label,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 floor((list_sum(list_transform(range(1, 65),
+                         i -> q.v[i] * e.v[i]))
+                        / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                           * sqrt(list_sum(list_transform(e.v,
+                               x -> x * x))))) * 1000000.0 + 0.5)
+                   / 1000000.0 DESC,
+                 e.vec_id ASC) AS rk
+        FROM e q, e e
+        WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id) WHERE rk <= 5),
+    votes AS (SELECT query_id, true_label, n_label,
+                     CAST(count(*) AS BIGINT) AS n_votes
+              FROM nn GROUP BY 1, 2, 3),
+    best AS (SELECT query_id, true_label, n_label AS predicted, n_votes
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY n_votes DESC, n_label ASC) AS rk
+                   FROM votes) WHERE rk = 1)
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(predicted AS BIGINT) AS predicted, n_votes,
+           CAST(CASE WHEN predicted = true_label THEN 1 ELSE 0 END
+                AS BIGINT) AS correct
+    FROM best
+    """,
+)
+def q_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval: predict each held-out query vector's
+    label by majority vote of its 5 nearest neighbors (cosine,
+    rounded + id-tiebroken so the neighbor set is engine-exact; vote
+    ties break to the lowest label) and score against the true label —
+    the standard probe for "do these embeddings cluster by class".
+    Composes the exact-scan ranking with two constant-sized
+    aggregations; the corpus is read once per query batch."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    nn = cosine_topk(e, q, k=5).select("query_id", "neighbor_id")
+    labels = e.select("vec_id", F.col("label").cast("long").alias("lab"))
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lab").alias("true_label"),
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("lab").alias("n_label"),
+    )
+    votes = (
+        nn.join(F.broadcast(nl), on="neighbor_id")
+        .join(F.broadcast(truth), on="query_id")
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label").asc()
+    )
+    best = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        "query_id",
+        "true_label",
+        F.col("n_label").alias("predicted"),
+        "n_votes",
+        (F.col("n_label") == F.col("true_label"))
+        .cast("long")
+        .alias("correct"),
+    )
+
+
+@register(
+    "keyword_extraction_topk",
+    f"""
+    WITH t AS (SELECT doc_id, list_transform({TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM terms GROUP BY 1),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+                        * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (term), n)
+    SELECT doc_id, term, score_micro, CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, term ASC) AS rk FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_keyword_extraction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 TF-IDF terms per doc —
+    the tagging/routing signal (and the classic weak-label source) a
+    corpus pipeline derives right after the TF-IDF vocabulary. Scores
+    quantize to integer micro-units BEFORE the per-doc window, so the
+    top-3 cut is engine-exact. The document-frequency relation is
+    vocabulary-sized and joins the doc-term counts hash-partitioned on
+    term; the rank window partitions by doc."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(token_array(F.col("text")), lambda x: F.lower(x))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = d.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.ln(F.col("n_docs").cast("double") / F.col("df"))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score_micro", "rank")
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH c AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+               FROM documents WHERE length(text) > 0),
+    f AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars
+          FROM f GROUP BY 1),
+    term AS (
+      SELECT f.doc_id, n.n_chars,
+             CAST(CAST(f.cnt AS DOUBLE) / n.n_chars
+                  * ln(CAST(f.cnt AS DOUBLE) / n.n_chars)
+                  AS DECIMAL(18,12)) AS t
+      FROM f JOIN n ON f.doc_id = n.doc_id)
+    SELECT doc_id, n_chars,
+           floor(-CAST(sum(t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS char_entropy
+    FROM term GROUP BY 1, 2
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    randomness probe that separates natural text (~4.1 bits nats-wise)
+    from base64 blobs, minified code, and key dumps; a standard
+    pre-filter column next to the quality score. Per-character
+    frequency terms quantize to DECIMAL(18,12) before the per-doc sum
+    (order-independent); the histogram explode is the only data-sized
+    relation and it partial-aggregates map-side."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.filter(F.length("text") > 0).select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    f = c.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    n = f.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chars")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars")
+    term = f.join(n, on="doc_id").select(
+        "doc_id",
+        "n_chars",
+        (p * F.ln(p)).cast("decimal(18,12)").alias("t"),
+    )
+    return term.groupBy("doc_id", "n_chars").agg(
+        round_portable(-F.sum("t").cast("double"), 6).alias(
+            "char_entropy"
+        )
+    )
