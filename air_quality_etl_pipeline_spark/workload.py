@@ -1273,6 +1273,10 @@ _DRIVER_PRIORITY = [
     "knn_classifier_eval",
     "keyword_extraction_topk",
     "text_char_entropy",
+    "ols_price_by_qty",
+    "benford_first_digit",
+    "event_streaks",
+    "winsorize_values",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -2530,3 +2530,246 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_fingerprint"),
     )
+
+
+@register(
+    "ols_price_by_qty",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+    FROM s
+    """,
+)
+def q_ols_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (price ~ quantity) from the
+    same decimal-exact moment sums as the Pearson query: slope and
+    intercept come out of one closed-form double expression per group,
+    so the distributed reduction stays exact and only the final
+    scalar arithmetic is float — the portable way to ship regression
+    over engine-native ``regr_slope`` (float partial-agg state)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(28,4)")).cast("double").alias("sxx"),
+        F.sum((q * p).cast("decimal(28,4)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        round_portable(slope, 6).alias("slope"),
+        round_portable(intercept, 6).alias("intercept"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                       AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit
+               FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1)
+    SELECT obs.digit, obs.n_obs,
+           floor(CAST(obs.n_obs AS DOUBLE) / n.total * 1000000.0 + 0.5)
+             / 1000000.0 AS observed_freq,
+           floor(ln(1.0 + 1.0 / obs.digit) / ln(10.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS benford_freq
+    FROM obs, n
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed digit
+    frequencies next to the expected log10(1 + 1/d) — the forensic
+    screen for fabricated or truncated monetary data. The digit comes
+    from the DECIMAL(18,2) canonical string (same text both engines),
+    and both frequency columns round in-query."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    d = o.filter(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    n = d.agg(F.count("*").cast("long").alias("total"))
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs"))
+    return obs.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        round_portable(
+            F.col("n_obs").cast("double") / F.col("total"), 6
+        ).alias("observed_freq"),
+        round_portable(
+            F.ln(1.0 + 1.0 / F.col("digit")) / F.ln(F.lit(10.0)), 6
+        ).alias("benford_freq"),
+    )
+
+
+@register(
+    "event_streaks",
+    """
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS rn,
+                      row_number() OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS rnt
+               FROM events),
+    runs AS (SELECT user_id, event_type, rn - rnt AS grp,
+                    CAST(count(*) AS BIGINT) AS streak
+             FROM o GROUP BY 1, 2, 3)
+    SELECT user_id, streak AS longest_streak, event_type AS streak_type
+    FROM (SELECT user_id, event_type, streak,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY streak DESC, length(event_type) ASC,
+                            event_type ASC) AS rk
+          FROM runs) WHERE rk = 1
+    """,
+)
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-type event streak per user — the gaps-and-islands
+    identity (global row_number minus per-type row_number is constant
+    within a run) applied to engagement streaks. Two windows over the
+    same (user, time) sort order, one aggregate; tie on streak length
+    resolves deterministically (shortest type name, then
+    lexicographic). The companion to activity_gaps' BETWEEN-runs
+    view."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "grp"
+        ),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").cast("long").alias("streak")
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.col("streak").desc(),
+        F.length("event_type").asc(),
+        F.col("event_type").asc(),
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak").alias("longest_streak"),
+            F.col("event_type").alias("streak_type"),
+        )
+    )
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH v AS (SELECT event_type, event_id,
+                      CAST(value AS DECIMAL(18,2)) AS val
+               FROM events),
+    r AS (SELECT event_type, event_id, val,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY val ASC, event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+    lo AS (SELECT event_type, val AS p01 FROM r
+           WHERE rn = greatest((n * 1 + 99) // 100, 1)),
+    hi AS (SELECT event_type, val AS p99 FROM r
+           WHERE rn = (n * 99) // 100 + CASE WHEN (n * 99) % 100 > 0
+                                             THEN 1 ELSE 0 END),
+    w AS (SELECT v.event_type, v.val, lo.p01, hi.p99,
+                 CASE WHEN v.val < lo.p01 THEN lo.p01
+                      WHEN v.val > hi.p99 THEN hi.p99
+                      ELSE v.val END AS wval
+          FROM v JOIN lo ON v.event_type = lo.event_type
+                 JOIN hi ON v.event_type = hi.event_type)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(p01) AS DOUBLE) AS p01,
+           CAST(max(p99) AS DOUBLE) AS p99,
+           CAST(sum(CASE WHEN val <> wval THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           CAST(sum(val) AS DOUBLE) AS raw_sum,
+           CAST(sum(wval) AS DOUBLE) AS winsorized_sum
+    FROM w GROUP BY 1
+    """,
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report per event type: clip values at the
+    POSITION-BASED 1st/99th percentiles (the data value at sorted rank
+    ⌈q·n⌉ — no interpolation, so every boundary is a decimal-exact
+    data value) and compare raw vs clipped sums — the robust-mean
+    preprocessing every metrics pipeline applies before averaging
+    heavy-tailed revenue-like columns. One window pass for ranks, a
+    broadcast-sized percentile relation joined back, one aggregate."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("val").asc(), F.col("event_id").asc()
+    )
+    wt = Window.partitionBy("event_type")
+    r = v.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wt)
+    )
+    lo = r.filter(
+        F.col("rn") == F.greatest(F.expr("(n * 1 + 99) div 100"), F.lit(1))
+    ).select("event_type", F.col("val").alias("p01"))
+    hi = r.filter(
+        F.col("rn")
+        == F.expr(
+            "(n * 99) div 100 + CASE WHEN (n * 99) % 100 > 0"
+            " THEN 1 ELSE 0 END"
+        )
+    ).select("event_type", F.col("val").alias("p99"))
+    joined = v.join(F.broadcast(lo), on="event_type").join(
+        F.broadcast(hi), on="event_type"
+    )
+    wval = (
+        F.when(F.col("val") < F.col("p01"), F.col("p01"))
+        .when(F.col("val") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("val"))
+    )
+    return (
+        joined.withColumn("wval", wval)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("p01").cast("double").alias("p01"),
+            F.max("p99").cast("double").alias("p99"),
+            F.sum((F.col("val") != F.col("wval")).cast("int"))
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum("val").cast("double").alias("raw_sum"),
+            F.sum("wval").cast("double").alias("winsorized_sum"),
+        )
+    )
