@@ -1277,6 +1277,8 @@ _DRIVER_PRIORITY = [
     "benford_first_digit",
     "event_streaks",
     "winsorize_values",
+    "tz_daily_counts",
+    "largest_remainder_alloc",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -385,3 +385,104 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_even"),
         )
     )
+
+
+@register(
+    "tz_daily_counts",
+    """
+    WITH l AS (SELECT timezone('America/New_York',
+                               timezone('UTC', CAST(ts AS TIMESTAMP)))
+                 AS local_ts,
+                      CAST(ts AS TIMESTAMP) AS utc_ts
+               FROM events)
+    SELECT strftime(date_trunc('day', local_ts), '%Y-%m-%d') AS ny_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN date_trunc('day', local_ts)
+                         <> date_trunc('day', utc_ts)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted
+    FROM l GROUP BY 1
+    """,
+)
+def q_tz_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-correct daily rollup: UTC event times converted to
+    America/New_York before the day boundary is drawn — the bug class
+    behind every "why is Monday's revenue wrong" ticket (a UTC
+    day-grain rollup splits local days at 19:00). ``n_shifted`` counts
+    rows whose local day differs from their UTC day. Both engines
+    resolve the IANA zone (DuckDB via the session-independent
+    ``timezone('UTC', ·)`` → ``timezone(zone, ·)`` chain, Spark via
+    ``from_utc_timestamp``); conversion is scan-local."""
+    e = _events(spark, sf_dir)
+    local = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    return (
+        e.select(
+            F.date_format(local, "yyyy-MM-dd").alias("ny_day"),
+            (
+                F.to_date(local) != F.to_date(F.col("ts"))
+            ).cast("int").alias("shifted"),
+        )
+        .groupBy("ny_day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("shifted").cast("long").alias("n_shifted"),
+        )
+    )
+
+
+@register(
+    "largest_remainder_alloc",
+    """
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    q AS (SELECT c.event_type, c.n,
+                 (c.n * 1000) // t.total AS floor_alloc,
+                 (c.n * 1000) % t.total AS remainder
+          FROM c, t),
+    s AS (SELECT CAST(sum(floor_alloc) AS BIGINT) AS allocated FROM q),
+    r AS (SELECT q.*, row_number() OVER (
+            ORDER BY remainder DESC, event_type ASC) AS rk
+          FROM q)
+    SELECT r.event_type, r.n,
+           CAST(r.floor_alloc + CASE WHEN r.rk <= 1000 - s.allocated
+                                     THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r, s
+    """,
+)
+def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split an integer budget
+    of 1000 units across event types exactly proportionally — floor
+    every quota, then hand the leftover units to the largest
+    fractional remainders (ties by name). The allocations sum to
+    EXACTLY 1000 by construction, which naive per-row rounding does
+    not guarantee — the reporting/budgeting primitive behind seat
+    apportionment, traffic splits, and sampling quotas. All integer
+    arithmetic (``n·1000 div total`` and the modulo remainder), so
+    both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    c = e.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        F.expr("(n * 1000) div total").alias("floor_alloc"),
+        F.expr("(n * 1000) % total").alias("remainder"),
+    )
+    s = q.agg(F.sum("floor_alloc").cast("long").alias("allocated"))
+    w = Window.orderBy(F.col("remainder").desc(), F.col("event_type").asc())
+    r = q.withColumn("rk", F.row_number().over(w))
+    return r.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        "n",
+        (
+            F.col("floor_alloc")
+            + F.when(
+                F.col("rk") <= F.lit(1000) - F.col("allocated"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
