@@ -1279,6 +1279,7 @@ _DRIVER_PRIORITY = [
     "winsorize_values",
     "tz_daily_counts",
     "largest_remainder_alloc",
+    "streaming_outer_join",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -493,6 +493,79 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_outer_join",
+    """
+    WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    w AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY AS wm
+          FROM events),
+    matched AS (
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR),
+    unmatched AS (
+      SELECT v.user_id, v.event_id AS view_id,
+             CAST(NULL AS BIGINT) AS purchase_id
+      FROM v, w
+      WHERE v.event_id NOT IN (SELECT view_id FROM matched)
+        AND v.ts + INTERVAL 1 HOUR < w.wm)
+    SELECT user_id, view_id, purchase_id FROM matched
+    UNION ALL
+    SELECT user_id, view_id, purchase_id FROM unmatched
+    """,
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: views with no purchase
+    inside the attribution hour are emitted null-padded ONCE THE
+    WATERMARK PASSES their join window — the semantics inner joins
+    can't give ("which views converted, and which provably didn't").
+    The batch oracle models the flush rule exactly: a view is declared
+    unmatched iff ``view_ts + 1 h < final watermark`` (max event time
+    − 1 day); views still inside the horizon when the stream drains
+    stay in state and are NOT emitted — that unemitted tail is
+    correct streaming semantics, pinned by this oracle, not a bug."""
+    from pyspark.sql import functions as SF
+
+    e = read_events_stream(spark, sf_dir)
+    views = (
+        e.filter(SF.col("event_type") == "view")
+        .select(
+            SF.col("user_id").alias("v_user"),
+            SF.col("event_id").alias("view_id"),
+            SF.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 day")
+    )
+    purch = (
+        e.filter(SF.col("event_type") == "purchase")
+        .select(
+            SF.col("user_id").alias("p_user"),
+            SF.col("event_id").alias("purchase_id"),
+            SF.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = views.join(
+        purch,
+        (SF.col("v_user") == SF.col("p_user"))
+        & (SF.col("p_ts") >= SF.col("view_ts"))
+        & (
+            SF.col("p_ts")
+            <= SF.col("view_ts") + SF.expr("INTERVAL 1 HOUR")
+        ),
+        "left_outer",
+    )
+    out = run_available_now(joined, spark, output_mode="append")
+    return out.select(
+        SF.col("v_user").alias("user_id"),
+        "view_id",
+        SF.col("purchase_id").cast("long").alias("purchase_id"),
+    )
+
+
+@register(
     "streaming_static_enrich",
     """
     SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
@@ -771,6 +844,7 @@ SIDE_EFFECT_QUERIES.update(
         "streaming_stateful_counts",
         "streaming_stream_join",
         "streaming_static_enrich",
+        "streaming_outer_join",
         "orc_roundtrip",
         "jsonl_roundtrip",
         "streaming_topk_daily",
