@@ -1280,6 +1280,9 @@ _DRIVER_PRIORITY = [
     "tz_daily_counts",
     "largest_remainder_alloc",
     "streaming_outer_join",
+    "event_transition_matrix",
+    "dwell_time_stats",
+    "multitouch_attribution",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from air_quality_etl_pipeline_spark.functions.core import round_portable
 from air_quality_etl_pipeline_spark.operators.joins import (
     asof_join,
     count_in_window,
@@ -485,4 +486,172 @@ def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("alloc"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                        AS prev_type
+               FROM events),
+    t AS (SELECT prev_type, event_type AS next_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total
+          FROM t GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.n,
+           floor(CAST(t.n AS DOUBLE) / r.row_total * 1000000.0 + 0.5)
+             / 1000000.0 AS p_next
+    FROM t JOIN r ON t.prev_type = r.prev_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: counts and row-normalized probabilities for each
+    (previous → next) pair — the model behind next-action prediction
+    features and journey anomaly detection. One lag window over the
+    (user, time) order, a k²-sized aggregate, and a row-total join
+    that broadcasts (k event types)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    r = t.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return t.join(F.broadcast(r), on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        round_portable(
+            F.col("n").cast("double") / F.col("row_total"), 6
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "dwell_time_stats",
+    """
+    WITH o AS (SELECT user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                      lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                        PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                        AS next_us
+               FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_dwells,
+           CAST(sum(next_us - ts_us) AS BIGINT) AS total_dwell_us,
+           CAST(max(next_us - ts_us) AS BIGINT) AS max_dwell_us,
+           (CAST(sum(next_us - ts_us) AS BIGINT) // count(*))
+             AS mean_dwell_us
+    FROM o WHERE next_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_dwell_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event type: microseconds until the same user's
+    NEXT event (lead over the user timeline) — the engagement metric
+    behind "time on page". All arithmetic is integer microseconds
+    (epoch_us both engines), so sums, max and the floor-divided mean
+    are exact; the last event of each user has no dwell and is
+    excluded on both sides."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    us = (F.unix_micros(F.col("ts"))).alias("ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        us,
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dwell = F.col("next_us") - F.col("ts_us")
+    return o.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_dwells"),
+        F.sum(dwell).cast("long").alias("total_dwell_us"),
+        F.max(dwell).cast("long").alias("max_dwell_us"),
+        F.expr(
+            "CAST(sum(next_us - ts_us) AS BIGINT) div count(*)"
+        ).alias("mean_dwell_us"),
+    )
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CAST(value AS DECIMAL(18,2)) AS value
+          FROM events WHERE event_type = 'purchase'),
+    pairs AS (SELECT p.event_id AS purchase_id, p.value,
+                     v.event_id AS view_id
+              FROM p JOIN v ON p.user_id = v.user_id
+               AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR),
+    nper AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touches
+             FROM pairs GROUP BY 1),
+    credit AS (
+      SELECT pr.view_id,
+             CAST(floor(CAST(pr.value AS DOUBLE) / np.n_touches
+                        * 1000000.0 + 0.5) AS BIGINT) AS credit_micro
+      FROM pairs pr JOIN nper np ON pr.purchase_id = np.purchase_id)
+    SELECT view_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+    FROM credit GROUP BY 1
+    """,
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the same user's views in the preceding hour, and
+    every view accumulates its credit — the revenue-allocation model
+    one step past last-touch. Per-touch credits quantize to integer
+    micro-units BEFORE the per-view sum, so accumulation is exact and
+    partition-order independent. The pair generation is the same
+    bounded interval join as the streaming attribution queries."""
+    e = _events(spark, sf_dir)
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "value", "view_id")
+    nper = pairs.groupBy("purchase_id").agg(
+        F.count("*").cast("long").alias("n_touches")
+    )
+    credit = pairs.join(nper, on="purchase_id").select(
+        "view_id",
+        F.floor(
+            F.col("value").cast("double")
+            / F.col("n_touches")
+            * 1000000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("credit_micro"),
+    )
+    return credit.groupBy("view_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("credit_micro").cast("long").alias("credit_micro"),
     )
