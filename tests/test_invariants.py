@@ -401,3 +401,31 @@ def test_side_effect_queries_all_registered():
 
     unknown = sorted(n for n in SIDE_EFFECT_QUERIES if n not in QUERIES)
     assert unknown == [], f"side-effect names not in registry: {unknown}"
+
+
+def test_queries_survive_empty_tables(spark, tmp_path):
+    # 0-row inputs must produce 0-row (or empty-summary) outputs, not
+    # exceptions — the operational case of an empty ingest window.
+    # A representative query per family: filter/dedup, hashing, LSH,
+    # text stats, ANN scan, star join, basket graph, LM scoring,
+    # card summary, connected components.
+    from air_quality_etl_pipeline_spark.workload import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "empty_sf")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.parquet(
+            f"{dst}/{t}.parquet"
+        )
+    expected_rows = {"dataset_card_summary": 1}
+    for name in [
+        "silver_filter_dedup", "dedup_exact", "dedup_minhash_lsh",
+        "text_stats", "ann_cosine_topk", "gold_star_fact",
+        "copurchase_pairs", "bigram_logprob_score",
+        "dataset_card_summary", "dedup_clusters",
+    ]:
+        n = QUERIES[name][0](spark, dst).count()
+        assert n == expected_rows.get(name, 0), (name, n)
