@@ -445,3 +445,47 @@ def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) l
         """
     )
+
+
+#: shared recursive walk body — IDENTICAL SQL text runs on Spark 4
+#: (native WITH RECURSIVE) and DuckDB; the co-purchase edge ordering
+#: (part_a < part_b) makes the graph a DAG and the depth guard bounds
+#: the walk, so UNION ALL recursion terminates on both engines.
+_RECURSIVE_WALK_SQL = """
+    WITH RECURSIVE d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM {lineitem}),
+    pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM d a JOIN d b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT part_a, part_b FROM pp
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    seeds AS (SELECT part_a AS node FROM edges
+              GROUP BY 1 ORDER BY node ASC LIMIT 3),
+    walk(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT e.part_b, w.depth + 1
+      FROM walk w JOIN edges e ON e.part_a = w.node
+      WHERE w.depth < 3)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_walks,
+           CAST(min(depth) AS BIGINT) AS min_depth
+    FROM walk GROUP BY node
+"""
+
+
+@register(
+    "sql_recursive_paths",
+    _RECURSIVE_WALK_SQL.format(lineitem="lineitem"),
+)
+def q_sql_recursive_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (new in Spark 4): bounded forward walks
+    over the co-purchase DAG from 3 seed parts — per reachable node,
+    the number of distinct ≤3-step walks (path multiplicity, which the
+    hand-unrolled BFS query deliberately does NOT compute) and the
+    shortest depth. The SAME query text runs on both engines — the
+    recursion itself is the capability under test; the edge ordering
+    plus the depth guard give UNION ALL recursion a termination proof
+    (Spark does not yet support UNION-distinct recursion)."""
+    _sql_views(spark, sf_dir, "lineitem")
+    return spark.sql(_RECURSIVE_WALK_SQL.format(lineitem="lineitem_v"))
