@@ -1284,6 +1284,7 @@ _DRIVER_PRIORITY = [
     "dwell_time_stats",
     "multitouch_attribution",
     "sql_recursive_paths",
+    "cube_grouping_flags",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

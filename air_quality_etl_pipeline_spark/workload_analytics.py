@@ -2773,3 +2773,39 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wval").cast("double").alias("winsorized_sum"),
         )
     )
+
+
+@register(
+    "cube_grouping_flags",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with per-column GROUPING flags: the flags disambiguate a
+    subtotal row's NULL (this column was rolled up) from a genuine
+    NULL data value — the correctness detail naive cube consumers get
+    wrong the first time a dimension contains real NULLs. Per-column
+    ``grouping()`` is used instead of ``grouping_id()`` because the
+    bit packing order of the latter is engine-defined."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+        )
+    )
