@@ -1285,6 +1285,8 @@ _DRIVER_PRIORITY = [
     "multitouch_attribution",
     "sql_recursive_paths",
     "cube_grouping_flags",
+    "revenue_reconciliation",
+    "dow_seasonality",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -2809,3 +2809,118 @@ def q_cube_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "revenue_reconciliation",
+    """
+    WITH o AS (SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m')
+                 AS month,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(28,2)) AS header_total
+               FROM orders GROUP BY 1),
+    l AS (SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m')
+                 AS month,
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DECIMAL(28,2)) AS line_total
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1)
+    SELECT o.month,
+           CAST(o.header_total AS DOUBLE) AS header_total,
+           CAST(coalesce(l.line_total, 0) AS DOUBLE) AS line_total,
+           CAST(o.header_total - coalesce(l.line_total, 0) AS DOUBLE)
+             AS delta
+    FROM o LEFT JOIN l ON o.month = l.month
+    """,
+)
+def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-path revenue reconciliation: the order-header total vs the
+    sum of its lines, per month — the finance close check that catches
+    dropped lines, double-loads, and modeling gaps (here the delta
+    quantifies TPC-H's own header-vs-line pricing difference rather
+    than asserting zero). All sums are decimal-exact; the delta is one
+    decimal subtraction surfaced as a signed column."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    month = F.date_format(
+        F.col("o_orderdate").cast("timestamp"), "yyyy-MM"
+    ).alias("month")
+    header = o.groupBy(month).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("header_total")
+    )
+    lines = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.date_format(
+                F.col("o_orderdate").cast("timestamp"), "yyyy-MM"
+            ).alias("l_month")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("line_total")
+        )
+    )
+    return header.join(
+        lines, header["month"] == lines["l_month"], "left"
+    ).select(
+        "month",
+        F.col("header_total").cast("double").alias("header_total"),
+        F.coalesce(F.col("line_total"), F.lit(0))
+        .cast("double")
+        .alias("line_total"),
+        (
+            F.col("header_total")
+            - F.coalesce(F.col("line_total"), F.lit(0).cast("decimal(28,2)"))
+        )
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+@register(
+    "dow_seasonality",
+    """
+    WITH e AS (SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                      CAST(value AS DECIMAL(18,2)) AS val
+               FROM events),
+    g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(val) AS DECIMAL(28,2)) AS s
+          FROM e GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM g)
+    SELECT g.dow, g.n,
+           CAST(g.s AS DOUBLE) AS sum_value,
+           floor(CAST(g.n AS DOUBLE) / t.total_n * 7.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS traffic_index
+    FROM g, t
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: per-weekday volume with a
+    traffic index normalized so a flat week reads 1.0 everywhere —
+    the capacity-planning baseline and the denominator every
+    "is today anomalous" alert needs. DuckDB's ``dayofweek`` is
+    0=Sunday while Spark's ``dayofweek`` is 1=Sunday, so the Spark
+    side subtracts 1 to land on the same encoding (a known
+    cross-engine trap, handled explicitly)."""
+    e = _events(spark, sf_dir)
+    g = e.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("s"),
+    )
+    t = g.agg(F.sum("n").cast("long").alias("total_n"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        round_portable(
+            F.col("n").cast("double") / F.col("total_n") * 7.0, 6
+        ).alias("traffic_index"),
+    )
