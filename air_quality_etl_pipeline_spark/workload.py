@@ -1287,6 +1287,8 @@ _DRIVER_PRIORITY = [
     "cube_grouping_flags",
     "revenue_reconciliation",
     "dow_seasonality",
+    "retrieval_mrr_ndcg",
+    "churn_flags",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

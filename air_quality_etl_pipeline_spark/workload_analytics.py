@@ -2924,3 +2924,42 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("total_n") * 7.0, 6
         ).alias("traffic_index"),
     )
+
+
+@register(
+    "churn_flags",
+    """
+    WITH horizon AS (SELECT max(CAST(ts AS TIMESTAMP)) AS h FROM events),
+    last_seen AS (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
+    SELECT l.user_id, l.n_events,
+           strftime(l.last_ts, '%Y-%m-%d') AS last_day,
+           CAST(CASE WHEN l.last_ts < h.h - INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END AS BIGINT) AS churned
+    FROM last_seen l, horizon h
+    """,
+)
+def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn flagging at the observation horizon: a user is churned if
+    their last event is more than 7 days before the newest event in
+    the data — the label-generation step for every churn model and
+    the retention counterpart of cohort_retention. One per-user
+    aggregate plus a broadcast scalar horizon; timestamp comparison
+    is exact microseconds."""
+    e = _events(spark, sf_dir)
+    horizon = e.agg(F.max("ts").alias("h"))
+    last_seen = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        F.date_format("last_ts", "yyyy-MM-dd").alias("last_day"),
+        (
+            F.col("last_ts") < F.col("h") - F.expr("INTERVAL 7 DAY")
+        )
+        .cast("long")
+        .alias("churned"),
+    )

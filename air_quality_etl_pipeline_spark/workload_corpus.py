@@ -1783,3 +1783,115 @@ def q_multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@register(
+    "retrieval_mrr_ndcg",
+    f"""
+    WITH a AS ({_BM25_ORACLE}),
+    rel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(DISTINCT tok) AS hit
+        FROM (SELECT doc_id, unnest({LTOKS}) AS tok FROM documents)
+        WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY 1) WHERE hit = 3),
+    joined AS (SELECT a.rank,
+                      CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS is_rel
+               FROM a LEFT JOIN rel ON a.doc_id = rel.doc_id),
+    firstrel AS (SELECT min(rank) AS fr FROM joined WHERE is_rel = 1),
+    dcg AS (SELECT CAST(sum(CAST(1.0 / (ln(rank + 1.0) / ln(2.0))
+                                 AS DECIMAL(18,12))) AS DOUBLE) AS dcg
+            FROM joined WHERE is_rel = 1 AND rank <= 10),
+    nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel),
+    idcg AS (SELECT CAST(sum(CAST(1.0 / (ln(i.i + 1.0) / ln(2.0))
+                                  AS DECIMAL(18,12))) AS DOUBLE) AS idcg
+             FROM (SELECT unnest(range(1, 11)) AS i) i, nrel
+             WHERE i.i <= least(nrel.n_relevant, 10))
+    SELECT nrel.n_relevant,
+           CAST(coalesce(firstrel.fr, 0) AS BIGINT) AS first_rel_rank,
+           CASE WHEN firstrel.fr IS NULL THEN 0.0
+                ELSE floor(1.0 / firstrel.fr * 1000000.0 + 0.5)
+                     / 1000000.0 END AS mrr,
+           CASE WHEN idcg.idcg IS NULL OR idcg.idcg = 0 THEN 0.0
+                ELSE floor(coalesce(dcg.dcg, 0) / idcg.idcg
+                           * 1000000.0 + 0.5) / 1000000.0 END AS ndcg10
+    FROM nrel, firstrel, dcg, idcg
+    """,
+)
+def q_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality metrics for the BM25 ranking: MRR (reciprocal
+    rank of the first relevant hit) and binary-relevance nDCG@10,
+    where relevance = documents containing ALL query terms (the
+    conjunctive set is the ground truth a lexical ranker should
+    surface first). DCG terms quantize to DECIMAL(18,12) before
+    summation; the metric relations are all constant-sized, so the
+    evaluation costs one ranking pass plus one conjunctive-match
+    aggregate — the ann_recall_at_k / lsh_recall_eval pattern applied
+    to ranked text retrieval."""
+    from pyspark.sql import Window  # noqa: F401 (symmetry with peers)
+
+    d = _t(spark, sf_dir, "documents")
+    ranking = q_bm25_search(spark, sf_dir).select("doc_id", "rank")
+    toks = d.select(
+        "doc_id", F.explode(token_array(F.col("text"))).alias("_raw")
+    ).select("doc_id", F.lower(F.col("_raw")).alias("tok"))
+    rel = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("hit"))
+        .filter(F.col("hit") == 3)
+        .select("doc_id", F.lit(1).alias("is_rel"))
+    )
+    joined = ranking.join(F.broadcast(rel), on="doc_id", how="left").select(
+        "rank", F.coalesce(F.col("is_rel"), F.lit(0)).alias("is_rel")
+    )
+    firstrel = joined.filter(F.col("is_rel") == 1).agg(
+        F.min("rank").alias("fr")
+    )
+    log2 = lambda c: F.ln(c) / F.ln(F.lit(2.0))  # noqa: E731
+    dcg = (
+        joined.filter((F.col("is_rel") == 1) & (F.col("rank") <= 10))
+        .select(
+            (F.lit(1.0) / log2(F.col("rank") + 1.0))
+            .cast("decimal(18,12)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("dcg"))
+    )
+    nrel = rel.agg(F.count("*").cast("long").alias("n_relevant"))
+    ideal = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(nrel))
+        .filter(F.col("id") <= F.least(F.col("n_relevant"), F.lit(10)))
+        .select(
+            (F.lit(1.0) / log2(F.col("id") + 1.0))
+            .cast("decimal(18,12)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("idcg"))
+    )
+    return (
+        nrel.crossJoin(firstrel)
+        .crossJoin(dcg)
+        .crossJoin(ideal)
+        .select(
+            "n_relevant",
+            F.coalesce(F.col("fr"), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.when(F.col("fr").isNull(), F.lit(0.0))
+            .otherwise(round_portable(F.lit(1.0) / F.col("fr"), 6))
+            .alias("mrr"),
+            F.when(
+                F.col("idcg").isNull() | (F.col("idcg") == 0), F.lit(0.0)
+            )
+            .otherwise(
+                round_portable(
+                    F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
+                    6,
+                )
+            )
+            .alias("ndcg10"),
+        )
+    )
