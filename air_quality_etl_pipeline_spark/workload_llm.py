@@ -1326,3 +1326,125 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy"
         )
     )
+
+
+@register(
+    "class_separability",
+    """
+    WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cs AS (SELECT label, i.i AS dim,
+                  CAST(sum(CAST(floor(v[i.i] * 1000000.0 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS sum_micro,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e, (SELECT unnest(range(1, 65)) AS i) i
+           GROUP BY 1, 2),
+    cn AS (SELECT label, max(n) AS n FROM cs GROUP BY 1),
+    cent AS (SELECT cs.label, cn.n,
+                    list(CAST(cs.sum_micro AS DOUBLE) / cn.n / 1000000.0
+                         ORDER BY cs.dim) AS c
+             FROM cs JOIN cn ON cs.label = cn.label
+             GROUP BY cs.label, cn.n),
+    intra AS (
+      SELECT CAST(sum(CAST(floor(list_sum(list_transform(range(1, 65),
+               i -> (e.v[i] - ct.c[i]) * (e.v[i] - ct.c[i])))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d2,
+             CAST(count(*) AS BIGINT) AS n_vec
+      FROM e JOIN cent ct ON e.label = ct.label),
+    inter AS (
+      SELECT CAST(sum(CAST(floor(list_sum(list_transform(range(1, 65),
+               i -> (a.c[i] - b.c[i]) * (a.c[i] - b.c[i])))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_d2,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM cent a JOIN cent b ON a.label < b.label),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS n_labels FROM cent)
+    SELECT nl.n_labels,
+           intra.sum_d2 // intra.n_vec AS intra_mean_micro,
+           inter.sum_d2 // inter.n_pairs AS inter_mean_micro,
+           floor((CAST(inter.sum_d2 AS DOUBLE) / inter.n_pairs)
+                 / (CAST(intra.sum_d2 AS DOUBLE) / intra.n_vec)
+                 * 1000000.0 + 0.5) / 1000000.0 AS separability
+    FROM nl, intra, inter
+    """,
+)
+def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separability: mean within-class squared
+    distance to the class centroid vs mean between-centroid squared
+    distance — the Fisher-style "do labels form clusters" probe that
+    decides whether an embedding model is worth training a classifier
+    on. Centroids come from the integer micro-unit sums of the
+    grouped-map path (label_centroid_micro); every distance
+    micro-quantizes before its sum, so both means are exact integer
+    ratios. All post-centroid relations are label-sized."""
+    from pyspark.sql import Window  # noqa: F401
+
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        label_centroid_micro,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cs = label_centroid_micro(e)
+    cent = (
+        cs.groupBy("label")
+        .agg(
+            F.max("n_vectors").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "sum_micro"))
+            ).alias("_s"),
+        )
+        .select(
+            "label",
+            "n",
+            F.expr(
+                "transform(_s, s -> CAST(s.sum_micro AS DOUBLE)"
+                " / n / 1000000.0)"
+            ).alias("c"),
+        )
+    )
+    v = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    d2 = (
+        "CAST(floor(aggregate(zip_with({a}, {b},"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, t) -> acc + t)"
+        " * 1000000.0D + 0.5D) AS BIGINT)"
+    )
+    intra = (
+        v.join(F.broadcast(cent), on="label")
+        .select(F.expr(d2.format(a="v", b="c")).alias("dd"))
+        .agg(
+            F.sum("dd").cast("long").alias("sum_d2"),
+            F.count("*").cast("long").alias("n_vec"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("la"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), F.col("c").alias("cb")
+    )
+    inter = (
+        a.join(b, F.col("la") < F.col("lb"))
+        .select(F.expr(d2.format(a="ca", b="cb")).alias("dd"))
+        .agg(
+            F.sum("dd").cast("long").alias("sum_d2i"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    nl = cent.agg(F.count("*").cast("long").alias("n_labels"))
+    return (
+        nl.crossJoin(intra)
+        .crossJoin(inter)
+        .select(
+            "n_labels",
+            F.expr("sum_d2 div n_vec").alias("intra_mean_micro"),
+            F.expr("sum_d2i div n_pairs").alias("inter_mean_micro"),
+            round_portable(
+                (F.col("sum_d2i").cast("double") / F.col("n_pairs"))
+                / (F.col("sum_d2").cast("double") / F.col("n_vec")),
+                6,
+            ).alias("separability"),
+        )
+    )
