@@ -429,3 +429,89 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     ]:
         n = QUERIES[name][0](spark, dst).count()
         assert n == expected_rows.get(name, 0), (name, n)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=8
+    )
+)
+@SETTINGS
+def test_largest_remainder_allocation_sums_to_budget(spark, counts):
+    # the Hamilton-allocation invariant: integer allocations sum to
+    # EXACTLY the budget for any count distribution, and each group's
+    # share is its floor quota or floor+1 (quota monotonicity)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    budget = 1000
+    df = spark.createDataFrame(
+        [(f"g{i}", n) for i, n in enumerate(counts)], "grp string, n long"
+    )
+    t = df.agg(F.sum("n").cast("long").alias("total"))
+    q = df.crossJoin(F.broadcast(t)).select(
+        "grp",
+        "n",
+        F.expr(f"(n * {budget}) div total").alias("fa"),
+        F.expr(f"(n * {budget}) % total").alias("rem"),
+    )
+    s = q.agg(F.sum("fa").cast("long").alias("alloc"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("grp").asc())
+    out = (
+        q.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "grp",
+            "fa",
+            (
+                F.col("fa")
+                + F.when(
+                    F.col("rk") <= F.lit(budget) - F.col("alloc"), 1
+                ).otherwise(0)
+            ).alias("alloc_final"),
+        )
+        .collect()
+    )
+    assert sum(r["alloc_final"] for r in out) == budget
+    for r in out:
+        assert r["alloc_final"] in (r["fa"], r["fa"] + 1)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # value (as int cents)
+            st.integers(min_value=1, max_value=9),    # weight
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_weighted_median_crosses_half_mass(spark, vals):
+    # the weighted-median invariant: cumulative weight at the returned
+    # value is >= half the total, and strictly below half just before
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(vals, "price long, qty long")
+    g = df.groupBy("price").agg(F.sum("qty").alias("q"))
+    wc = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = g.select(
+        "price",
+        F.sum("q").over(wc).alias("cq"),
+        F.sum("q").over(wt).alias("tq"),
+    )
+    med = (
+        cum.filter(F.col("cq") * 2 >= F.col("tq"))
+        .agg(F.min("price").alias("m"))
+        .collect()[0]["m"]
+    )
+    total = sum(q for _, q in vals)
+    below = sum(q for p, q in vals if p < med)
+    at_or_below = sum(q for p, q in vals if p <= med)
+    assert at_or_below * 2 >= total
+    assert below * 2 < total
