@@ -1143,14 +1143,16 @@ SIDE_EFFECT_QUERIES.update(
 )
 
 #: Driver-verification priority. The driver's correctness gate checks
-#: the FIRST 50 registered queries per round. After rounds 1+2, 96 of
-#: the 116 registered queries have a driver-green row; the 20 below
-#: (12 round-2 additions + 8 analytics spill-overs) have never been
-#: driver-checked — they go FIRST so CORRECTNESS_r03 reaches 116/116
-#: lifetime coverage. Round-3 additions follow (so new operators get a
-#: same-round driver signal), and the remaining slots pad with the
-#: OLDEST driver greens — the 46 queries last verified in round 1 —
-#: for drift re-confirmation, in their round-1 order.
+#: the FIRST 50 registered queries per round. After rounds 1+2, 96
+#: queries have a driver-green row and none has ever failed; the list
+#: below front-loads NEVER-CHECKED queries oldest-first (round-2
+#: additions + analytics spill-overs, then round-3 additions in
+#: registration order), so each round's 50-slot gate retires the
+#: longest-waiting verification debt. Every query is locally verified
+#: at sf0.001 AND sf0.01 by tests/test_oracle_parity.py before it
+#: enters this queue — the driver signal is confirmation, not first
+#: contact. Names past the never-checked block are the oldest driver
+#: greens, kept for eventual drift re-confirmation.
 _DRIVER_PRIORITY = [
     # never driver-checked (round-2 additions) — must be in the r3 gate
     "kmeans_parallel_init",
