@@ -53,6 +53,10 @@ HEADLINE = [
     "triangle_count",
     "dedup_canonical_docs",
     "ivf_pq_search",
+    # round-3 text/retrieval batch (guards the SCALE.md measured numbers)
+    "trigram_backoff_score",
+    "boilerplate_gram_coverage",
+    "hybrid_rrf_search",
     # streaming twins
     "session_windows",
 ]
