@@ -1292,6 +1292,7 @@ _DRIVER_PRIORITY = [
     "retrieval_mrr_ndcg",
     "churn_flags",
     "class_separability",
+    "vocab_similarity_langs",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

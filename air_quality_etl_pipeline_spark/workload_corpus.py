@@ -1895,3 +1895,79 @@ def q_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg10"),
         )
     )
+
+
+@register(
+    "vocab_similarity_langs",
+    f"""
+    WITH v AS (SELECT DISTINCT lang, lower(tok) AS tok
+               FROM (SELECT lang, unnest({TOKS}) AS tok FROM documents)),
+    sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM v a JOIN v b ON a.tok = b.tok AND a.lang < b.lang
+              GROUP BY 1, 2)
+    SELECT i.lang_a, i.lang_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           floor(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+           floor(2.0 * i.n_common / (sa.n + sb.n) * 1000000.0 + 0.5)
+             / 1000000.0 AS dice,
+           floor(CAST(i.n_common AS DOUBLE) / least(sa.n, sb.n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS overlap_coef
+    FROM inter i
+    JOIN sz sa ON sa.lang = i.lang_a
+    JOIN sz sb ON sb.lang = i.lang_b
+    """,
+)
+def q_vocab_similarity_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice vocabulary similarity matrix: for every language
+    pair, shared-token count with Jaccard, Dice, and the overlap
+    coefficient — the corpus-comparison triple behind "are these two
+    slices the same register / is one a subset". The vocabulary
+    relation is token-keyed, so the pair intersection is an
+    inverted-index equi-join on the token (no slice ever meets another
+    slice's full vocabulary), and the outputs are k²-sized."""
+    d = _t(spark, sf_dir, "documents")
+    v = (
+        d.select(
+            "lang",
+            F.explode(token_array(F.col("text"))).alias("_raw"),
+        )
+        .select("lang", F.lower(F.col("_raw")).alias("tok"))
+        .distinct()
+    )
+    sz = v.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "tok")
+    b = v.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, on="tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    out = inter.join(F.broadcast(sa), on="lang_a").join(
+        F.broadcast(sb), on="lang_b"
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return out.select(
+        "lang_a",
+        "lang_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        round_portable(F.col("n_common").cast("double") / union, 6).alias(
+            "jaccard"
+        ),
+        round_portable(
+            F.lit(2.0) * F.col("n_common") / (F.col("n_a") + F.col("n_b")),
+            6,
+        ).alias("dice"),
+        round_portable(
+            F.col("n_common").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")),
+            6,
+        ).alias("overlap_coef"),
+    )
