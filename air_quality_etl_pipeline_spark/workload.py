@@ -1293,6 +1293,9 @@ _DRIVER_PRIORITY = [
     "churn_flags",
     "class_separability",
     "vocab_similarity_langs",
+    "target_encoding_smoothed",
+    "abc_pareto_classes",
+    "calendar_densify",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -2963,3 +2963,179 @@ def q_churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churned"),
     )
+
+
+@register(
+    "target_encoding_smoothed",
+    """
+    WITH g AS (SELECT o_orderpriority,
+                      CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(28,2)) AS s
+               FROM orders GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                 CAST(sum(s) AS DECIMAL(38,2)) AS ts FROM g)
+    SELECT g.o_orderpriority, g.n,
+           floor((CAST(g.s AS DOUBLE) + 10.0 * (CAST(t.ts AS DOUBLE) / t.tn))
+                 / (g.n + 10) * 1000000.0 + 0.5) / 1000000.0
+             AS encoded_value,
+           floor(CAST(t.ts AS DOUBLE) / t.tn * 1000000.0 + 0.5)
+             / 1000000.0 AS global_mean
+    FROM g, t
+    """,
+)
+def q_target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the m-estimate, m=10): each category's
+    mean target shrinks toward the global mean in proportion to its
+    sample size — the leakage-safe categorical feature every tabular
+    model pipeline computes. Decimal-exact sums; the shrinkage formula
+    is one deterministic double expression per category row."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("s"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").cast("decimal(38,2)").alias("ts"),
+    )
+    out = g.crossJoin(F.broadcast(t))
+    gmean = F.col("ts").cast("double") / F.col("tn")
+    enc = (F.col("s").cast("double") + F.lit(10.0) * gmean) / (
+        F.col("n") + 10
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        round_portable(enc, 6).alias("encoded_value"),
+        round_portable(gmean, 6).alias("global_mean"),
+    )
+
+
+@register(
+    "abc_pareto_classes",
+    """
+    WITH rev AS (SELECT l_partkey,
+                        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DECIMAL(28,2)) AS r
+                 FROM lineitem GROUP BY 1),
+    c AS (SELECT l_partkey, r,
+                 sum(r) OVER (ORDER BY r DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(r) OVER () AS total
+          FROM rev),
+    cls AS (SELECT l_partkey, r,
+                   CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                        WHEN cum * 100 <= total * 95 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM c)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(r) AS DOUBLE) AS revenue
+    FROM cls GROUP BY 1
+    """,
+)
+def q_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classed A
+    (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    inventory-management classic and the canonical cumulative-share
+    window. Boundary tests multiply decimals by integers (``cum·100 ≤
+    total·80``) instead of dividing, so class edges are exact. The
+    window runs over the PART-level aggregate, never the fact
+    table."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("r")
+    )
+    wc = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    c = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(wc).alias("cum"),
+        F.sum("r").over(wt).alias("total"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        c.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("r").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "calendar_densify",
+    """
+    WITH bounds AS (SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+                           CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+                    FROM events),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                AS day
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT s.day, t.event_type FROM spine s, types t),
+    daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+    SELECT g.event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_filled,
+           CAST(sum(coalesce(d.n, 0)) AS BIGINT) AS total_events
+    FROM grid g LEFT JOIN daily d
+      ON g.day = d.day AND g.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def q_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a complete day × event-type spine
+    (generated from the data's own bounds) left-joined to the daily
+    counts, zero-filling silent days — the gap-filling step every
+    time-series model and every "days with no sales" report needs,
+    because a groupBy alone cannot emit rows for absent days. The
+    spine is sequence-generated (no source scan) and the fact side
+    joins it pre-aggregated at day grain."""
+    e = _events(spark, sf_dir)
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(daily, on=["day", "event_type"], how="left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(F.col("n").isNull().cast("int"))
+            .cast("long")
+            .alias("n_zero_filled"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long")
+            .alias("total_events"),
+        )
+    )
