@@ -1296,6 +1296,8 @@ _DRIVER_PRIORITY = [
     "target_encoding_smoothed",
     "abc_pareto_classes",
     "calendar_densify",
+    "auc_rank_sum",
+    "psi_value_drift",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -3139,3 +3139,207 @@ def q_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_events"),
         )
     )
+
+
+@register(
+    "auc_rank_sum",
+    """
+    WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+               FROM documents),
+    g AS (SELECT score, CAST(count(*) AS BIGINT) AS n_at,
+                 CAST(sum(pos) AS BIGINT) AS n_pos_at
+          FROM s GROUP BY 1),
+    r AS (SELECT score, n_at, n_pos_at,
+                 1 + coalesce(sum(n_at) OVER (ORDER BY score ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS min_rank
+          FROM g),
+    tot AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+                   CAST(count(*) - sum(pos) AS BIGINT) AS nn
+            FROM s),
+    u AS (SELECT CAST(sum(CAST(n_pos_at AS DOUBLE)
+                          * (min_rank + (n_at - 1) / 2.0)) AS DOUBLE)
+                   AS rank_sum
+          FROM r)
+    SELECT tot.np AS n_pos, tot.nn AS n_neg,
+           floor((u.rank_sum - tot.np * (tot.np + 1) / 2.0)
+                 / (CAST(tot.np AS DOUBLE) * tot.nn)
+                 * 1000000.0 + 0.5) / 1000000.0 AS auc
+    FROM tot, u
+    """,
+)
+def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC by the Mann-Whitney rank-sum identity: does document length
+    separate English from non-English docs? Ties get average ranks
+    (``min_rank + (n−1)/2`` — halves are exact doubles), so the
+    statistic is deterministic without per-row jitter. The ranking
+    window runs over the DISTINCT-score relation, never the corpus —
+    the trick that makes exact AUC computable at 100 TB (scores are
+    integers here; quantize continuous scores first)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        F.col("n_chars").cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("pos").cast("long").alias("n_pos_at"),
+    )
+    w = Window.orderBy(F.col("score").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.withColumn(
+        "min_rank", F.lit(1) + F.coalesce(F.sum("n_at").over(w), F.lit(0))
+    )
+    tot = s.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+    u = r.agg(
+        F.sum(
+            F.col("n_pos_at").cast("double")
+            * (F.col("min_rank") + (F.col("n_at") - 1) / F.lit(2.0))
+        ).alias("rank_sum")
+    )
+    return tot.crossJoin(u).select(
+        "n_pos",
+        "n_neg",
+        round_portable(
+            (
+                F.col("rank_sum")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+            )
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH e AS (SELECT CAST(value AS DECIMAL(18,2)) AS val,
+                      CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+                           THEN 'base' ELSE 'cur' END AS period,
+                      event_id
+               FROM events),
+    b AS (SELECT val, event_id FROM e WHERE period = 'base'),
+    r AS (SELECT val,
+                 row_number() OVER (ORDER BY val ASC, event_id ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM b),
+    edges AS (SELECT d.d AS bin, max(r.val) AS hi
+              FROM r, (SELECT unnest(range(1, 10)) AS d) d
+              WHERE r.rn = (r.n * d.d) // 10
+              GROUP BY 1),
+    binned AS (
+      SELECT e.period,
+             coalesce((SELECT min(bin) FROM edges
+                       WHERE e.val <= edges.hi), 10) AS bin
+      FROM e),
+    counts AS (SELECT period, bin, CAST(count(*) AS BIGINT) AS n
+               FROM binned GROUP BY 1, 2),
+    tots AS (SELECT period, CAST(sum(n) AS BIGINT) AS tn
+             FROM counts GROUP BY 1),
+    shares AS (SELECT c.bin,
+                      CAST(sum(CASE WHEN c.period = 'base'
+                               THEN CAST(c.n AS DOUBLE) / t.tn END)
+                           AS DOUBLE) AS p,
+                      CAST(sum(CASE WHEN c.period = 'cur'
+                               THEN CAST(c.n AS DOUBLE) / t.tn END)
+                           AS DOUBLE) AS q
+               FROM counts c JOIN tots t ON c.period = t.period
+               GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           floor(CAST(sum(CAST(CASE WHEN p > 0 AND q > 0
+                    THEN (p - q) * ln(p / q) ELSE 0 END
+                    AS DECIMAL(18,12))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS psi
+    FROM shares
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the month's first and second
+    half: the base period's position-based deciles define the bins
+    (exact data values at ranks n·d/10 — no interpolation), both
+    periods' shares fall into them, and PSI = Σ (p−q)·ln(p/q) with
+    per-bin terms decimal-quantized. The drift alarm every deployed
+    model's feature monitoring runs; >0.25 conventionally means
+    retrain. Bin edges are 9 scalars — broadcast; binning is
+    scan-local."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    v = e.select(
+        F.col("value").cast("decimal(18,2)").alias("val"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit("base"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        "event_id",
+    )
+    b = v.filter(F.col("period") == "base")
+    w = Window.orderBy(F.col("val").asc(), F.col("event_id").asc())
+    r = b.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    edges = (
+        r.crossJoin(
+            F.broadcast(
+                v.sparkSession.range(1, 10).select(
+                    F.col("id").alias("bin")
+                )
+            )
+        )
+        .filter(F.col("rn") == F.expr("(n * bin) div 10"))
+        .groupBy("bin")
+        .agg(F.max("val").alias("hi"))
+    )
+    sorted_edges = F.broadcast(edges)
+    binned = (
+        v.crossJoin(sorted_edges)
+        .withColumn(
+            "in_bin",
+            F.when(F.col("val") <= F.col("hi"), F.col("bin")),
+        )
+        .groupBy("period", "event_id", "val")
+        .agg(F.coalesce(F.min("in_bin"), F.lit(10)).alias("bin"))
+    )
+    counts = binned.groupBy("period", "bin").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tots = counts.groupBy("period").agg(
+        F.sum("n").cast("long").alias("tn")
+    )
+    shares = (
+        counts.join(tots, on="period")
+        .groupBy("bin")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("period") == "base",
+                    F.col("n").cast("double") / F.col("tn"),
+                )
+            ).alias("p"),
+            F.sum(
+                F.when(
+                    F.col("period") == "cur",
+                    F.col("n").cast("double") / F.col("tn"),
+                )
+            ).alias("q"),
+        )
+    )
+    term = (
+        F.when(
+            (F.col("p") > 0) & (F.col("q") > 0),
+            (F.col("p") - F.col("q")) * F.ln(F.col("p") / F.col("q")),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,12)")
+    )
+    return shares.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        round_portable(F.sum(term).cast("double"), 6).alias("psi"),
+    )
