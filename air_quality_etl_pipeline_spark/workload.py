@@ -1298,6 +1298,8 @@ _DRIVER_PRIORITY = [
     "calendar_densify",
     "auc_rank_sum",
     "psi_value_drift",
+    "lid_macro_f1",
+    "jaccard_threshold_sweep",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

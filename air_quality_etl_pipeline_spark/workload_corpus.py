@@ -37,7 +37,12 @@ from air_quality_etl_pipeline_spark.operators.text import (
     word_bigrams,
 )
 from air_quality_etl_pipeline_spark.workload import _t, register
-from air_quality_etl_pipeline_spark.workload_llm import TOKS, _sql_list
+from air_quality_etl_pipeline_spark.operators.dedup import minhash_lsh_pairs
+from air_quality_etl_pipeline_spark.workload_llm import (
+    TOKS,
+    _minhash_oracle,
+    _sql_list,
+)
 
 #: lowercased whitespace tokens — the shared tokenization of this module
 LTOKS = f"list_transform({TOKS}, x -> lower(x))"
@@ -674,9 +679,9 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "char_ngram_lid_confusion",
-    f"""
+#: standalone confusion-matrix SELECT — registered as the
+#: char_ngram_lid_confusion oracle and reused by lid_macro_f1
+_LID_CONFUSION_ORACLE = f"""
     WITH t AS (SELECT lang, {LTOKS} AS toks FROM documents),
     s AS (SELECT lang,
            {", ".join(
@@ -697,8 +702,10 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE 'und' END AS lang_pred
       FROM s)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("char_ngram_lid_confusion", _LID_CONFUSION_ORACLE)
 def q_char_ngram_lid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: labeled lang × predicted lang with
     document counts — the evaluation view of the lang_id operator
@@ -1970,4 +1977,143 @@ def q_vocab_similarity_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least(F.col("n_a"), F.col("n_b")),
             6,
         ).alias("overlap_coef"),
+    )
+
+
+@register(
+    "lid_macro_f1",
+    f"""
+    WITH cm AS ({_LID_CONFUSION_ORACLE}),
+    langs AS (SELECT DISTINCT lang FROM cm),
+    tp AS (SELECT lang, CAST(coalesce(sum(CASE WHEN lang = lang_pred
+                         THEN n_docs END), 0) AS BIGINT) AS tp
+           FROM cm GROUP BY 1),
+    rowsum AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS actual_n
+               FROM cm GROUP BY 1),
+    colsum AS (SELECT lang_pred AS lang, CAST(sum(n_docs) AS BIGINT)
+                 AS pred_n
+               FROM cm GROUP BY 1),
+    prf AS (
+      SELECT l.lang, tp.tp,
+             r.actual_n,
+             coalesce(c.pred_n, 0) AS pred_n,
+             CASE WHEN coalesce(c.pred_n, 0) > 0
+                  THEN CAST(tp.tp AS DOUBLE) / c.pred_n ELSE 0.0 END AS p,
+             CASE WHEN r.actual_n > 0
+                  THEN CAST(tp.tp AS DOUBLE) / r.actual_n ELSE 0.0 END AS rc
+      FROM langs l
+      JOIN tp ON tp.lang = l.lang
+      JOIN rowsum r ON r.lang = l.lang
+      LEFT JOIN colsum c ON c.lang = l.lang)
+    SELECT lang, tp, actual_n, pred_n,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS precision_,
+           floor(rc * 1000000.0 + 0.5) / 1000000.0 AS recall_,
+           CASE WHEN p + rc > 0
+                THEN floor(2.0 * p * rc / (p + rc) * 1000000.0 + 0.5)
+                     / 1000000.0
+                ELSE 0.0 END AS f1
+    FROM prf
+    """,
+)
+def q_lid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the stopword language-ID
+    rule, derived from its confusion matrix — the scalar evaluation
+    layer on top of char_ngram_lid_confusion (TP = diagonal, FP =
+    column minus diagonal, FN = row minus diagonal). All metric
+    relations are k-languages-sized; only the confusion build touches
+    the corpus."""
+    cm = q_char_ngram_lid_confusion(spark, sf_dir)
+    tp = cm.filter(F.col("lang") == F.col("lang_pred")).select(
+        "lang", F.col("n_docs").alias("tp")
+    )
+    rowsum = cm.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("actual_n")
+    )
+    colsum = cm.groupBy(F.col("lang_pred").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("pred_n")
+    )
+    prf = (
+        rowsum.join(tp, on="lang", how="left")
+        .join(colsum, on="lang", how="left")
+        .select(
+            "lang",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            "actual_n",
+            F.coalesce(F.col("pred_n"), F.lit(0))
+            .cast("long")
+            .alias("pred_n"),
+        )
+    )
+    p = F.when(
+        F.col("pred_n") > 0, F.col("tp").cast("double") / F.col("pred_n")
+    ).otherwise(F.lit(0.0))
+    rc = F.when(
+        F.col("actual_n") > 0,
+        F.col("tp").cast("double") / F.col("actual_n"),
+    ).otherwise(F.lit(0.0))
+    prf = prf.withColumn("p", p).withColumn("rc", rc)
+    return prf.select(
+        "lang",
+        "tp",
+        "actual_n",
+        "pred_n",
+        round_portable(F.col("p"), 6).alias("precision_"),
+        round_portable(F.col("rc"), 6).alias("recall_"),
+        F.when(
+            F.col("p") + F.col("rc") > 0,
+            round_portable(
+                F.lit(2.0)
+                * F.col("p")
+                * F.col("rc")
+                / (F.col("p") + F.col("rc")),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+
+
+@register(
+    "jaccard_threshold_sweep",
+    f"""
+    WITH found AS ({_minhash_oracle(num_hashes=8, bands=4, thr=0.5, n=5,
+                                    family="md5")})
+    SELECT CASE WHEN jaccard >= 0.9 THEN '0.9+'
+                WHEN jaccard >= 0.8 THEN '0.8-0.9'
+                WHEN jaccard >= 0.7 THEN '0.7-0.8'
+                WHEN jaccard >= 0.6 THEN '0.6-0.7'
+                ELSE '0.5-0.6' END AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM found GROUP BY 1
+    """,
+)
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate-vs-threshold curve from ONE LSH pass: verified pairs
+    at a permissive 0.5 floor, banded by similarity — the
+    capacity-planning view ("how much more would we delete at 0.7 vs
+    0.8") that otherwise costs one full dedup run per candidate
+    threshold. Uses the same MinHash banding as dedup_minhash_lsh;
+    only the verification floor moves."""
+    d = _t(spark, sf_dir, "documents")
+    found = minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=5,
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+        hash_family="md5",
+        shingler="word",
+    )
+    band = (
+        F.when(F.col("jaccard") >= 0.9, F.lit("0.9+"))
+        .when(F.col("jaccard") >= 0.8, F.lit("0.8-0.9"))
+        .when(F.col("jaccard") >= 0.7, F.lit("0.7-0.8"))
+        .when(F.col("jaccard") >= 0.6, F.lit("0.6-0.7"))
+        .otherwise(F.lit("0.5-0.6"))
+    )
+    return found.groupBy(band.alias("band")).agg(
+        F.count("*").cast("long").alias("n_pairs")
     )
