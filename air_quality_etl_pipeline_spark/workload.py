@@ -1300,6 +1300,8 @@ _DRIVER_PRIORITY = [
     "psi_value_drift",
     "lid_macro_f1",
     "jaccard_threshold_sweep",
+    "join_fanout_audit",
+    "bounce_rate_daily",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -3343,3 +3343,139 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bins"),
         round_portable(F.sum(term).cast("double"), 6).alias("psi"),
     )
+
+
+@register(
+    "join_fanout_audit",
+    """
+    WITH lo AS (SELECT l.l_orderkey AS k FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    oc AS (SELECT o.o_custkey AS k FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey),
+    lp AS (SELECT l.l_partkey AS k FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey),
+    m AS (
+      SELECT 'lineitem->orders' AS rel,
+             (SELECT CAST(count(*) AS BIGINT) FROM lo) AS rows_out,
+             (SELECT CAST(max(n) AS BIGINT) FROM
+                (SELECT count(*) AS n FROM lo GROUP BY k))
+               AS max_multiplicity
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM oc),
+             (SELECT CAST(max(n) AS BIGINT) FROM
+                (SELECT count(*) AS n FROM oc GROUP BY k))
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT CAST(count(*) AS BIGINT) FROM lp),
+             (SELECT CAST(max(n) AS BIGINT) FROM
+                (SELECT count(*) AS n FROM lp GROUP BY k)))
+    SELECT rel, rows_out, max_multiplicity FROM m
+    """,
+)
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out audit: post-join row counts and the maximum
+    per-key multiplicity for three relationships — the QA view that
+    catches accidental many-to-many joins (a dim with duplicate keys
+    silently multiplies the fact) before they corrupt every downstream
+    sum. Here lineitem→orders shows the by-design 1:N multiplicity
+    while orders→customer must audit at 1. Each audit is the join's
+    key stream re-aggregated; nothing wide survives the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def audit(left, lk, right, rk, name):
+        keys = left.select(F.col(lk).alias("k")).join(
+            right.select(F.col(rk).alias("k")), on="k"
+        )
+        per = keys.groupBy("k").agg(F.count("*").alias("n"))
+        return keys.crossJoin(
+            F.broadcast(per.agg(F.max("n").alias("mm")))
+        ).agg(
+            F.lit(name).alias("rel"),
+            F.count("*").cast("long").alias("rows_out"),
+            F.max("mm").cast("long").alias("max_multiplicity"),
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(audit(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+    )
+
+
+@register(
+    "bounce_rate_daily",
+    """
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events),
+    sess AS (SELECT user_id, ts,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+             FROM marked),
+    per_sess AS (SELECT user_id, sid,
+                        strftime(date_trunc('day', min(ts)), '%Y-%m-%d')
+                          AS day,
+                        CAST(count(*) AS BIGINT) AS n_events
+                 FROM sess GROUP BY 1, 2)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           floor(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+             / 1000000.0 AS bounce_rate
+    FROM per_sess GROUP BY 1
+    """,
+)
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing a
+    single event, attributed to the day the session started — the
+    engagement KPI built directly on the sessionization machinery
+    (same gaps-and-islands identity as session_windows). One window
+    pass, one per-session aggregate, one per-day aggregate."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            < 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return per_sess.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int"))
+        .cast("long")
+        .alias("n_bounces"),
+        round_portable(
+            F.sum((F.col("n_events") == 1).cast("int")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )
