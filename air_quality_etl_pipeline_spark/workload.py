@@ -1302,6 +1302,7 @@ _DRIVER_PRIORITY = [
     "jaccard_threshold_sweep",
     "join_fanout_audit",
     "bounce_rate_daily",
+    "peak_concurrent_sessions",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

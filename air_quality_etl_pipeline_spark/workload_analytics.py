@@ -3479,3 +3479,93 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events),
+    sess AS (SELECT user_id, ts,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+             FROM marked),
+    ivals AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+              FROM sess GROUP BY 1, 2),
+    deltas AS (SELECT s AS t, 1 AS d FROM ivals
+               UNION ALL
+               SELECT e + INTERVAL 1 SECOND, -1 FROM ivals),
+    sweep AS (SELECT t,
+                     sum(d) OVER (ORDER BY t ASC, d ASC
+                                  ROWS UNBOUNDED PRECEDING) AS conc
+              FROM deltas),
+    mx AS (SELECT max(conc) AS peak FROM sweep)
+    SELECT CAST(mx.peak AS BIGINT) AS peak_concurrency,
+           strftime(min(sweep.t), '%Y-%m-%d %H:%M:%S') AS first_peak_at
+    FROM sweep, mx WHERE sweep.conc = mx.peak GROUP BY mx.peak
+    """,
+)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions by sweep line: each 30-minute-gap
+    session becomes a +1 at its start and a −1 one second after its
+    end (end-inclusive), and the running sum's maximum is the capacity
+    number every connection pool and rate limiter is sized from. The
+    tie rule (at equal timestamps, −1 sorts before +1) is explicit so
+    both engines count a back-to-back end/start as non-overlapping.
+    The sweep window runs over the SESSION-sized delta relation, never
+    raw events."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+            < 1800,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ivals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = ivals.select(
+        F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        ivals.select(
+            (F.col("e") + F.expr("INTERVAL 1 SECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    ws = Window.orderBy(F.col("t").asc(), F.col("d").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = deltas.withColumn("conc", F.sum("d").over(ws))
+    mx = sweep.agg(F.max("conc").alias("peak"))
+    return (
+        sweep.crossJoin(F.broadcast(mx))
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy(F.col("peak").cast("long").alias("peak_concurrency"))
+        .agg(
+            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_peak_at"
+            )
+        )
+        .select("peak_concurrency", "first_peak_at")
+    )
