@@ -1303,6 +1303,9 @@ _DRIVER_PRIORITY = [
     "join_fanout_audit",
     "bounce_rate_daily",
     "peak_concurrent_sessions",
+    "revenue_decomposition",
+    "shipping_latency_bands",
+    "growth_accounting_daily",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -3569,3 +3569,189 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("peak_concurrency", "first_peak_at")
     )
+
+
+@register(
+    "revenue_decomposition",
+    """
+    WITH u AS (SELECT c.c_mktsegment,
+                      CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_users
+               FROM customer c GROUP BY 1),
+    b AS (SELECT c.c_mktsegment,
+                 CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DECIMAL(28,2)) AS revenue
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1)
+    SELECT u.c_mktsegment, u.n_users,
+           coalesce(b.n_buyers, 0) AS n_buyers,
+           coalesce(b.n_orders, 0) AS n_orders,
+           CAST(coalesce(b.revenue, 0) AS DOUBLE) AS revenue,
+           floor(CAST(coalesce(b.n_buyers, 0) AS DOUBLE) / u.n_users
+                 * 1000000.0 + 0.5) / 1000000.0 AS conversion,
+           CASE WHEN coalesce(b.n_orders, 0) > 0
+                THEN floor(CAST(b.revenue AS DOUBLE) / b.n_orders
+                           * 100.0 + 0.5) / 100.0
+                ELSE 0.0 END AS aov
+    FROM u LEFT JOIN b ON u.c_mktsegment = b.c_mktsegment
+    """,
+)
+def q_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-tree decomposition per market segment: revenue factored
+    into users × conversion × orders × average order value — the
+    first drill every revenue dashboard supports, computed so each
+    factor reconciles exactly with the total (decimal revenue, count
+    ratios rounded in-query)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    u = c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_users")
+    )
+    b = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_buyers"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("revenue"),
+        )
+    )
+    out = u.join(b, on="c_mktsegment", how="left")
+    return out.select(
+        "c_mktsegment",
+        "n_users",
+        F.coalesce("n_buyers", F.lit(0)).cast("long").alias("n_buyers"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0))
+        .cast("double")
+        .alias("revenue"),
+        round_portable(
+            F.coalesce("n_buyers", F.lit(0)).cast("double")
+            / F.col("n_users"),
+            6,
+        ).alias("conversion"),
+        F.when(
+            F.coalesce("n_orders", F.lit(0)) > 0,
+            round_portable(
+                F.col("revenue").cast("double") / F.col("n_orders"), 2
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("aov"),
+    )
+
+
+@register(
+    "shipping_latency_bands",
+    """
+    WITH l AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS within_30d,
+           CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_90d,
+           CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+           (CAST(sum(lag_days) AS BIGINT) // count(*)) AS mean_lag_days
+    FROM l GROUP BY 1
+    """,
+)
+def q_shipping_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per priority: SLA band counts (≤30 days,
+    >90 days), the max, and the floor-divided mean — all integer-day
+    arithmetic, so the report is exact. The fulfillment-ops view of the
+    same order/lineitem join the revenue queries use."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    l = li.join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select("o_orderpriority", lag.alias("lag_days"))
+    return l.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((F.col("lag_days") <= 30).cast("int"))
+        .cast("long")
+        .alias("within_30d"),
+        F.sum((F.col("lag_days") > 90).cast("int"))
+        .cast("long")
+        .alias("over_90d"),
+        F.max("lag_days").cast("long").alias("max_lag_days"),
+        F.expr("CAST(sum(lag_days) AS BIGINT) div count(*)").alias(
+            "mean_lag_days"
+        ),
+    )
+
+
+@register(
+    "growth_accounting_daily",
+    """
+    WITH ud AS (SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                FROM events),
+    f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+    lagged AS (SELECT ud.user_id, ud.day, f.first_day,
+                      lag(ud.day) OVER (PARTITION BY ud.user_id
+                                        ORDER BY ud.day) AS prev_day
+               FROM ud JOIN f ON ud.user_id = f.user_id)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN day > first_day
+                          AND prev_day = day - INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(sum(CASE WHEN day > first_day
+                          AND (prev_day IS NULL
+                               OR prev_day < day - INTERVAL 1 DAY)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+    FROM lagged GROUP BY 1
+    """,
+)
+def q_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the Social-Capital MAU framework at
+    day grain): each active user is NEW (first-ever day), RETAINED
+    (also active the previous day), or RESURRECTED (returning after a
+    gap) — the decomposition that turns a flat DAU line into a
+    diagnosis. One distinct user-day relation, one first-day
+    aggregate, one lag window; date arithmetic is integer-exact."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = (
+        ud.join(f, on="user_id")
+        .withColumn("prev_day", F.lag("day").over(w))
+    )
+    is_new = (F.col("day") == F.col("first_day")).cast("int")
+    is_ret = (
+        (F.col("day") > F.col("first_day"))
+        & (F.col("prev_day") == F.date_sub(F.col("day"), 1))
+    ).cast("int")
+    is_res = (
+        (F.col("day") > F.col("first_day"))
+        & (
+            F.col("prev_day").isNull()
+            | (F.col("prev_day") < F.date_sub(F.col("day"), 1))
+        )
+    ).cast("int")
+    return lagged.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(is_new).cast("long").alias("new_users"),
+        F.sum(is_ret).cast("long").alias("retained"),
+        F.sum(is_res).cast("long").alias("resurrected"),
+    )
