@@ -1306,6 +1306,9 @@ _DRIVER_PRIORITY = [
     "revenue_decomposition",
     "shipping_latency_bands",
     "growth_accounting_daily",
+    "supplier_hhi_by_nation",
+    "ttr_by_length_band",
+    "order_backlog_daily",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -3755,3 +3755,167 @@ def q_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_ret).cast("long").alias("retained"),
         F.sum(is_res).cast("long").alias("resurrected"),
     )
+
+
+@register(
+    "supplier_hhi_by_nation",
+    """
+    WITH r AS (SELECT s.s_nationkey, l.l_suppkey,
+                      CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                           AS DECIMAL(28,2)) AS rev
+               FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               GROUP BY 1, 2),
+    t AS (SELECT s_nationkey, CAST(sum(rev) AS DECIMAL(38,2)) AS total
+          FROM r GROUP BY 1),
+    sh AS (SELECT r.s_nationkey,
+                  CAST(power(CAST(r.rev AS DOUBLE) / CAST(t.total AS DOUBLE),
+                             2) * 10000.0 AS DECIMAL(18,9)) AS term
+           FROM r JOIN t ON r.s_nationkey = t.s_nationkey)
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           floor(CAST(sum(term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS hhi
+    FROM sh GROUP BY 1
+    """,
+)
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation (Σ share² × 10 000 — the antitrust scale where 10 000
+    is a monopoly): the market-concentration complement to the Gini
+    query. Per-supplier share² terms quantize to DECIMAL before the
+    per-nation sum; the share division is one deterministic double op
+    per supplier row."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    r = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == s["s_suppkey"],
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev")
+        )
+    )
+    t = r.groupBy("s_nationkey").agg(
+        F.sum("rev").cast("decimal(38,2)").alias("total")
+    )
+    sh = r.join(t, on="s_nationkey").select(
+        "s_nationkey",
+        (
+            F.pow(
+                F.col("rev").cast("double") / F.col("total").cast("double"),
+                2,
+            )
+            * 10000.0
+        )
+        .cast("decimal(18,9)")
+        .alias("term"),
+    )
+    return sh.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        round_portable(F.sum("term").cast("double"), 4).alias("hhi"),
+    )
+
+
+@register(
+    "ttr_by_length_band",
+    f"""
+    WITH t AS (SELECT doc_id, list_transform({TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    d AS (SELECT doc_id, len(toks) AS n_toks,
+                 len(list_distinct(toks)) AS n_types
+          FROM t WHERE len(toks) > 0),
+    banded AS (SELECT (n_toks // 50) * 50 AS len_band, n_toks, n_types
+               FROM d)
+    SELECT CAST(len_band AS BIGINT) AS len_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(CAST(CAST(n_types AS DOUBLE) / n_toks
+                                AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_ttr
+    FROM banded GROUP BY 1
+    """,
+)
+def q_ttr_by_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio by document-length band (50-token buckets):
+    lexical diversity falls with length by construction, so TTR is
+    only comparable WITHIN a band — this is the banded view corpus
+    linguists actually use, and a quality screen (templated text shows
+    anomalously low TTR for its band). All row-local array math plus
+    one banded aggregate; per-doc ratios quantize to DECIMAL before
+    the band mean."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.transform(token_array(F.col("text")), lambda x: F.lower(x)).alias(
+            "toks"
+        ),
+    ).filter(F.size("toks") > 0)
+    row = t.select(
+        (F.floor(F.size("toks") / 50) * 50).cast("long").alias("len_band"),
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_types"),
+    )
+    ttr = (F.col("n_types").cast("double") / F.col("n_toks")).cast(
+        "decimal(18,9)"
+    )
+    return row.groupBy("len_band").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        round_portable(
+            F.sum(ttr).cast("double") / F.count("*"), 6
+        ).alias("mean_ttr"),
+    )
+
+
+@register(
+    "order_backlog_daily",
+    """
+    WITH o AS (SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od,
+                      max(CAST(l.l_shipdate AS DATE)) AS sd
+               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+               GROUP BY 1, 2),
+    deltas AS (SELECT od AS day, 1 AS d FROM o
+               UNION ALL SELECT sd, -1 FROM o),
+    daily AS (SELECT day, CAST(sum(d) AS BIGINT) AS delta
+              FROM deltas GROUP BY 1),
+    sweep AS (SELECT day, sum(delta) OVER (ORDER BY day ASC
+                         ROWS UNBOUNDED PRECEDING) AS backlog
+              FROM daily)
+    SELECT strftime(day, '%Y-%m') AS month,
+           CAST(max(backlog) AS BIGINT) AS peak_backlog,
+           CAST(min(backlog) AS BIGINT) AS min_backlog
+    FROM sweep GROUP BY 1
+    """,
+)
+def q_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: each order is +1 on its order
+    date and −1 on its LAST ship date, and the day-grain running sum
+    is the number of orders in flight — the operations curve behind
+    staffing and cash-conversion planning, reported as monthly
+    peak/min. Deltas pre-aggregate to one row per day before the
+    sweep window, so the window input is calendar-sized."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(o["o_orderkey"], F.col("o_orderdate").cast("date").alias("od"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("sd"))
+    )
+    deltas = iv.select(F.col("od").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("sd").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("delta"))
+    ws = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = daily.withColumn("backlog", F.sum("delta").over(ws))
+    return sweep.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.max("backlog").cast("long").alias("peak_backlog"),
+        F.min("backlog").cast("long").alias("min_backlog"),
+    )
