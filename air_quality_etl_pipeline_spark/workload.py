@@ -1309,6 +1309,9 @@ _DRIVER_PRIORITY = [
     "supplier_hhi_by_nation",
     "ttr_by_length_band",
     "order_backlog_daily",
+    "dead_stock_report",
+    "id_gap_audit",
+    "sql_keyset_pagination",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

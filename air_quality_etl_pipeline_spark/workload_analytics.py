@@ -3919,3 +3919,146 @@ def q_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("backlog").cast("long").alias("peak_backlog"),
         F.min("backlog").cast("long").alias("min_backlog"),
     )
+
+
+@register(
+    "dead_stock_report",
+    """
+    WITH never AS (
+      SELECT p.p_partkey, p.p_name FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_partkey = p.p_partkey)),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM never) AS n_never_ordered,
+           t.n_parts,
+           floor((SELECT CAST(count(*) AS DOUBLE) FROM never) / t.n_parts
+                 * 1000000.0 + 0.5) / 1000000.0 AS dead_stock_frac,
+           (SELECT CAST(min(p_partkey) AS BIGINT) FROM never)
+             AS min_dead_key
+    FROM t
+    """,
+)
+def q_dead_stock_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock report: parts never referenced by any lineitem (the
+    catalog→fact anti-join, the inverse direction of the FK orphan
+    audit) with the dead fraction — the inventory question behind
+    catalog pruning. The anti-join probes the part table against the
+    distinct referenced-key set; nothing wide moves."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    never = p.select("p_partkey").join(
+        li.select("l_partkey"),
+        p["p_partkey"] == li["l_partkey"],
+        "left_anti",
+    )
+    n_never = never.agg(
+        F.count("*").cast("long").alias("n_never_ordered"),
+        F.min("p_partkey").cast("long").alias("min_dead_key"),
+    )
+    t = p.agg(F.count("*").cast("long").alias("n_parts"))
+    return n_never.crossJoin(t).select(
+        "n_never_ordered",
+        "n_parts",
+        round_portable(
+            F.col("n_never_ordered").cast("double") / F.col("n_parts"), 6
+        ).alias("dead_stock_frac"),
+        "min_dead_key",
+    )
+
+
+@register(
+    "id_gap_audit",
+    """
+    WITH k AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    l AS (SELECT id,
+                 lead(id) OVER (ORDER BY id) AS next_id
+          FROM k)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(max(next_id - id - 1), 0) AS BIGINT)
+             AS widest_gap,
+           CAST(coalesce(sum(next_id - id - 1), 0) AS BIGINT)
+             AS total_missing
+    FROM l WHERE next_id - id > 1
+    """,
+)
+def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence gap audit: count, widest, and total missing ids in
+    the order-key sequence — the continuity check that catches dropped
+    loads and partial restores in surrogate-keyed tables. One lead
+    window over the distinct-key relation; arithmetic is integer.
+    (Degenerate zero-gap data yields the 0/0/0 row on both engines.)"""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    k = o.select(F.col("o_orderkey").alias("id")).distinct()
+    w = Window.orderBy("id")
+    l = k.withColumn("next_id", F.lead("id").over(w)).filter(
+        F.col("next_id") - F.col("id") > 1
+    )
+    gap = F.col("next_id") - F.col("id") - 1
+    return l.agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.coalesce(F.max(gap), F.lit(0)).cast("long").alias("widest_gap"),
+        F.coalesce(F.sum(gap), F.lit(0))
+        .cast("long")
+        .alias("total_missing"),
+    )
+
+
+@register(
+    "sql_keyset_pagination",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             row_number() OVER (
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                        o_orderkey ASC) AS rn
+      FROM orders),
+    cursor_row AS (SELECT price, o_orderkey FROM ranked WHERE rn = 40)
+    SELECT r.o_orderkey, r.price, CAST(r.rn AS BIGINT) AS rn
+    FROM ranked r, cursor_row c
+    WHERE (r.price < c.price
+           OR (r.price = c.price AND r.o_orderkey > c.o_orderkey))
+    ORDER BY r.price DESC, r.o_orderkey ASC LIMIT 20
+    """,
+)
+def q_sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: page 3 of the price-ranked order
+    list fetched by the ``(price, key) < cursor`` predicate instead of
+    OFFSET 40 — the pattern that stays O(page) at any depth because
+    the predicate prunes at the scan, where OFFSET must materialize
+    and discard every earlier row. The cursor (row 40's key pair) is
+    derived in-query so the page is deterministic; the rn column
+    proves rows 41-60 came back."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(),
+        F.col("o_orderkey").asc(),
+    )
+    ranked = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
+            "price"
+        ),
+        F.row_number().over(w).alias("rn"),
+    )
+    cursor = ranked.filter(F.col("rn") == 40).select(
+        F.col("price").alias("c_price"),
+        F.col("o_orderkey").alias("c_key"),
+    )
+    page = (
+        ranked.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("price") < F.col("c_price"))
+            | (
+                (F.col("price") == F.col("c_price"))
+                & (F.col("o_orderkey") > F.col("c_key"))
+            )
+        )
+        .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+    return page.select("o_orderkey", "price", F.col("rn").cast("long"))
