@@ -1312,6 +1312,8 @@ _DRIVER_PRIORITY = [
     "dead_stock_report",
     "id_gap_audit",
     "sql_keyset_pagination",
+    "mean_imputation_report",
+    "double_charge_detection",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

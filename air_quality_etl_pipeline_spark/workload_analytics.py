@@ -4062,3 +4062,118 @@ def q_sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return page.select("o_orderkey", "price", F.col("rn").cast("long"))
+
+
+@register(
+    "mean_imputation_report",
+    """
+    WITH v AS (SELECT event_type,
+                      CASE WHEN event_id % 13 = 0 THEN NULL
+                           ELSE CAST(value AS DECIMAL(18,2)) END AS val
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(sum(val) AS DECIMAL(28,2)) AS s,
+                 CAST(count(val) AS BIGINT) AS n_obs,
+                 CAST(count(*) AS BIGINT) AS n_all
+          FROM v GROUP BY 1)
+    SELECT event_type, n_all,
+           n_all - n_obs AS n_imputed,
+           floor(CAST(s AS DOUBLE) / n_obs * 1000000.0 + 0.5)
+             / 1000000.0 AS fill_value,
+           floor((CAST(s AS DOUBLE)
+                  + (n_all - n_obs) * (CAST(s AS DOUBLE) / n_obs))
+                 / n_all * 1000000.0 + 0.5) / 1000000.0
+             AS mean_after_impute
+    FROM m
+    """,
+)
+def q_mean_imputation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-imputation report: nulls (simulated sensor dropouts at a
+    deterministic 1-in-13 rate, same convention as the CSV-corruption
+    round trip) fill with their group's observed mean, and the report
+    row shows the fill value and the post-imputation mean — which must
+    equal the observed mean, the invariant that makes mean imputation
+    bias-free for the mean and the report auditable. Decimal sums,
+    one group aggregate."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("value").cast("decimal(18,2)"))
+        .alias("val"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.sum("val").cast("decimal(28,2)").alias("s"),
+        F.count("val").cast("long").alias("n_obs"),
+        F.count("*").cast("long").alias("n_all"),
+    )
+    fill = F.col("s").cast("double") / F.col("n_obs")
+    after = (
+        F.col("s").cast("double")
+        + (F.col("n_all") - F.col("n_obs")) * fill
+    ) / F.col("n_all")
+    return m.select(
+        "event_type",
+        "n_all",
+        (F.col("n_all") - F.col("n_obs")).alias("n_imputed"),
+        round_portable(fill, 6).alias("fill_value"),
+        round_portable(after, 6).alias("mean_after_impute"),
+    )
+
+
+@register(
+    "double_charge_detection",
+    """
+    WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CAST(value AS DECIMAL(18,2)) AS amount
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id, a.event_id AS first_charge,
+           b.event_id AS second_charge,
+           CAST(a.amount AS DOUBLE) AS amount,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id
+     AND a.amount = b.amount
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_double_charge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge detection: same user, identical decimal amount,
+    within 5 minutes — the fintech dedup rule that catches retried
+    payment submissions. The self-join keys on (user, amount) so the
+    pair space is per-user-per-amount, with the interval bound pruning
+    inside each group; gaps report in exact integer microseconds.
+    Decimal equality on the amount avoids the float-compare trap that
+    makes naive implementations miss or double-flag charges."""
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("amount"),
+    )
+    a = p.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("first_charge"),
+        F.col("ts").alias("t1"),
+        F.col("amount").alias("am"),
+    )
+    b = p.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("second_charge"),
+        F.col("ts").alias("t2"),
+        F.col("amount").alias("am"),
+    )
+    pairs = a.join(b, on=["u", "am"]).filter(
+        (F.col("first_charge") < F.col("second_charge"))
+        & (F.col("t2") >= F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 5 MINUTE"))
+    )
+    return pairs.select(
+        F.col("u").alias("user_id"),
+        "first_charge",
+        "second_charge",
+        F.col("am").cast("double").alias("amount"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
+    )
