@@ -1314,6 +1314,7 @@ _DRIVER_PRIORITY = [
     "sql_keyset_pagination",
     "mean_imputation_report",
     "double_charge_detection",
+    "priority_mix_shift",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

@@ -4177,3 +4177,75 @@ def q_double_charge_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("am").cast("double").alias("amount"),
         (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
     )
+
+
+@register(
+    "priority_mix_shift",
+    """
+    WITH y AS (SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+                      o_orderpriority,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM orders GROUP BY 1, 2),
+    t AS (SELECT yr, CAST(sum(n) AS BIGINT) AS tn FROM y GROUP BY 1),
+    sh AS (SELECT y.yr, y.o_orderpriority,
+                  CAST(y.n AS DOUBLE) / t.tn AS share
+           FROM y JOIN t ON y.yr = t.yr),
+    yrs AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM sh),
+    w AS (SELECT s.o_orderpriority,
+                 max(CASE WHEN s.yr = yrs.y0 THEN s.share END) AS share_first,
+                 max(CASE WHEN s.yr = yrs.y1 THEN s.share END) AS share_last
+          FROM sh s, yrs GROUP BY 1)
+    SELECT o_orderpriority,
+           floor(coalesce(share_first, 0) * 1000000.0 + 0.5) / 1000000.0
+             AS share_first,
+           floor(coalesce(share_last, 0) * 1000000.0 + 0.5) / 1000000.0
+             AS share_last,
+           floor((coalesce(share_last, 0) - coalesce(share_first, 0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mix_shift
+    FROM w
+    """,
+)
+def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift analysis: each order priority's share of volume in the
+    first vs last year of data and the signed shift — the composition
+    check that separates "the business grew" from "the business
+    changed" before any rate metric is trusted. Year-grain shares from
+    one aggregate, pivoted via conditional max over the
+    k-priorities-sized relation."""
+    o = _t(spark, sf_dir, "orders")
+    y = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        "o_orderpriority",
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = y.groupBy("yr").agg(F.sum("n").cast("long").alias("tn"))
+    sh = y.join(t, on="yr").select(
+        "yr",
+        "o_orderpriority",
+        (F.col("n").cast("double") / F.col("tn")).alias("share"),
+    )
+    yrs = sh.agg(F.min("yr").alias("y0"), F.max("yr").alias("y1"))
+    w = (
+        sh.crossJoin(F.broadcast(yrs))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.when(F.col("yr") == F.col("y0"), F.col("share"))
+            ).alias("sf_"),
+            F.max(
+                F.when(F.col("yr") == F.col("y1"), F.col("share"))
+            ).alias("sl_"),
+        )
+    )
+    return w.select(
+        "o_orderpriority",
+        round_portable(F.coalesce("sf_", F.lit(0.0)), 6).alias(
+            "share_first"
+        ),
+        round_portable(F.coalesce("sl_", F.lit(0.0)), 6).alias(
+            "share_last"
+        ),
+        round_portable(
+            F.coalesce("sl_", F.lit(0.0)) - F.coalesce("sf_", F.lit(0.0)),
+            6,
+        ).alias("mix_shift"),
+    )
