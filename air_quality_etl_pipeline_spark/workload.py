@@ -1315,6 +1315,7 @@ _DRIVER_PRIORITY = [
     "mean_imputation_report",
     "double_charge_detection",
     "priority_mix_shift",
+    "repeat_purchase_interval",
     # oldest greens (last verified round 1) — overflow past the 50-slot
     # gate this round (the 50 never-checked queries above fill it);
     # every name below already has a driver-green row

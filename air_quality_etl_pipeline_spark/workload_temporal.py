@@ -655,3 +655,66 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         F.sum("credit_micro").cast("long").alias("credit_micro"),
     )
+
+
+@register(
+    "repeat_purchase_interval",
+    """
+    WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    gaps AS (SELECT user_id,
+                    epoch_us(ts) - epoch_us(lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             FROM p),
+    g AS (SELECT user_id, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+    r AS (SELECT gap_us,
+                 row_number() OVER (ORDER BY gap_us ASC) AS rn,
+                 count(*) OVER () AS n
+          FROM g)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_repeat_gaps,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM g)
+             AS n_repeat_buyers,
+           (SELECT CAST(gap_us AS BIGINT) FROM r
+            WHERE rn = (n + 1) // 2) AS median_gap_us,
+           (SELECT CAST(max(gap_us) AS BIGINT) FROM g) AS max_gap_us
+    """,
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the lower-median and max of
+    inter-purchase gaps across all repeat buyers — the number that
+    sets replenishment-campaign timing and the denominator of
+    "churned buyer" definitions. Gaps are exact integer microseconds
+    from one lag window; the median is position-based (a real data
+    value, no interpolation) over the gap relation."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        p.select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = Window.orderBy(F.col("gap_us").asc())
+    r = g.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("gap_us").cast("long").alias("median_gap_us")
+    )
+    stats = g.agg(
+        F.count("*").cast("long").alias("n_repeat_gaps"),
+        F.countDistinct("user_id").cast("long").alias("n_repeat_buyers"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_repeat_gaps", "n_repeat_buyers", "median_gap_us", "max_gap_us"
+    )
