@@ -1143,72 +1143,18 @@ SIDE_EFFECT_QUERIES.update(
 )
 
 #: Driver-verification priority. The driver's correctness gate checks
-#: the FIRST 50 registered queries per round. After rounds 1+2, 96
-#: queries have a driver-green row and none has ever failed; the list
-#: below front-loads NEVER-CHECKED queries oldest-first (round-2
-#: additions + analytics spill-overs, then round-3 additions in
-#: registration order), so each round's 50-slot gate retires the
-#: longest-waiting verification debt. Every query is locally verified
-#: at sf0.001 AND sf0.01 by tests/test_oracle_parity.py before it
-#: enters this queue — the driver signal is confirmation, not first
-#: contact. Names past the never-checked block are the oldest driver
-#: greens, kept for eventual drift re-confirmation.
+#: the FIRST 50 registered queries per round. Lifetime through round 3:
+#: 146 distinct driver-green, 0 ever-failed, 107 never checked. The
+#: round-3 gate retired its 50-name front block, so this list is
+#: RE-ORDERED for round 4: the 107 never-checked queries come first
+#: (registration order — round-3 additions oldest-first), so rounds 4
+#: and 5 retire the whole backlog (50 + 50) and round 6 clears the
+#: final 7 before rotating to drift re-confirmation of the oldest
+#: greens (round-1 block, then round-3). Every queued name is locally
+#: verified at sf0.001 AND sf0.01 by tests/test_oracle_parity.py —
+#: the driver signal is confirmation, not first contact.
 _DRIVER_PRIORITY = [
-    # never driver-checked (round-2 additions) — must be in the r3 gate
-    "kmeans_parallel_init",
-    "decontaminate_eval",
-    "pack_sequences",
-    "streaming_static_enrich",
-    "hard_negative_mining",
-    "sql_shipping_priority",
-    "sql_local_supplier_volume",
-    "chunk_documents",
-    "mixture_sample",
-    "cross_doc_ngram_dup",
-    "vocab_oov_rate",
-    "zscore_anomalies",
-    # never driver-checked (round-2 analytics spill-overs)
-    "moving_avg_7d",
-    "ntile_deciles",
-    "above_avg_orders",
-    "iqr_outliers",
-    "histogram_bins",
-    "snapshot_diff",
-    "user_journey",
-    "funnel_steps",
-    # new in round 3 (never driver-checked; same-round signal)
-    "sql_returned_items",
-    "sql_top_supplier",
-    "sql_parts_supplier",
-    "sql_small_qty_revenue",
-    "sql_large_volume_customer",
-    "sql_discounted_revenue",
-    "sql_promo_revenue",
-    "sql_market_share",
-    "unigram_logprob_score",
-    "heavy_hitter_ngrams",
-    "kl_corpus_divergence",
-    "percent_rank_docs",
-    "random_projection_lsh",
-    "url_canonical_dedup",
-    "suffix_prefix_dup",
-    "zipf_token_ranks",
-    "bloom_filter_join",
-    "stopword_profile",
-    "char_ngram_lid_confusion",
-    "token_histogram_bands",
-    "minhash_containment",
-    "doc_dup_fraction_by_lang",
-    "robots_quality_gate",
-    "domain_balance_sample",
-    "contamination_overlap_stats",
-    "sql_order_priority_count",
-    "sql_customer_distribution",
-    "sql_min_cost_supplier",
-    "asof_nearest_join",
-    "embedding_drift_centroids",
-    # round-4 front-load: registered late in round 3, past the 50-slot
-    # gate — pytest-oracle-verified now, driver-checked next round
+    # never driver-checked (107) — rounds 4+5 gate fodder, oldest-first
     "bm25_search",
     "chi2_lang_tokens",
     "train_val_test_split",
@@ -1316,9 +1262,7 @@ _DRIVER_PRIORITY = [
     "double_charge_detection",
     "priority_mix_shift",
     "repeat_purchase_interval",
-    # oldest greens (last verified round 1) — overflow past the 50-slot
-    # gate this round (the 50 never-checked queries above fill it);
-    # every name below already has a driver-green row
+    # driver-green, last verified round 1 — drift re-confirmation queue
     "silver_filter_dedup",
     "dim_date",
     "dim_part_category",
@@ -1365,6 +1309,57 @@ _DRIVER_PRIORITY = [
     "dedup_fuzzy_edit",
     "doc_repetition",
     "embedding_quantize_int8",
+    # driver-green, last verified round 3
+    "kmeans_parallel_init",
+    "decontaminate_eval",
+    "pack_sequences",
+    "streaming_static_enrich",
+    "hard_negative_mining",
+    "sql_shipping_priority",
+    "sql_local_supplier_volume",
+    "chunk_documents",
+    "mixture_sample",
+    "cross_doc_ngram_dup",
+    "vocab_oov_rate",
+    "zscore_anomalies",
+    "moving_avg_7d",
+    "ntile_deciles",
+    "above_avg_orders",
+    "iqr_outliers",
+    "histogram_bins",
+    "snapshot_diff",
+    "user_journey",
+    "funnel_steps",
+    "sql_returned_items",
+    "sql_top_supplier",
+    "sql_parts_supplier",
+    "sql_small_qty_revenue",
+    "sql_large_volume_customer",
+    "sql_discounted_revenue",
+    "sql_promo_revenue",
+    "sql_market_share",
+    "unigram_logprob_score",
+    "heavy_hitter_ngrams",
+    "kl_corpus_divergence",
+    "percent_rank_docs",
+    "random_projection_lsh",
+    "url_canonical_dedup",
+    "suffix_prefix_dup",
+    "zipf_token_ranks",
+    "bloom_filter_join",
+    "stopword_profile",
+    "char_ngram_lid_confusion",
+    "token_histogram_bands",
+    "minhash_containment",
+    "doc_dup_fraction_by_lang",
+    "robots_quality_gate",
+    "domain_balance_sample",
+    "contamination_overlap_stats",
+    "sql_order_priority_count",
+    "sql_customer_distribution",
+    "sql_min_cost_supplier",
+    "asof_nearest_join",
+    "embedding_drift_centroids",
 ]
 
 _snapshot = dict(QUERIES)
