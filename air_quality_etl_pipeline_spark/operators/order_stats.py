@@ -1,0 +1,238 @@
+"""Exact distributed order statistics — global row numbers, ordered
+running sums, and sequence-gap (gaps-and-islands) detection — WITHOUT
+a single-partition global sort.
+
+Spark's ``Window.orderBy(...)`` with no ``partitionBy`` moves every row
+to ONE partition (the ``WindowExec: No Partition Defined`` warning):
+correct at test scale, a non-starter at 100 TB. These operators keep
+the exact semantics with the two-phase formulation the distributed
+prefix sum (:func:`..operators.packing.prefix_sum`) established:
+
+1. bucket rows by a DETERMINISTIC monotone function of the ordering
+   key — ``(double(key) − lo) / width`` over ``num_ranges`` fixed-width
+   ranges, never ``spark_partition_id()`` over ``repartitionByRange``
+   (range partitioning samples its bounds, so two evaluations of the
+   same plan can split differently; a value-derived bucket id cannot);
+2. aggregate one tiny per-bucket relation (``num_ranges`` rows) and
+   collect it — only ``num_ranges + 2`` scalars ever reach the driver;
+3. rank / cumulate WITHIN each bucket with an ordinary partitioned
+   window and add the per-bucket offset.
+
+Monotonicity contract: the bucket key must be numeric and NON-STRICTLY
+monotone in the intended global order (``a ≺ b ⇒ key(a) ≤ key(b)``).
+Ties in the bucket key land in the same bucket by construction, and the
+within-bucket window applies the exact (total) ordering — so lossy
+monotone keys are fine: a ``double`` cast of a decimal, or the leading
+60 bits of a hex digest for lexicographic string order.
+
+Cost shape: two extra narrow aggregation jobs over the input (key
+min/max, per-bucket totals) before the windowed pass — three scans of
+a narrow relation instead of one single-partition sort of it. Callers
+feeding an expensive subquery should ``.cache()`` it first; correctness
+does not require caching because every bucket id is a pure function of
+row values (re-evaluation cannot disagree with itself).
+
+Skew: a skewed key distribution unbalances bucket SIZES, never
+correctness. ``num_ranges`` defaults to ``spark.sql.shuffle.partitions``
+so bucket granularity tracks cluster parallelism.
+
+No reference-repo counterpart (the reference's engine sorts on one
+node); this module exists so the analytics queries that NEED global
+order — Gini, Pareto/ABC shares, position-based quantiles, sweep-line
+concurrency, id-sequence audits, batch packing — survive a 1000-executor
+scale-up.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_global_rank",
+    "with_running_sum",
+    "sequence_gaps",
+    "hex_prefix_key",
+]
+
+
+def hex_prefix_key(col: Column) -> Column:
+    """A bigint bucket key that is non-strictly monotone in the
+    LEXICOGRAPHIC order of a lowercase hex string (e.g. an md5 digest):
+    the leading 15 hex digits (60 bits) parsed as an integer. Equal
+    prefixes collapse to one bucket; the within-bucket window breaks
+    them with the full string."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
+
+
+def _bucket_offsets(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    num_ranges: int | None,
+):
+    """Shared phase 1+2: attach ``__obkt`` (the deterministic range
+    bucket of *key*) and return the per-bucket exclusive-prefix offset
+    column (sum of *value* over all lower buckets).
+
+    Returns ``(bucketed_df, offset_col)`` — or ``(None, None)`` when
+    the input is empty (caller decides the degenerate shape)."""
+    if num_ranges is None:
+        num_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
+        )
+    kd = key.cast("double")
+    lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
+    if lo is None:
+        return None, None
+    span = hi - lo
+    width = span / num_ranges if span > 0 else 1.0
+    # least() clamps hi itself (and any float round-up) into the last
+    # bucket; the floor of a monotone function stays monotone
+    bucket = F.least(
+        F.lit(num_ranges - 1),
+        F.greatest(F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    bucketed = df.withColumn("__obkt", bucket)
+    totals = {
+        r["__obkt"]: r["s"]
+        for r in bucketed.groupBy("__obkt")
+        .agg(F.sum(value).alias("s"))
+        .collect()
+    }
+    offsets, running = {}, None
+    for b in sorted(totals):
+        offsets[b] = running
+        t = totals[b]
+        if t is not None:
+            running = t if running is None else running + t
+    # exclusive prefix: the first non-empty bucket carries no entry and
+    # coalesces to zero (type-widened to the sum's own type by Spark)
+    entries = [
+        x
+        for b, off in offsets.items()
+        if off is not None
+        for x in (F.lit(b), F.lit(off))
+    ]
+    if entries:
+        offset_col = F.coalesce(
+            F.element_at(F.create_map(*entries), F.col("__obkt")),
+            F.lit(0),
+        )
+    else:
+        offset_col = F.lit(0)
+    return bucketed, offset_col
+
+
+def with_global_rank(
+    df: DataFrame,
+    key: Column,
+    order_cols: Sequence[Column],
+    out_col: str = "rn",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` in ``order_cols`` order without a
+    single-partition sort. *key* must be numeric and non-strictly
+    monotone in that order (see module contract); *order_cols* is the
+    exact within-bucket ordering (include tiebreakers for determinism —
+    with value-only ordering the rank→value mapping is still exact,
+    only the tie assignment floats)."""
+    bucketed, offset = _bucket_offsets(df, key, F.lit(1), num_ranges)
+    if bucketed is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    w = Window.partitionBy("__obkt").orderBy(*order_cols)
+    return bucketed.withColumn(
+        out_col,
+        (F.row_number().over(w).cast("long") + offset.cast("long")).cast(
+            "long"
+        ),
+    ).drop("__obkt")
+
+
+def with_running_sum(
+    df: DataFrame,
+    key: Column,
+    order_cols: Sequence[Column],
+    value_col: str,
+    out_col: str = "cum",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact inclusive running sum of *value_col* in ``order_cols``
+    order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW frame) without a
+    single-partition sort. The sum keeps *value_col*'s own type —
+    decimal stays decimal-exact through both the window and the
+    collected per-bucket offsets."""
+    bucketed, offset = _bucket_offsets(
+        df, key, F.col(value_col), num_ranges
+    )
+    if bucketed is None:
+        return df.withColumn(out_col, F.lit(None))
+    w = (
+        Window.partitionBy("__obkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.withColumn(
+        out_col, F.sum(value_col).over(w) + offset
+    ).drop("__obkt")
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Gaps-and-islands at scale: for a DISTINCT integer id relation,
+    return one row per gap — ``(id, next_id)`` where ``next_id`` is the
+    next present id and ``next_id − id > 1`` — without a global sort.
+
+    Two-phase ``lead()`` with boundary stitching: ids bucket by value
+    range, ``lead`` runs within each bucket, and the cross-bucket
+    seams are stitched from the per-bucket ``(min, max)`` summary
+    (``≤ num_ranges`` rows, collected — driver traffic is bounded by
+    the bucket count, never the data). Empty buckets vanish from the
+    summary and are skipped naturally, which is exactly the gap
+    semantics."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "8")
+        )
+    kd = F.col(id_col).cast("double")
+    lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
+    out_schema = f"`{id_col}` bigint, `next_id` bigint"
+    if lo is None:
+        return spark.createDataFrame([], out_schema)
+    span = hi - lo
+    width = span / num_ranges if span > 0 else 1.0
+    bucket = F.least(
+        F.lit(num_ranges - 1),
+        F.greatest(F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    bucketed = df.select(
+        F.col(id_col).cast("bigint").alias(id_col)
+    ).withColumn("__obkt", bucket)
+    w = Window.partitionBy("__obkt").orderBy(id_col)
+    intra = (
+        bucketed.withColumn("next_id", F.lead(id_col).over(w))
+        .filter(F.col("next_id") - F.col(id_col) > 1)
+        .select(id_col, "next_id")
+    )
+    summary = sorted(
+        (r["__obkt"], r["mn"], r["mx"])
+        for r in bucketed.groupBy("__obkt")
+        .agg(
+            F.min(id_col).alias("mn"), F.max(id_col).alias("mx")
+        )
+        .collect()
+    )
+    seams = [
+        (int(prev_mx), int(nxt_mn))
+        for (_, _, prev_mx), (_, nxt_mn, _) in zip(summary, summary[1:])
+        if nxt_mn - prev_mx > 1
+    ]
+    if not seams:
+        return intra
+    return intra.unionByName(spark.createDataFrame(seams, out_schema))

@@ -47,6 +47,32 @@ def surrogate_key(
     return df.withColumn(key_name, key)
 
 
+def surrogate_key_ranked(
+    df: DataFrame,
+    key: Column,
+    order_by: Sequence[Column],
+    key_name: str,
+    offset: int = 0,
+) -> DataFrame:
+    """W1 at scale: the same order-following dense key as
+    :func:`surrogate_key`, built with the bucketed two-phase global
+    rank (:func:`~..operators.order_stats.with_global_rank`) instead of
+    a single-partition window — for dimensions that scale with the
+    data (e.g. a part/product catalog at 100 TB fact scale). *key*
+    must be numeric and monotone in *order_by* (the natural key column
+    itself, usually)."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
+
+    out = with_global_rank(df, key, order_by, key_name)
+    if offset:
+        out = out.withColumn(
+            key_name, (F.col(key_name) + F.lit(offset)).cast("long")
+        )
+    return out
+
+
 def dense_id(df: DataFrame, key_name: str) -> DataFrame:
     """Scale-path surrogate key: unique, dense, parallel — no global sort.
 

@@ -255,9 +255,17 @@ def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dim_part_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 surrogate key + X9 two-way categorical split (the reference's
-    parameter_code → Particulate Matter / Gas mapping)."""
+    parameter_code → Particulate Matter / Gas mapping). The part
+    catalog SCALES WITH THE DATA (unlike the calendar dimension), so
+    the key comes from the bucketed two-phase
+    :func:`~.plans.gold.surrogate_key_ranked`, not the
+    single-partition `surrogate_key` window."""
+    from air_quality_etl_pipeline_spark.plans.gold import surrogate_key_ranked
+
     p = _t(spark, sf_dir, "part")
-    p = surrogate_key(p, ["p_partkey"], "part_key")
+    p = surrogate_key_ranked(
+        p, F.col("p_partkey"), [F.col("p_partkey")], "part_key"
+    )
     return p.select(
         "part_key",
         "p_partkey",
@@ -1128,19 +1136,35 @@ from air_quality_etl_pipeline_spark import workload_graph  # noqa: E402,F401
 # only the post-iteration stages, silently under-reporting the real
 # cost — rebuild these per bench sample, same contract as the
 # write/ingest/stream side-effect queries above them in this set.
-SIDE_EFFECT_QUERIES.update(
-    {
-        "dedup_clusters",
-        "dedup_canonical_docs",
-        "pagerank_trade_graph",
-        "ppr_from_seeds",
-        "bpe_learn_merges",
-        "bpe_encode_corpus",
-        "kmeans_parallel_init",
-        "pca_project",
-        "pack_sequences",
-    }
-)
+#: Pure read-only queries whose BUILD phase runs driver-side actions
+#: (iteration loops, or the tiny min/max + per-bucket-totals collects
+#: of the two-phase order-statistics operators). They must be rebuilt
+#: per bench sample so each timing includes that work — but unlike the
+#: write/stream side-effect queries they are safe to construct
+#: anywhere (plan sweeps, oracle checks) with no filesystem effects.
+REBUILD_PURE_QUERIES: set[str] = {
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "pagerank_trade_graph",
+    "ppr_from_seeds",
+    "bpe_learn_merges",
+    "bpe_encode_corpus",
+    "kmeans_parallel_init",
+    "pca_project",
+    "pack_sequences",
+    # bucketed two-phase order statistics (operators/order_stats.py):
+    # offsets are collected at build time
+    "orders_gini",
+    "abc_pareto_classes",
+    "psi_value_drift",
+    "peak_concurrent_sessions",
+    "id_gap_audit",
+    "repeat_purchase_interval",
+    "padding_waste_report",
+    "dim_part_category",
+    "ntile_deciles",
+}
+SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. Lifetime through round 3:

@@ -167,19 +167,38 @@ def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment is reproducible across engines). This is the
     curation primitive behind quality-score percentile cutoffs.
 
-    Scale: the ranked window is global-ordered over *customers after
-    aggregation*; for 100 TB-scale ranking swap ntile for the two-pass
-    approx-quantile cutoff (operators/sampling.keep_top_k_per_group
-    documents the pattern) — here the exact form is the oracle."""
+    Scale: the ranked relation is the CUSTOMER aggregate, which scales
+    with the data — so the rank is the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` and ntile /
+    cume_dist are their closed forms over (rn, n): SQL ntile(k) gives
+    the first ``n mod k`` buckets ``⌈n/k⌉`` rows and the rest ``⌊n/k⌋``;
+    with the total tie order, cume_dist is exactly ``rn / n``. Both are
+    EXACT — no approx-quantile tradeoff needed."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
     )
-    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
-    r = spend.select(
+    n_tot = spend.agg(F.count("*").alias("n"))
+    ranked = with_global_rank(
+        spend, -F.col("s"), [F.desc("s"), F.asc("o_custkey")], "rn"
+    ).crossJoin(F.broadcast(n_tot))
+    k = 10
+    q = F.expr(f"n div {k}")
+    rem = F.expr(f"n % {k}")
+    big = (q + 1) * rem  # rows living in the ⌈n/k⌉-sized buckets
+    decile = F.when(
+        F.col("rn") <= big, F.expr(f"(rn - 1) div ((n div {k}) + 1) + 1")
+    ).otherwise(
+        rem + F.expr(f"(rn - 1 - ((n div {k}) + 1) * (n % {k})) div (n div {k})") + 1
+    )
+    r = ranked.select(
         "s",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.cume_dist().over(w).alias("cd"),
+        decile.cast("long").alias("decile"),
+        (F.col("rn").cast("double") / F.col("n")).alias("cd"),
     )
     return r.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
@@ -2004,14 +2023,22 @@ def q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     means a few hot customers own the workload). The rank-weighted
     formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) runs on exact integer
     sums — the only float is the final division, rounded in-query.
-    The window runs over the CUSTOMER aggregate (dimension-sized),
-    never the orders table."""
-    from pyspark.sql import Window
+    The rank runs over the customer aggregate — which SCALES WITH THE
+    DATA in TPC-H proportions, so it uses the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` (never a global
+    single-partition sort)."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
 
     o = _t(spark, sf_dir, "orders")
     x = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
-    w = Window.orderBy(F.asc("n_orders"), F.asc("o_custkey"))
-    r = x.withColumn("rk", F.row_number().over(w))
+    r = with_global_rank(
+        x,
+        F.col("n_orders"),
+        [F.asc("n_orders"), F.asc("o_custkey")],
+        "rk",
+    )
     s = r.agg(
         F.count("*").alias("n"),
         F.sum("n_orders").alias("total"),
@@ -3042,9 +3069,14 @@ def q_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     inventory-management classic and the canonical cumulative-share
     window. Boundary tests multiply decimals by integers (``cum·100 ≤
     total·80``) instead of dividing, so class edges are exact. The
-    window runs over the PART-level aggregate, never the fact
-    table."""
-    from pyspark.sql import Window
+    cumulative sum runs over the part-level aggregate — PART-SIZED,
+    which scales with the data — so it uses the bucketed two-phase
+    :func:`~.operators.order_stats.with_running_sum` (decimal-exact
+    through the collected bucket offsets); the grand total is a scalar
+    aggregate broadcast back, never an unpartitioned window."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_sum,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
@@ -3052,16 +3084,14 @@ def q_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,2)")
         .alias("r")
     )
-    wc = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy()
-    c = rev.select(
-        "l_partkey",
+    total = rev.agg(F.sum("r").alias("total"))
+    c = with_running_sum(
+        rev,
+        -F.col("r"),
+        [F.col("r").desc(), F.col("l_partkey").asc()],
         "r",
-        F.sum("r").over(wc).alias("cum"),
-        F.sum("r").over(wt).alias("total"),
-    )
+        "cum",
+    ).crossJoin(F.broadcast(total))
     abc = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
@@ -3269,8 +3299,14 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin terms decimal-quantized. The drift alarm every deployed
     model's feature monitoring runs; >0.25 conventionally means
     retrain. Bin edges are 9 scalars — broadcast; binning is
-    scan-local."""
-    from pyspark.sql import Window
+    scan-local. The decile ranks run over the base-period EVENT
+    relation (data-sized), so they use the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` and the row count
+    is a broadcast scalar aggregate — no unpartitioned window
+    anywhere."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
 
     e = _events(spark, sf_dir)
     v = e.select(
@@ -3281,10 +3317,10 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     b = v.filter(F.col("period") == "base")
-    w = Window.orderBy(F.col("val").asc(), F.col("event_id").asc())
-    r = b.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
-    )
+    n_base = b.agg(F.count("*").alias("n"))
+    r = with_global_rank(
+        b, F.col("val"), [F.col("val").asc(), F.col("event_id").asc()], "rn"
+    ).crossJoin(F.broadcast(n_base))
     edges = (
         r.crossJoin(
             F.broadcast(
@@ -3518,9 +3554,15 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     number every connection pool and rate limiter is sized from. The
     tie rule (at equal timestamps, −1 sorts before +1) is explicit so
     both engines count a back-to-back end/start as non-overlapping.
-    The sweep window runs over the SESSION-sized delta relation, never
-    raw events."""
+    The delta relation is SESSION-sized — it scales with the data — so
+    the sweep's running sum is the bucketed two-phase
+    :func:`~.operators.order_stats.with_running_sum` (time-range
+    buckets, exact offsets), never an unpartitioned window."""
     from pyspark.sql import Window
+
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_sum,
+    )
 
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -3553,10 +3595,13 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("d"),
         )
     )
-    ws = Window.orderBy(F.col("t").asc(), F.col("d").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    sweep = with_running_sum(
+        deltas,
+        F.col("t").cast("double"),
+        [F.col("t").asc(), F.col("d").asc()],
+        "d",
+        "conc",
     )
-    sweep = deltas.withColumn("conc", F.sum("d").over(ws))
     mx = sweep.agg(F.max("conc").alias("peak"))
     return (
         sweep.crossJoin(F.broadcast(mx))
@@ -3984,17 +4029,21 @@ def q_dead_stock_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-sequence gap audit: count, widest, and total missing ids in
     the order-key sequence — the continuity check that catches dropped
-    loads and partial restores in surrogate-keyed tables. One lead
-    window over the distinct-key relation; arithmetic is integer.
-    (Degenerate zero-gap data yields the 0/0/0 row on both engines.)"""
-    from pyspark.sql import Window
+    loads and partial restores in surrogate-keyed tables. The distinct
+    key relation is DATA-SIZED, so the neighbor scan is the generic
+    gaps-and-islands-at-scale operator
+    :func:`~.operators.order_stats.sequence_gaps` — per-value-range
+    ``lead`` with cross-bucket seams stitched from the bounded bucket
+    summary, never a global single-partition sort. Arithmetic is
+    integer. (Degenerate zero-gap data yields the 0/0/0 row on both
+    engines.)"""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        sequence_gaps,
+    )
 
     o = _t(spark, sf_dir, "orders")
     k = o.select(F.col("o_orderkey").alias("id")).distinct()
-    w = Window.orderBy("id")
-    l = k.withColumn("next_id", F.lead("id").over(w)).filter(
-        F.col("next_id") - F.col("id") > 1
-    )
+    l = sequence_gaps(k, "id")
     gap = F.col("next_id") - F.col("id") - 1
     return l.agg(
         F.count("*").cast("long").alias("n_gaps"),
@@ -4030,27 +4079,38 @@ def q_sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the predicate prunes at the scan, where OFFSET must materialize
     and discard every earlier row. The cursor (row 40's key pair) is
     derived in-query so the page is deterministic; the rn column
-    proves rows 41-60 came back."""
+    proves rows 41-60 came back.
+
+    Scale shape: NO global row_number anywhere — the cursor is the
+    last row of the top-40 (two chained ``TakeOrderedAndProject``
+    top-ks: per-partition partial top-k, bounded gather), the page is
+    the top-20 of the post-cursor set (another TakeOrdered), and the
+    rn column is reconstructed as ``40 + row_number`` over the 20-row
+    page — a bounded window (LIMIT-20 input), allowlisted in the plan
+    sweep."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.col("o_totalprice").cast("decimal(18,2)").desc(),
-        F.col("o_orderkey").asc(),
-    )
-    ranked = o.select(
+    base = o.select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias(
             "price"
         ),
-        F.row_number().over(w).alias("rn"),
     )
-    cursor = ranked.filter(F.col("rn") == 40).select(
-        F.col("price").alias("c_price"),
-        F.col("o_orderkey").alias("c_key"),
+    # row 40 = the LAST row of the top-40 under (price desc, key asc),
+    # i.e. the top-1 of those 40 under the REVERSED order
+    cursor = (
+        base.orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+        .limit(40)
+        .orderBy(F.col("price").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("price").alias("c_price"),
+            F.col("o_orderkey").alias("c_key"),
+        )
     )
     page = (
-        ranked.crossJoin(F.broadcast(cursor))
+        base.crossJoin(F.broadcast(cursor))
         .filter(
             (F.col("price") < F.col("c_price"))
             | (
@@ -4061,7 +4121,12 @@ def q_sql_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
-    return page.select("o_orderkey", "price", F.col("rn").cast("long"))
+    wp = Window.orderBy(F.col("price").desc(), F.col("o_orderkey").asc())
+    return page.select(
+        "o_orderkey",
+        "price",
+        (F.row_number().over(wp) + F.lit(40)).cast("long").alias("rn"),
+    )
 
 
 @register(

@@ -62,32 +62,34 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays), then the a<b pair expansion is scan-local array algebra
     # — the join formulation shuffles the distinct relation twice
     # (distinct + join repartition) and was measured 2.4× slower at
-    # sf0.1. Per-order fan-out is C(basket,2), bounded by basket size,
-    # and the pair relation partial-aggregates before its exchange.
+    # sf0.1. Pair expansion is two chained Generates (posexplode the
+    # left element, explode the tail slice) — measured 1.00 s vs 1.19 s
+    # for the equivalent nested-transform/flatten expression at sf0.1
+    # (identical 3573-edge output): two shallow Generates beat one deep
+    # Catalyst lambda tree. Per-order fan-out is C(basket,2), bounded
+    # by basket size, and the pair relation partial-aggregates before
+    # its exchange.
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .select("parts")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
+    pairs = (
+        baskets.select(
+            F.col("parts"),
+            F.posexplode(F.col("parts")).alias("i", "part_a"),
+        )
+        .select(
+            "part_a",
+            F.explode(
+                F.slice(
                     F.col("parts"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("parts"),
-                            i + F.lit(2),
-                            F.size(F.col("parts")),
-                        ),
-                        lambda y: F.struct(
-                            x.alias("part_a"), y.alias("part_b")
-                        ),
-                    ),
+                    F.col("i") + F.lit(2),
+                    F.size(F.col("parts")),
                 )
-            )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
+            ).alias("part_b"),
+        )
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_orders"))

@@ -685,8 +685,16 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets replenishment-campaign timing and the denominator of
     "churned buyer" definitions. Gaps are exact integer microseconds
     from one lag window; the median is position-based (a real data
-    value, no interpolation) over the gap relation."""
+    value, no interpolation) over the gap relation — which is
+    DATA-SIZED, so the rank is the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` and the count a
+    broadcast scalar, never an unpartitioned window. Value-only tie
+    order leaves the rank→value mapping exact."""
     from pyspark.sql import Window
+
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
 
     e = _events(spark, sf_dir)
     p = e.filter(F.col("event_type") == "purchase").select(
@@ -703,17 +711,16 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_us").isNotNull())
     )
-    wr = Window.orderBy(F.col("gap_us").asc())
-    r = g.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
-    )
-    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        F.col("gap_us").cast("long").alias("median_gap_us")
-    )
     stats = g.agg(
         F.count("*").cast("long").alias("n_repeat_gaps"),
         F.countDistinct("user_id").cast("long").alias("n_repeat_buyers"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    r = with_global_rank(
+        g, F.col("gap_us"), [F.col("gap_us").asc()], "rn"
+    ).crossJoin(F.broadcast(stats.select(F.col("n_repeat_gaps").alias("n"))))
+    med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        F.col("gap_us").cast("long").alias("median_gap_us")
     )
     return stats.crossJoin(F.broadcast(med)).select(
         "n_repeat_gaps", "n_repeat_buyers", "median_gap_us", "max_gap_us"

@@ -1214,10 +1214,17 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-32 training batches under (a) a deterministic random order
     and (b) length-sorted order — the measurement that justifies
     length bucketing in every training data loader (each batch pads to
-    its max). Both orders are md5/length windows over the doc-length
-    relation (one narrow column), and waste is exact integer
-    arithmetic."""
-    from pyspark.sql import Window
+    its max). The doc-length relation is CORPUS-SIZED, so both
+    orderings rank with the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` — the md5 order
+    buckets by :func:`~.operators.order_stats.hex_prefix_key` (the
+    digest's leading 60 bits, monotone in its lexicographic order),
+    the length order by the token count itself. Waste is exact
+    integer arithmetic; no unpartitioned window anywhere."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        hex_prefix_key,
+        with_global_rank,
+    )
 
     d = _t(spark, sf_dir, "documents")
     t = d.select(
@@ -1228,27 +1235,24 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_toks"),
     )
-    wr = Window.orderBy(
-        F.md5(F.concat(F.lit("pad:"), F.col("doc_id").cast("string"))).asc(),
-        F.col("doc_id").asc(),
-    )
-    ws = Window.orderBy(F.col("n_toks").asc(), F.col("doc_id").asc())
+    h = F.md5(F.concat(F.lit("pad:"), F.col("doc_id").cast("string")))
 
-    def waste(win) -> DataFrame:
-        batched = t.select(
-            "n_toks",
-            F.expr("0").alias("_d"),
-            ((F.row_number().over(win) - 1) / 32)
-            .cast("long")
-            .alias("batch"),
+    def waste(key, order_cols) -> DataFrame:
+        ranked = with_global_rank(t, key, order_cols, "_rn")
+        batched = ranked.select(
+            "n_toks", F.expr("(_rn - 1) div 32").alias("batch")
         )
         per = batched.groupBy("batch").agg(
             (F.count("*") * F.max("n_toks") - F.sum("n_toks")).alias("w")
         )
         return per.agg(F.sum("w").cast("long"))
 
-    waste_rnd = waste(wr).toDF("waste_random")
-    waste_srt = waste(ws).toDF("waste_sorted")
+    waste_rnd = waste(
+        hex_prefix_key(h), [h.asc(), F.col("doc_id").asc()]
+    ).toDF("waste_random")
+    waste_srt = waste(
+        F.col("n_toks"), [F.col("n_toks").asc(), F.col("doc_id").asc()]
+    ).toDF("waste_sorted")
     n = t.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),

@@ -59,6 +59,16 @@ HEADLINE = [
     "hybrid_rrf_search",
     # streaming twins
     "session_windows",
+    # round-4: bucketed two-phase order statistics (the scale-safe
+    # reformulation of the global-window analytics family — timings
+    # include the per-sample offset collects via SIDE_EFFECT_QUERIES)
+    "orders_gini",
+    "abc_pareto_classes",
+    "psi_value_drift",
+    "peak_concurrent_sessions",
+    "id_gap_audit",
+    "repeat_purchase_interval",
+    "padding_waste_report",
 ]
 
 

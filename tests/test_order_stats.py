@@ -1,0 +1,159 @@
+"""Exactness tests for the distributed order-statistics primitives
+(`operators/order_stats.py`): every operator must agree EXACTLY with
+the naive single-partition global window it replaces, across bucket
+boundaries, ties, descending decimal keys, string (hex-digest) orders,
+and degenerate inputs — because the analytics queries built on them
+(Gini, ABC/Pareto, PSI deciles, sweep-line concurrency, id-gap audit,
+padding waste) keep their exact DuckDB oracles after the scale
+reformulation."""
+
+from __future__ import annotations
+
+import random
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.order_stats import (
+    hex_prefix_key,
+    sequence_gaps,
+    with_global_rank,
+    with_running_sum,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    # heavy ties (k in 0..40 over 3000 rows) + decimal values, spread
+    # over 8 input partitions so bucket boundaries are actually crossed
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            rng.randint(0, 40),
+            Decimal(str(round(rng.uniform(-500, 500), 2))),
+        )
+        for i in range(3000)
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, k bigint, v decimal(18,2)"
+    ).repartition(8)
+
+
+def test_global_rank_matches_naive_window(skewed_df):
+    naive = skewed_df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("k"), F.col("id")))
+    )
+    mine = with_global_rank(
+        skewed_df, F.col("k"), [F.col("k"), F.col("id")], "rn"
+    )
+    a = {r.id: r.rn for r in naive.collect()}
+    b = {r.id: r.rn for r in mine.collect()}
+    assert a == b
+
+
+def test_global_rank_value_only_ties_keep_rank_value_mapping(skewed_df):
+    # with value-only ordering, tie assignment floats but the value at
+    # any given rank is determined — the property the position-based
+    # median (repeat_purchase_interval) relies on
+    naive = skewed_df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("k")))
+    )
+    mine = with_global_rank(skewed_df, F.col("k"), [F.col("k")], "rn")
+    a = {r.rn: r.k for r in naive.collect()}
+    b = {r.rn: r.k for r in mine.collect()}
+    assert a == b
+
+
+def test_running_sum_decimal_descending_matches_naive(skewed_df):
+    # descending decimal order via negated key: decimal exactness must
+    # survive the collected bucket offsets (ABC/Pareto's requirement)
+    w = Window.orderBy(F.col("v").desc(), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = skewed_df.withColumn("cum", F.sum("v").over(w))
+    mine = with_running_sum(
+        skewed_df, -F.col("v"), [F.col("v").desc(), F.col("id")], "v", "cum"
+    )
+    a = {r.id: r.cum for r in naive.collect()}
+    b = {r.id: r.cum for r in mine.collect()}
+    assert a == b
+
+
+def test_running_sum_negative_and_positive_deltas(spark):
+    # sweep-line shape: ±1 deltas, key is the (timestamp-like) long
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 999), 1 if i % 2 else -1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, t bigint, d int").repartition(
+        8
+    )
+    w = Window.orderBy(F.col("t"), F.col("d"), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.withColumn("conc", F.sum("d").over(w))
+    mine = with_running_sum(
+        df, F.col("t"), [F.col("t"), F.col("d"), F.col("id")], "d", "conc"
+    )
+    assert {r.id: r.conc for r in naive.collect()} == {
+        r.id: r.conc for r in mine.collect()
+    }
+
+
+def test_hex_prefix_key_preserves_digest_order(spark):
+    # md5-lexicographic global rank (padding_waste_report's random
+    # order): the 60-bit prefix key must bucket monotonically
+    df = spark.range(0, 1500).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    ).repartition(8)
+    naive = df.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    mine = with_global_rank(df, hex_prefix_key(F.col("h")), [F.col("h")], "rn")
+    assert {r.id: r.rn for r in naive.collect()} == {
+        r.id: r.rn for r in mine.collect()
+    }
+
+
+def test_sequence_gaps_matches_sorted_scan(spark):
+    rng = random.Random(5)
+    ids = sorted(rng.sample(range(1, 20000), 1200))
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint").repartition(8)
+    got = {(r["id"], r["next_id"]) for r in sequence_gaps(df, "id").collect()}
+    want = {(a, b) for a, b in zip(ids, ids[1:]) if b - a > 1}
+    assert got == want
+
+
+def test_sequence_gaps_dense_and_single(spark):
+    dense = spark.createDataFrame([(i,) for i in range(50, 80)], "id bigint")
+    assert sequence_gaps(dense, "id").count() == 0
+    single = spark.createDataFrame([(7,)], "id bigint")
+    assert sequence_gaps(single, "id").count() == 0
+
+
+def test_empty_inputs(spark):
+    empty = spark.createDataFrame([], "id bigint, k bigint, v decimal(18,2)")
+    assert with_global_rank(empty, F.col("k"), [F.col("k")]).count() == 0
+    assert (
+        with_running_sum(empty, F.col("k"), [F.col("k")], "v").count() == 0
+    )
+    assert (
+        sequence_gaps(spark.createDataFrame([], "id bigint"), "id").count()
+        == 0
+    )
+
+
+def test_no_single_partition_exchange_in_plans(spark, skewed_df):
+    import io
+    from contextlib import redirect_stdout
+
+    for df in (
+        with_global_rank(skewed_df, F.col("k"), [F.col("k"), F.col("id")]),
+        with_running_sum(
+            skewed_df, -F.col("v"), [F.col("v").desc(), F.col("id")], "v"
+        ),
+        sequence_gaps(skewed_df.select("id").distinct(), "id"),
+    ):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "Exchange SinglePartition" not in buf.getvalue()

@@ -363,3 +363,82 @@ def test_trigram_backoff_no_cartesian(spark):
     df, _ = QUERIES["trigram_backoff_score"]
     plan = _plan_of(df(spark, SF))
     assert "CartesianProduct" not in plan, plan
+
+
+# Queries whose physical plan carries a Window ON a single-partition
+# exchange over a relation that is provably BOUNDED (a fixed dimension
+# or an aggregate at a grain that does NOT scale with the data). Add a
+# name ONLY with the boundedness argument; "it's an aggregate" is not
+# enough — customer/part/document grains scale with data and belong in
+# operators/order_stats.py instead.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    "argmax_with_ties": "market-segment aggregate (5 rows; WindowGroupLimit also pre-bounds per partition)",
+    "auc_rank_sum": "distinct rounded-score relation (bounded score domain, documented in its docstring)",
+    "dim_date": "calendar-day dimension (~2.5k rows/decade, independent of fact volume)",
+    "display_labels": "region x nation aggregate (25 rows)",
+    "distinct_to_date": "month-grain aggregate (~84 rows/TPC-H era)",
+    "group_rank": "nation-grain aggregate (25 rows)",
+    "largest_remainder_alloc": "event-type aggregate (~5 rows)",
+    "mom_change": "month-grain aggregate",
+    "moving_avg_7d": "day-grain aggregate (calendar-bounded)",
+    "ntile_deciles": "residual bounded window only; the customer-sized rank is two-phase",
+    "order_backlog_daily": "day-grain running backlog (calendar-bounded)",
+    "share_of_total": "nation-grain aggregate (25 rows)",
+    "sql_keyset_pagination": "rn reconstruction window over the LIMIT-20 page",
+    "yoy_change": "month-grain aggregate",
+}
+
+
+def _executed_plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _global_window_sites(plan_str: str) -> list[str]:
+    # a Window/WindowGroupLimit node whose child (directly or through
+    # the Sort that WindowExec requires) is Exchange SinglePartition —
+    # the signature of a global-ordered window moving ALL rows to one
+    # partition. Scalar aggregates' final single-partition gathers
+    # (one row per partition after partial agg) do NOT match.
+    lines = plan_str.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Window [" in ln or "WindowGroupLimit" in ln:
+            below = "\n".join(lines[i + 1 : i + 3])
+            if "Exchange SinglePartition" in below:
+                bad.append(ln.strip()[:70])
+    return bad
+
+
+def test_no_unpartitioned_data_sized_windows_anywhere(spark):
+    # the regression fence for the round-3 bug class: a global
+    # Window.orderBy (or Window.partitionBy() grand-total) moves ALL
+    # rows to one partition — correct at sf0.1, a scale-killer at
+    # 100×. Sweep EVERY registered pure query's PHYSICAL plan; any
+    # window sitting on a single-partition exchange must be in the
+    # audited bounded-relation allowlist. Reintroducing e.g.
+    # psi_value_drift's old row_number()-over-all form fails here.
+    from air_quality_etl_pipeline_spark.workload import (
+        REBUILD_PURE_QUERIES,
+        SIDE_EFFECT_QUERIES,
+    )
+
+    offenders = {}
+    skip = SIDE_EFFECT_QUERIES - REBUILD_PURE_QUERIES  # writes/streams only
+    for name, (fn, _) in QUERIES.items():
+        if name in skip:
+            continue
+        sites = _global_window_sites(_executed_plan_str(fn(spark, SF)))
+        if sites and name not in GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = sites
+    assert not offenders, offenders
+
+
+def test_global_topk_compiles_to_take_ordered(spark):
+    # Spark 4.1 rewrites row_number()=1-style / orderBy+limit global
+    # top-k into TakeOrderedAndProject (per-partition partial top-k,
+    # then a bounded gather) — NOT the WindowGroupLimit node; this pin
+    # keeps the README's claim honest and catches a planner regression
+    # that would resurrect a data-sized global sort under bm25_search.
+    df, _ = QUERIES["bm25_search"]
+    plan = _plan_of(df(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
