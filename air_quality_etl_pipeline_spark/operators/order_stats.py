@@ -26,11 +26,20 @@ monotone keys are fine: a ``double`` cast of a decimal, or the leading
 60 bits of a hex digest for lexicographic string order.
 
 Cost shape: two extra narrow aggregation jobs over the input (key
-min/max, per-bucket totals) before the windowed pass — three scans of
-a narrow relation instead of one single-partition sort of it. Callers
-feeding an expensive subquery should ``.cache()`` it first; correctness
-does not require caching because every bucket id is a pure function of
-row values (re-evaluation cannot disagree with itself).
+min/max, per-bucket totals) before the windowed pass. To avoid paying
+the input subquery three times, the operators ``localCheckpoint`` it
+by default (``materialize=True``): one materialization of the narrow
+relation on the executors (MEMORY_AND_DISK, spill-safe), then all
+three passes read the materialized blocks. ``localCheckpoint`` rather
+than ``.cache()`` deliberately — Spark's cache manager matches by
+analyzed plan, so a cached input would silently serve REBUILT copies
+of the same query (bench honesty) and pile up entries; checkpointed
+blocks are owned by the DataFrame and GC'd with it. The tradeoff is
+standard: checkpoint blocks aren't recomputable on executor loss, so
+jobs retry from the checkpoint action. Pass ``materialize=False`` for
+inputs too large to materialize (then correctness still holds — every
+bucket id is a pure function of row values, so re-evaluation cannot
+disagree with itself — you just pay the subquery three times).
 
 Skew: a skewed key distribution unbalances bucket SIZES, never
 correctness. ``num_ranges`` defaults to ``spark.sql.shuffle.partitions``
@@ -72,6 +81,7 @@ def _bucket_offsets(
     key: Column,
     value: Column,
     num_ranges: int | None,
+    materialize: bool = True,
 ):
     """Shared phase 1+2: attach ``__obkt`` (the deterministic range
     bucket of *key*) and return the per-bucket exclusive-prefix offset
@@ -83,6 +93,8 @@ def _bucket_offsets(
         num_ranges = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
         )
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     kd = key.cast("double")
     lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
     if lo is None:
@@ -132,6 +144,7 @@ def with_global_rank(
     order_cols: Sequence[Column],
     out_col: str = "rn",
     num_ranges: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact global ``row_number()`` in ``order_cols`` order without a
     single-partition sort. *key* must be numeric and non-strictly
@@ -139,7 +152,9 @@ def with_global_rank(
     exact within-bucket ordering (include tiebreakers for determinism —
     with value-only ordering the rank→value mapping is still exact,
     only the tie assignment floats)."""
-    bucketed, offset = _bucket_offsets(df, key, F.lit(1), num_ranges)
+    bucketed, offset = _bucket_offsets(
+        df, key, F.lit(1), num_ranges, materialize
+    )
     if bucketed is None:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     w = Window.partitionBy("__obkt").orderBy(*order_cols)
@@ -158,6 +173,7 @@ def with_running_sum(
     value_col: str,
     out_col: str = "cum",
     num_ranges: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact inclusive running sum of *value_col* in ``order_cols``
     order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW frame) without a
@@ -165,7 +181,7 @@ def with_running_sum(
     decimal stays decimal-exact through both the window and the
     collected per-bucket offsets."""
     bucketed, offset = _bucket_offsets(
-        df, key, F.col(value_col), num_ranges
+        df, key, F.col(value_col), num_ranges, materialize
     )
     if bucketed is None:
         return df.withColumn(out_col, F.lit(None))
@@ -183,6 +199,7 @@ def sequence_gaps(
     df: DataFrame,
     id_col: str,
     num_ranges: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Gaps-and-islands at scale: for a DISTINCT integer id relation,
     return one row per gap — ``(id, next_id)`` where ``next_id`` is the
@@ -200,6 +217,8 @@ def sequence_gaps(
         num_ranges = int(
             spark.conf.get("spark.sql.shuffle.partitions", "8")
         )
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     kd = F.col(id_col).cast("double")
     lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
     out_schema = f"`{id_col}` bigint, `next_id` bigint"

@@ -9,6 +9,7 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.workload import QUERIES
@@ -409,7 +410,32 @@ def _global_window_sites(plan_str: str) -> list[str]:
     return bad
 
 
-def test_no_unpartitioned_data_sized_windows_anywhere(spark):
+# Queries whose plan may contain a CartesianProduct: documented EXACT
+# baselines where the all-pairs comparison is the point (paired with a
+# bucketed variant elsewhere in the registry). Add a name ONLY with the
+# justification.
+CARTESIAN_ALLOWLIST: dict[str, str] = {}
+
+
+@pytest.fixture(scope="module")
+def registry_plans(spark) -> dict[str, str]:
+    # one plan-build pass over every registered pure query, shared by
+    # the registry-wide sweeps below (building ~240 physical plans
+    # costs ~1 min; do it once)
+    from air_quality_etl_pipeline_spark.workload import (
+        REBUILD_PURE_QUERIES,
+        SIDE_EFFECT_QUERIES,
+    )
+
+    skip = SIDE_EFFECT_QUERIES - REBUILD_PURE_QUERIES  # writes/streams only
+    return {
+        name: _executed_plan_str(fn(spark, SF))
+        for name, (fn, _) in QUERIES.items()
+        if name not in skip
+    }
+
+
+def test_no_unpartitioned_data_sized_windows_anywhere(registry_plans):
     # the regression fence for the round-3 bug class: a global
     # Window.orderBy (or Window.partitionBy() grand-total) moves ALL
     # rows to one partition — correct at sf0.1, a scale-killer at
@@ -417,19 +443,25 @@ def test_no_unpartitioned_data_sized_windows_anywhere(spark):
     # window sitting on a single-partition exchange must be in the
     # audited bounded-relation allowlist. Reintroducing e.g.
     # psi_value_drift's old row_number()-over-all form fails here.
-    from air_quality_etl_pipeline_spark.workload import (
-        REBUILD_PURE_QUERIES,
-        SIDE_EFFECT_QUERIES,
-    )
-
     offenders = {}
-    skip = SIDE_EFFECT_QUERIES - REBUILD_PURE_QUERIES  # writes/streams only
-    for name, (fn, _) in QUERIES.items():
-        if name in skip:
-            continue
-        sites = _global_window_sites(_executed_plan_str(fn(spark, SF)))
+    for name, plan in registry_plans.items():
+        sites = _global_window_sites(plan)
         if sites and name not in GLOBAL_WINDOW_ALLOWLIST:
             offenders[name] = sites
+    assert not offenders, offenders
+
+
+def test_no_cartesian_product_anywhere(registry_plans):
+    # a CartesianProduct over data-sized relations is quadratic I/O at
+    # scale; the engine's pair generators are all bucketed equi-joins
+    # and its scalar combiners broadcast — so NO registered query may
+    # plan a CartesianProduct at all (broadcast nested-loop against
+    # structurally-small sides is a different node and stays legal).
+    offenders = [
+        name
+        for name, plan in registry_plans.items()
+        if "CartesianProduct" in plan and name not in CARTESIAN_ALLOWLIST
+    ]
     assert not offenders, offenders
 
 

@@ -308,3 +308,76 @@ def test_copurchase_baskets_6m_rows(spark):
     # sf0.1 runs ~1.3 s; 10x data with linear scaling plus shuffle
     # overhead should land well under 60 s on this rig
     assert took < 60, f"co-purchase at 6M rows took {took:.1f}s"
+
+
+def test_global_rank_5m_zipf_ties(spark):
+    # Zipf-ish key (id % k with heavy mass at small values via id//x)
+    # creates massive tie runs — ties collapse into ONE value-range
+    # bucket by design, so this checks both correctness under skew and
+    # that offsets stay exact across 5M rows and double re-evaluation
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
+
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        # ~38% of rows share key 0, long tail above — a worst-ish case
+        F.floor(F.sqrt(F.col("id") % 1_000_000)).alias("k"),
+    )
+    out = with_global_rank(
+        df, F.col("k"), [F.col("k"), F.col("id")], "rn", num_ranges=32
+    )
+    # exact total-order rank: rn must be a permutation of 1..n and the
+    # (k, id) order must be non-decreasing along rn on a boundary probe
+    agg = out.agg(
+        F.count("*").alias("c"),
+        F.countDistinct("rn").alias("d"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+    ).first()
+    assert (agg["c"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
+    # spot-exactness: id 0 is the unique global minimum under (k, id),
+    # and ids 1..4 (all tied at small k) must rank in id order
+    probe = {
+        r["id"]: r["rn"] for r in out.filter(F.col("id") < 5).collect()
+    }
+    assert probe[0] == 1
+    assert probe[1] < probe[2] < probe[3] < probe[4]
+
+
+def test_running_sum_5m_matches_closed_form(spark):
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_sum,
+    )
+
+    n = 5_000_000
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    out = with_running_sum(
+        df, F.col("k"), [F.col("k")], "v", "cum", num_ranges=32
+    )
+    # cum(k) = k + 1 everywhere; check the global max and a random probe
+    assert out.agg(F.max("cum")).first()[0] == n
+    probe = out.filter(F.col("k").isin(0, 1_234_567, n - 1)).collect()
+    assert {r["k"]: r["cum"] for r in probe} == {
+        0: 1,
+        1_234_567: 1_234_568,
+        n - 1: n,
+    }
+
+
+def test_sequence_gaps_5m_known_holes(spark):
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        sequence_gaps,
+    )
+
+    # ids 0..5M with every multiple of 1000 removed → gaps of width 1
+    # at every seam the buckets may cut differently
+    df = spark.range(5_000_000).filter(F.col("id") % 1000 != 0)
+    gaps = sequence_gaps(df, "id", num_ranges=32)
+    agg = gaps.agg(
+        F.count("*").alias("n"),
+        F.max(F.col("next_id") - F.col("id") - 1).alias("w"),
+    ).first()
+    assert agg["n"] == 4999  # holes at 1000, 2000, ..., 4_999_000
+    assert agg["w"] == 1
