@@ -87,8 +87,13 @@ def _bucket_offsets(
     bucket of *key*) and return the per-bucket exclusive-prefix offset
     column (sum of *value* over all lower buckets).
 
-    Returns ``(bucketed_df, offset_col)`` — or ``(None, None)`` when
-    the input is empty (caller decides the degenerate shape)."""
+    Returns ``(bucketed_df, offset_col, grand_total)`` — or
+    ``(None, None, None)`` when the input is empty (caller decides the
+    degenerate shape). ``grand_total`` is the sum of *value* over the
+    WHOLE input — it falls out of the already-collected bucket totals,
+    so callers that need the global count/sum (Pareto shares, median
+    positions, PSI denominators) get it for free instead of paying a
+    separate aggregation job that re-executes the input subquery."""
     if num_ranges is None:
         num_ranges = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
@@ -98,7 +103,7 @@ def _bucket_offsets(
     kd = key.cast("double")
     lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
     if lo is None:
-        return None, None
+        return None, None, None
     span = hi - lo
     width = span / num_ranges if span > 0 else 1.0
     # least() clamps hi itself (and any float round-up) into the last
@@ -120,6 +125,7 @@ def _bucket_offsets(
         t = totals[b]
         if t is not None:
             running = t if running is None else running + t
+    grand_total = running
     # exclusive prefix: the first non-empty bucket carries no entry and
     # coalesces to zero (type-widened to the sum's own type by Spark)
     entries = [
@@ -135,7 +141,7 @@ def _bucket_offsets(
         )
     else:
         offset_col = F.lit(0)
-    return bucketed, offset_col
+    return bucketed, offset_col, grand_total
 
 
 def with_global_rank(
@@ -145,25 +151,40 @@ def with_global_rank(
     out_col: str = "rn",
     num_ranges: int | None = None,
     materialize: bool = True,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact global ``row_number()`` in ``order_cols`` order without a
     single-partition sort. *key* must be numeric and non-strictly
     monotone in that order (see module contract); *order_cols* is the
     exact within-bucket ordering (include tiebreakers for determinism —
     with value-only ordering the rank→value mapping is still exact,
-    only the tie assignment floats)."""
-    bucketed, offset = _bucket_offsets(
+    only the tie assignment floats).
+
+    ``total_col`` (optional) attaches the GLOBAL row count as a long
+    literal column — it is the sum of the already-collected bucket
+    counts, so median positions / decile cut ranks / Pareto
+    denominators cost zero extra jobs (a separate ``count()`` would
+    re-execute the input subquery end to end)."""
+    bucketed, offset, grand = _bucket_offsets(
         df, key, F.lit(1), num_ranges, materialize
     )
     if bucketed is None:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(0).cast("long"))
+        return out
     w = Window.partitionBy("__obkt").orderBy(*order_cols)
-    return bucketed.withColumn(
+    out = bucketed.withColumn(
         out_col,
         (F.row_number().over(w).cast("long") + offset.cast("long")).cast(
             "long"
         ),
     ).drop("__obkt")
+    if total_col is not None:
+        out = out.withColumn(
+            total_col, F.lit(int(grand)).cast("long")
+        )
+    return out
 
 
 def with_running_sum(
@@ -174,25 +195,40 @@ def with_running_sum(
     out_col: str = "cum",
     num_ranges: int | None = None,
     materialize: bool = True,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact inclusive running sum of *value_col* in ``order_cols``
     order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW frame) without a
     single-partition sort. The sum keeps *value_col*'s own type —
     decimal stays decimal-exact through both the window and the
-    collected per-bucket offsets."""
-    bucketed, offset = _bucket_offsets(
+    collected per-bucket offsets.
+
+    ``total_col`` (optional) attaches the GLOBAL sum of *value_col* as
+    a literal column — the sum of the already-collected bucket totals
+    (same Python type the offsets use: Decimal stays Decimal), so
+    share-of-total denominators cost zero extra jobs instead of a
+    separate aggregation that re-executes the input subquery."""
+    bucketed, offset, grand = _bucket_offsets(
         df, key, F.col(value_col), num_ranges, materialize
     )
     if bucketed is None:
-        return df.withColumn(out_col, F.lit(None))
+        out = df.withColumn(out_col, F.lit(None))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(0))
+        return out
     w = (
         Window.partitionBy("__obkt")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return bucketed.withColumn(
+    out = bucketed.withColumn(
         out_col, F.sum(value_col).over(w) + offset
     ).drop("__obkt")
+    if total_col is not None:
+        out = out.withColumn(
+            total_col, F.lit(grand if grand is not None else 0)
+        )
+    return out
 
 
 def sequence_gaps(

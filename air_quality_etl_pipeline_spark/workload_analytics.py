@@ -3072,8 +3072,10 @@ def q_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum runs over the part-level aggregate — PART-SIZED,
     which scales with the data — so it uses the bucketed two-phase
     :func:`~.operators.order_stats.with_running_sum` (decimal-exact
-    through the collected bucket offsets); the grand total is a scalar
-    aggregate broadcast back, never an unpartitioned window."""
+    through the collected bucket offsets); the grand total rides the
+    operator's own bucket-totals collect (``total_col`` — zero extra
+    jobs), never an unpartitioned window and never a second scan of
+    the lineitem aggregate."""
     from air_quality_etl_pipeline_spark.operators.order_stats import (
         with_running_sum,
     )
@@ -3084,14 +3086,14 @@ def q_abc_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,2)")
         .alias("r")
     )
-    total = rev.agg(F.sum("r").alias("total"))
     c = with_running_sum(
         rev,
         -F.col("r"),
         [F.col("r").desc(), F.col("l_partkey").asc()],
         "r",
         "cum",
-    ).crossJoin(F.broadcast(total))
+        total_col="total",
+    )
     abc = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
@@ -3301,9 +3303,10 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrain. Bin edges are 9 scalars — broadcast; binning is
     scan-local. The decile ranks run over the base-period EVENT
     relation (data-sized), so they use the bucketed two-phase
-    :func:`~.operators.order_stats.with_global_rank` and the row count
-    is a broadcast scalar aggregate — no unpartitioned window
-    anywhere."""
+    :func:`~.operators.order_stats.with_global_rank`; the base-period
+    row count rides the operator's bucket-counts collect
+    (``total_col`` — no separate count job re-scanning events) — no
+    unpartitioned window anywhere."""
     from air_quality_etl_pipeline_spark.operators.order_stats import (
         with_global_rank,
     )
@@ -3317,10 +3320,13 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     b = v.filter(F.col("period") == "base")
-    n_base = b.agg(F.count("*").alias("n"))
     r = with_global_rank(
-        b, F.col("val"), [F.col("val").asc(), F.col("event_id").asc()], "rn"
-    ).crossJoin(F.broadcast(n_base))
+        b,
+        F.col("val"),
+        [F.col("val").asc(), F.col("event_id").asc()],
+        "rn",
+        total_col="n",
+    )
     edges = (
         r.crossJoin(
             F.broadcast(
@@ -3333,18 +3339,28 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.max("val").alias("hi"))
     )
-    sorted_edges = F.broadcast(edges)
-    binned = (
-        v.crossJoin(sorted_edges)
+    # Collapse the 9 edges to ONE sorted-array row and bin scan-locally:
+    # bin = 1 + #{edges < val} (edges' hi is nondecreasing in bin, so
+    # this equals "min bin with val ≤ hi, else 10" — the decile rule —
+    # including tied edges). The naive form (crossJoin the 9-row edge
+    # relation, then re-aggregate at EVENT grain to pick min bin) was a
+    # 9× row expansion plus an event-sized shuffle; this is a 1-row
+    # broadcast and a lambda over a 9-element array, then the only
+    # shuffle left is the 20-group (period, bin) count.
+    edge_arr = edges.agg(F.sort_array(F.collect_list("hi")).alias("his"))
+    counts = (
+        v.crossJoin(F.broadcast(edge_arr))
         .withColumn(
-            "in_bin",
-            F.when(F.col("val") <= F.col("hi"), F.col("bin")),
+            "bin",
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter("his", lambda h: h < F.col("val"))
+                ).cast("long")
+            ),
         )
-        .groupBy("period", "event_id", "val")
-        .agg(F.coalesce(F.min("in_bin"), F.lit(10)).alias("bin"))
-    )
-    counts = binned.groupBy("period", "bin").agg(
-        F.count("*").cast("long").alias("n")
+        .groupBy("period", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
     )
     tots = counts.groupBy("period").agg(
         F.sum("n").cast("long").alias("tn")
@@ -3602,17 +3618,25 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "conc",
     )
-    mx = sweep.agg(F.max("conc").alias("peak"))
-    return (
-        sweep.crossJoin(F.broadcast(mx))
-        .filter(F.col("conc") == F.col("peak"))
-        .groupBy(F.col("peak").cast("long").alias("peak_concurrency"))
-        .agg(
-            F.date_format(F.min("t"), "yyyy-MM-dd HH:mm:ss").alias(
-                "first_peak_at"
+    # One aggregation pass finds both outputs: max(struct(conc, −t))
+    # orders by concurrency first, then by NEGATED epoch micros — so
+    # the winner is the maximum concurrency at its EARLIEST instant.
+    # (The max-agg + self-join-on-peak form executed the sweep's window
+    # pass twice; this is a single scalar aggregate over it.)
+    best = sweep.agg(
+        F.max(
+            F.struct(
+                F.col("conc").alias("c"),
+                (F.lit(0) - F.unix_micros("t")).alias("neg_t"),
             )
-        )
-        .select("peak_concurrency", "first_peak_at")
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.c").cast("long").alias("peak_concurrency"),
+        F.date_format(
+            F.timestamp_micros(F.lit(0) - F.col("b.neg_t")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("first_peak_at"),
     )
 
 

@@ -687,9 +687,12 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one lag window; the median is position-based (a real data
     value, no interpolation) over the gap relation — which is
     DATA-SIZED, so the rank is the bucketed two-phase
-    :func:`~.operators.order_stats.with_global_rank` and the count a
-    broadcast scalar, never an unpartitioned window. Value-only tie
-    order leaves the rank→value mapping exact."""
+    :func:`~.operators.order_stats.with_global_rank`, the count rides
+    the operator's bucket-counts collect (``total_col``), and the gap
+    relation is checkpointed ONCE here so the stats aggregate and the
+    rank passes share one materialization of the lag window instead of
+    re-running it per consumer. Never an unpartitioned window;
+    value-only tie order leaves the rank→value mapping exact."""
     from pyspark.sql import Window
 
     from air_quality_etl_pipeline_spark.operators.order_stats import (
@@ -710,6 +713,7 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
         .filter(F.col("gap_us").isNotNull())
+        .localCheckpoint(eager=False)
     )
     stats = g.agg(
         F.count("*").cast("long").alias("n_repeat_gaps"),
@@ -717,8 +721,13 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
     r = with_global_rank(
-        g, F.col("gap_us"), [F.col("gap_us").asc()], "rn"
-    ).crossJoin(F.broadcast(stats.select(F.col("n_repeat_gaps").alias("n"))))
+        g,
+        F.col("gap_us"),
+        [F.col("gap_us").asc()],
+        "rn",
+        materialize=False,
+        total_col="n",
+    )
     med = r.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         F.col("gap_us").cast("long").alias("median_gap_us")
     )

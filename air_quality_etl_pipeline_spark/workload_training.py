@@ -1219,8 +1219,12 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~.operators.order_stats.with_global_rank` — the md5 order
     buckets by :func:`~.operators.order_stats.hex_prefix_key` (the
     digest's leading 60 bits, monotone in its lexicographic order),
-    the length order by the token count itself. Waste is exact
-    integer arithmetic; no unpartitioned window anywhere."""
+    the length order by the token count itself. The tokenized-length
+    relation is checkpointed ONCE here and shared by both rankings and
+    the totals aggregate (``materialize=False`` inside the operators),
+    so the regex tokenization of every document runs once, not five
+    times. Waste is exact integer arithmetic; no unpartitioned window
+    anywhere."""
     from air_quality_etl_pipeline_spark.operators.order_stats import (
         hex_prefix_key,
         with_global_rank,
@@ -1234,11 +1238,13 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_toks"),
-    )
+    ).localCheckpoint(eager=False)
     h = F.md5(F.concat(F.lit("pad:"), F.col("doc_id").cast("string")))
 
     def waste(key, order_cols) -> DataFrame:
-        ranked = with_global_rank(t, key, order_cols, "_rn")
+        ranked = with_global_rank(
+            t, key, order_cols, "_rn", materialize=False
+        )
         batched = ranked.select(
             "n_toks", F.expr("(_rn - 1) div 32").alias("batch")
         )

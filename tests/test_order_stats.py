@@ -140,6 +140,37 @@ def test_empty_inputs(spark):
         sequence_gaps(spark.createDataFrame([], "id bigint"), "id").count()
         == 0
     )
+    # total_col keeps the output schema stable on empty input
+    er = with_global_rank(
+        empty, F.col("k"), [F.col("k")], total_col="n"
+    )
+    assert "n" in er.columns and er.count() == 0
+    es = with_running_sum(
+        empty, F.col("k"), [F.col("k")], "v", total_col="tot"
+    )
+    assert "tot" in es.columns and es.count() == 0
+
+
+def test_total_col_equals_global_aggregate(skewed_df):
+    # the attached literal must equal a real global aggregate — count
+    # for the rank, the value sum (Decimal-exact) for the running sum —
+    # because Pareto/median/PSI denominators ride it with no extra job
+    r = with_global_rank(
+        skewed_df, F.col("k"), [F.col("k"), F.col("id")], total_col="n"
+    )
+    vals = r.select("n").distinct().collect()
+    assert len(vals) == 1 and vals[0]["n"] == skewed_df.count()
+
+    s = with_running_sum(
+        skewed_df,
+        F.col("k"),
+        [F.col("k"), F.col("id")],
+        "v",
+        total_col="tot",
+    )
+    tots = s.select("tot").distinct().collect()
+    expected = skewed_df.agg(F.sum("v")).first()[0]
+    assert len(tots) == 1 and tots[0]["tot"] == expected
 
 
 def test_no_single_partition_exchange_in_plans(spark, skewed_df):
