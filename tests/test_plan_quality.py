@@ -465,6 +465,21 @@ def test_no_cartesian_product_anywhere(registry_plans):
     assert not offenders, offenders
 
 
+def test_no_row_at_a_time_python_eval_anywhere(registry_plans):
+    # the engine's Python-boundary rule (SCALE.md): Python runs only as
+    # Arrow-batched mapInPandas/applyInPandas stages — never the
+    # row-at-a-time BatchEvalPython operator, which serializes one row
+    # per Python call and is the classic 10-100× slow path. The source
+    # grep (no F.udf) catches the obvious form; this sweep catches any
+    # plan that degenerates into row-wise eval by another route.
+    offenders = [
+        name
+        for name, plan in registry_plans.items()
+        if "BatchEvalPython" in plan
+    ]
+    assert not offenders, offenders
+
+
 def test_global_topk_compiles_to_take_ordered(spark):
     # Spark 4.1 rewrites row_number()=1-style / orderBy+limit global
     # top-k into TakeOrderedAndProject (per-partition partial top-k,
