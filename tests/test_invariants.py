@@ -515,3 +515,47 @@ def test_weighted_median_crosses_half_mass(spark, vals):
     at_or_below = sum(q for p, q in vals if p <= med)
     assert at_or_below * 2 >= total
     assert below * 2 < total
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=10, max_size=60
+    ),
+    edges=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=9, max_size=9
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_psi_array_binning_equals_min_bin_rule(spark, vals, edges):
+    # psi_value_drift bins with `1 + #{edges < val}` over the SORTED
+    # edge array; the definitional rule is "min bin whose (sorted,
+    # nondecreasing) edge is >= val, else 10". With duplicated edge
+    # values — which position-based deciles produce on tied data —
+    # both must agree on every input value; this pins the rewrite's
+    # nondecreasing-edges equivalence argument.
+    sorted_edges = sorted(edges)
+
+    def naive_bin(v: int) -> int:
+        for i, hi in enumerate(sorted_edges, start=1):
+            if v <= hi:
+                return i
+        return 10
+
+    df = spark.createDataFrame([(v,) for v in vals], "val int")
+    arr = F.array(*[F.lit(e) for e in sorted_edges])
+    got = {
+        r["val"]: r["bin"]
+        for r in df.select(
+            "val",
+            (
+                F.lit(1)
+                + F.size(F.filter(arr, lambda h: h < F.col("val")))
+            ).alias("bin"),
+        ).collect()
+    }
+    for v in set(vals):
+        assert got[v] == naive_bin(v), (v, sorted_edges)
