@@ -1163,6 +1163,16 @@ REBUILD_PURE_QUERIES: set[str] = {
     "padding_waste_report",
     "dim_part_category",
     "ntile_deciles",
+    # builders that execute Spark jobs at construction (found by the
+    # job-group audit that is now the plan-quality fence
+    # tests/test_plan_quality.py::test_pure_query_builds_run_no_jobs):
+    # the PQ codebook collect (k lowest-id vectors) and the Bloom
+    # bitmap build (dim scan → ≤4096 positions) are the operator's own
+    # training/build work, so bench samples must pay them
+    "pq_codes",
+    "pq_adc_search",
+    "ivf_pq_search",
+    "bloom_filter_join",
 }
 SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 

@@ -418,21 +418,48 @@ CARTESIAN_ALLOWLIST: dict[str, str] = {}
 
 
 @pytest.fixture(scope="module")
-def registry_plans(spark) -> dict[str, str]:
+def registry_audit(spark) -> tuple[dict[str, str], dict[str, int]]:
     # one plan-build pass over every registered pure query, shared by
     # the registry-wide sweeps below (building ~240 physical plans
-    # costs ~1 min; do it once)
+    # costs ~1 min; do it once). Each build runs under its own Spark
+    # job group so the no-jobs-at-construction fence can count what
+    # the BUILDER executed; table scans are warmed first so first-touch
+    # parquet listing/schema jobs don't charge to the first query.
     from air_quality_etl_pipeline_spark.workload import (
         REBUILD_PURE_QUERIES,
         SIDE_EFFECT_QUERIES,
+        _events,
+        _t,
     )
 
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        _t(spark, SF, t).schema
+    _events(spark, SF).schema
+
     skip = SIDE_EFFECT_QUERIES - REBUILD_PURE_QUERIES  # writes/streams only
-    return {
-        name: _executed_plan_str(fn(spark, SF))
-        for name, (fn, _) in QUERIES.items()
-        if name not in skip
-    }
+    sc = spark.sparkContext
+    plans: dict[str, str] = {}
+    build_jobs: dict[str, int] = {}
+    for name, (fn, _) in QUERIES.items():
+        if name in skip:
+            continue
+        group = f"plan-audit:{name}"
+        sc.setJobGroup(group, name)
+        df = fn(spark, SF)
+        sc.setJobGroup("plan-audit:idle", "idle")
+        build_jobs[name] = len(
+            sc.statusTracker().getJobIdsForGroup(group)
+        )
+        plans[name] = _executed_plan_str(df)
+    return plans, build_jobs
+
+
+@pytest.fixture(scope="module")
+def registry_plans(registry_audit) -> dict[str, str]:
+    return registry_audit[0]
 
 
 def test_no_unpartitioned_data_sized_windows_anywhere(registry_plans):
@@ -462,6 +489,30 @@ def test_no_cartesian_product_anywhere(registry_plans):
         for name, plan in registry_plans.items()
         if "CartesianProduct" in plan and name not in CARTESIAN_ALLOWLIST
     ]
+    assert not offenders, offenders
+
+
+def test_pure_query_builds_run_no_jobs(registry_audit):
+    # bench honesty fence (the round-3 bug class, made mechanical): a
+    # query OUTSIDE SIDE_EFFECT_QUERIES is timed on a cached prepared
+    # plan, so its builder must not execute Spark jobs — any build-time
+    # collect (codebook training, Bloom bitmap, range offsets) would
+    # silently drop out of every bench sample. A builder that needs
+    # jobs belongs in REBUILD_PURE_QUERIES / SIDE_EFFECT_QUERIES so
+    # samples rebuild it and pay the work. Found-by-audit members:
+    # pq_codes / pq_adc_search / ivf_pq_search (codebook collect),
+    # bloom_filter_join (bitmap build), the order-stats family
+    # (offset collects).
+    from air_quality_etl_pipeline_spark.workload import (
+        SIDE_EFFECT_QUERIES,
+    )
+
+    _, build_jobs = registry_audit
+    offenders = {
+        name: n
+        for name, n in build_jobs.items()
+        if n > 0 and name not in SIDE_EFFECT_QUERIES
+    }
     assert not offenders, offenders
 
 
