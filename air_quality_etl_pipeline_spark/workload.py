@@ -1178,15 +1178,21 @@ SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. Lifetime through round 3:
-#: 146 distinct driver-green, 0 ever-failed, 107 never checked. The
-#: round-3 gate retired its 50-name front block, so this list is
-#: RE-ORDERED for round 4: the 107 never-checked queries come first
-#: (registration order — round-3 additions oldest-first), so rounds 4
-#: and 5 retire the whole backlog (50 + 50) and round 6 clears the
-#: final 7 before rotating to drift re-confirmation of the oldest
-#: greens (round-1 block, then round-3). Every queued name is locally
-#: verified at sf0.001 AND sf0.01 by tests/test_oracle_parity.py —
-#: the driver signal is confirmation, not first contact.
+#: 146 distinct driver-green, 0 ever-failed, 107 never checked.
+#:
+#: This static list is the BASE order; the effective registry order is
+#: computed at import by ``_driver_checked_rounds`` below, which reads
+#: the driver-written ``CORRECTNESS_r*.json`` receipts and re-sorts so
+#: that (1) never-driver-checked (or last-check-failed) queries come
+#: first in base order, then (2) checked-green queries by OLDEST last
+#: check first (drift re-confirmation). The round-3 verdict's
+#: highest-leverage finding was that this re-ordering had to be done
+#: by hand each round or the gate re-confirms known greens and retires
+#: zero backlog — deriving it from the receipts makes the rotation
+#: self-maintaining: each gate run demotes what it just checked.
+#: Every queued name is locally verified at sf0.001 AND sf0.01 by
+#: tests/test_oracle_parity.py — the driver signal is confirmation,
+#: not first contact.
 _DRIVER_PRIORITY = [
     # never driver-checked (107) — rounds 4+5 gate fodder, oldest-first
     "bm25_search",
@@ -1396,9 +1402,56 @@ _DRIVER_PRIORITY = [
     "embedding_drift_centroids",
 ]
 
+def _driver_checked_rounds() -> dict[str, int]:
+    """``name -> latest round whose driver gate checked it GREEN``,
+    parsed from the driver-written ``CORRECTNESS_r*.json`` receipts at
+    the repo root. A failed or errored check does NOT count (the query
+    should go back to the front of the queue); missing/unreadable
+    files contribute nothing, so a fresh clone falls back to the
+    static base order."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            green = (
+                rec.get("rows_match") is True
+                and rec.get("schema_match", True) is not False
+                and rec.get("hash_match", True) is not False
+                and rec.get("err") is None
+            )
+            if green:
+                latest[name] = max(rnd, latest.get(name, 0))
+    return latest
+
+
 _snapshot = dict(QUERIES)
-_order = [n for n in _DRIVER_PRIORITY if n in _snapshot] + [
+_base = [n for n in _DRIVER_PRIORITY if n in _snapshot] + [
     n for n in _snapshot if n not in _DRIVER_PRIORITY
 ]
+_base_pos = {n: i for i, n in enumerate(_base)}
+_checked = _driver_checked_rounds()
+# never-checked (and last-check-failed) first in base order, then
+# checked-green by oldest-latest-check round first, ties in base order
+_order = sorted(
+    _base, key=lambda n: (_checked.get(n, -1), _base_pos[n])
+)
 QUERIES.clear()
 QUERIES.update({n: _snapshot[n] for n in _order})
