@@ -1402,19 +1402,20 @@ _DRIVER_PRIORITY = [
     "embedding_drift_centroids",
 ]
 
-def _driver_checked_rounds() -> dict[str, int]:
+def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
     """``name -> latest round whose driver gate checked it GREEN``,
     parsed from the driver-written ``CORRECTNESS_r*.json`` receipts at
-    the repo root. A failed or errored check does NOT count (the query
-    should go back to the front of the queue); missing/unreadable
-    files contribute nothing, so a fresh clone falls back to the
-    static base order."""
+    the repo root (or *root*, for tests). A failed or errored check
+    does NOT count (the query should go back to the front of the
+    queue); missing/unreadable files contribute nothing, so a fresh
+    clone falls back to the static base order."""
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)

@@ -559,3 +559,72 @@ def test_psi_array_binning_equals_min_bin_rule(spark, vals, edges):
     }
     for v in set(vals):
         assert got[v] == naive_bin(v), (v, sorted_edges)
+
+
+def test_driver_priority_rotation_from_receipts(tmp_path):
+    # the registry order is derived from the driver's CORRECTNESS
+    # receipts: green checks demote a query behind every never-checked
+    # one (oldest check first among greens); failed/errored checks do
+    # NOT count, so the query re-queues at the front. This is what
+    # makes the 50-slot gate retire backlog every round without a
+    # manual re-order.
+    import json
+
+    from air_quality_etl_pipeline_spark.workload import (
+        QUERIES,
+        _driver_checked_rounds,
+    )
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "green_old": {
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None,
+                },
+                "failed": {
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": False, "err": None,
+                },
+                "errored": {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "err": "boom",
+                },
+                "rows_only_green": {"rows_match": True, "err": None},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {
+                "green_old": {
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None,
+                },
+                "green_new": {
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None,
+                },
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r9x.json").write_text("not json")
+
+    latest = _driver_checked_rounds(root=str(tmp_path))
+    assert latest == {
+        "green_old": 2,      # re-checked in r2 -> latest wins
+        "green_new": 2,
+        "rows_only_green": 1,  # rows-only (no hash field) still green
+    }
+    assert "failed" not in latest and "errored" not in latest
+
+    base = ["failed", "green_new", "never_a", "green_old", "never_b"]
+    pos = {n: i for i, n in enumerate(base)}
+    order = sorted(base, key=lambda n: (latest.get(n, -1), pos[n]))
+    # never-checked + failed first (base order), then greens — both
+    # latest=2, so base order breaks the tie
+    assert order == ["failed", "never_a", "never_b", "green_new",
+                     "green_old"]
+
+    # and the live registry kept every query exactly once
+    assert len(QUERIES) == len(set(QUERIES))
