@@ -43,7 +43,11 @@ disagree with itself — you just pay the subquery three times).
 
 Skew: a skewed key distribution unbalances bucket SIZES, never
 correctness. ``num_ranges`` defaults to ``spark.sql.shuffle.partitions``
-so bucket granularity tracks cluster parallelism.
+so bucket granularity tracks cluster parallelism. The degenerate
+extreme — every key equal — collapses to ONE bucket (ties must share a
+bucket, so this is forced by exactness): results stay exact, and the
+lost parallelism is inherent to ranking a 100%-tied order, not to this
+formulation.
 
 No reference-repo counterpart (the reference's engine sorts on one
 node); this module exists so the analytics queries that NEED global

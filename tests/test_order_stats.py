@@ -188,3 +188,29 @@ def test_no_single_partition_exchange_in_plans(spark, skewed_df):
         with redirect_stdout(buf):
             df.explain("formatted")
         assert "Exchange SinglePartition" not in buf.getvalue()
+
+
+def test_all_equal_keys_degenerate_stays_exact(spark):
+    # maximum skew: every bucket key identical -> one bucket carries
+    # everything (forced — ties must share a bucket). Exactness must
+    # hold; only parallelism degrades, and that is inherent to ranking
+    # a 100%-tied order.
+    df = spark.createDataFrame(
+        [(i, 7, Decimal(str(i))) for i in range(200)],
+        "id bigint, k bigint, v decimal(18,2)",
+    ).repartition(4)
+    r = with_global_rank(
+        df, F.col("k"), [F.col("k"), F.col("id")], "rn", total_col="n"
+    )
+    rows = r.collect()
+    assert sorted(x["rn"] for x in rows) == list(range(1, 201))
+    assert {x["n"] for x in rows} == {200}
+    by_id = {x["id"]: x["rn"] for x in rows}
+    assert by_id[0] == 1 and by_id[199] == 200
+
+    s = with_running_sum(
+        df, F.col("k"), [F.col("k"), F.col("id")], "v", "cum"
+    )
+    got = {x["id"]: x["cum"] for x in s.collect()}
+    # ordered by (k, id) = by id; cum(i) = 0+1+...+i
+    assert got[199] == Decimal("19900.00") and got[3] == Decimal("6.00")
