@@ -71,6 +71,21 @@ __all__ = [
 ]
 
 
+def _sum_type(dt):
+    """The result type of Spark's SUM aggregate over *dt* — what the
+    running sum and its grand total must be cast to so empty and
+    non-empty inputs share one schema."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return T.DecimalType(min(38, dt.precision + 10), dt.scale)
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return T.LongType()
+    return T.DoubleType()
+
+
 def hex_prefix_key(col: Column) -> Column:
     """A bigint bucket key that is non-strictly monotone in the
     LEXICOGRAPHIC order of a lowercase hex string (e.g. an md5 digest):
@@ -78,6 +93,73 @@ def hex_prefix_key(col: Column) -> Column:
     prefixes collapse to one bucket; the within-bucket window breaks
     them with the full string."""
     return F.conv(F.substring(col, 1, 15), 16, 10).cast("bigint")
+
+
+def _bucket_col(
+    df: DataFrame,
+    key: Column,
+    num_ranges: int | None,
+    materialize: bool = True,
+):
+    """Phase 1, shared by every operator here: resolve ``num_ranges``,
+    optionally ``localCheckpoint`` the input, compute the FINITE key
+    bounds and the row count in ONE aggregation job, and return
+    ``(df, bucket_col, num_ranges)`` — ``bucket_col`` is ``None`` when
+    the input is empty (caller picks the degenerate shape).
+
+    Non-finite keys are handled explicitly so the monotone contract
+    holds on raw doubles too: NaN (which Spark orders ABOVE +Infinity)
+    and +Infinity go to the last bucket, −Infinity to bucket 0, and
+    null keys fall into bucket 0 (Spark windows order NULLS FIRST) —
+    all via WHEN branches, never through the arithmetic, because
+    ``(NaN − lo)/width`` is NaN and ``floor`` of it would otherwise
+    silently land rank-last rows in bucket 0. If every key is
+    non-finite or null, everything shares one bucket — degenerate
+    parallelism, still exact. Bounds exclude non-finite keys so the
+    bucket width stays finite."""
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "8")
+        )
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    kd = key.cast("double")
+    inf = float("inf")
+    finite = F.when(
+        F.isnan(kd) | (kd == F.lit(inf)) | (kd == F.lit(-inf)),
+        F.lit(None),
+    ).otherwise(kd)
+    lo, hi, n = df.agg(
+        F.min(finite).alias("lo"),
+        F.max(finite).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if n == 0:
+        return df, None, num_ranges
+    if lo is None:
+        # rows exist but no finite key (all NaN/±inf/null): one bucket
+        return df, F.lit(0).cast("int"), num_ranges
+    span = hi - lo
+    width = span / num_ranges if span > 0 else 1.0
+    # least() clamps hi itself (and any float round-up) into the last
+    # bucket; the floor of a monotone function stays monotone
+    bucket = (
+        F.when(
+            F.isnan(kd) | (kd == F.lit(inf)), F.lit(num_ranges - 1)
+        )
+        .when(kd == F.lit(-inf), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(num_ranges - 1),
+                F.greatest(
+                    F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width))
+                ),
+            )
+        )
+        .cast("int")
+    )
+    return df, bucket, num_ranges
 
 
 def _bucket_offsets(
@@ -98,24 +180,9 @@ def _bucket_offsets(
     so callers that need the global count/sum (Pareto shares, median
     positions, PSI denominators) get it for free instead of paying a
     separate aggregation job that re-executes the input subquery."""
-    if num_ranges is None:
-        num_ranges = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")
-        )
-    if materialize:
-        df = df.localCheckpoint(eager=False)
-    kd = key.cast("double")
-    lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
-    if lo is None:
+    df, bucket, _ = _bucket_col(df, key, num_ranges, materialize)
+    if bucket is None:
         return None, None, None
-    span = hi - lo
-    width = span / num_ranges if span > 0 else 1.0
-    # least() clamps hi itself (and any float round-up) into the last
-    # bucket; the floor of a monotone function stays monotone
-    bucket = F.least(
-        F.lit(num_ranges - 1),
-        F.greatest(F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width))),
-    ).cast("int")
     bucketed = df.withColumn("__obkt", bucket)
     totals = {
         r["__obkt"]: r["s"]
@@ -211,14 +278,21 @@ def with_running_sum(
     a literal column — the sum of the already-collected bucket totals
     (same Python type the offsets use: Decimal stays Decimal), so
     share-of-total denominators cost zero extra jobs instead of a
-    separate aggregation that re-executes the input subquery."""
+    separate aggregation that re-executes the input subquery.
+
+    Output typing: ``out_col`` and ``total_col`` are cast to the SUM
+    type of *value_col* (Spark's aggregate widening: decimal(p,s) →
+    decimal(min(38, p+10), s), integrals → long, floats → double), so
+    the schema is identical on empty and non-empty inputs and does not
+    drift with the magnitude of the collected offset literals."""
+    sum_type = _sum_type(df.schema[value_col].dataType)
     bucketed, offset, grand = _bucket_offsets(
         df, key, F.col(value_col), num_ranges, materialize
     )
     if bucketed is None:
-        out = df.withColumn(out_col, F.lit(None))
+        out = df.withColumn(out_col, F.lit(None).cast(sum_type))
         if total_col is not None:
-            out = out.withColumn(total_col, F.lit(0))
+            out = out.withColumn(total_col, F.lit(0).cast(sum_type))
         return out
     w = (
         Window.partitionBy("__obkt")
@@ -226,11 +300,12 @@ def with_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = bucketed.withColumn(
-        out_col, F.sum(value_col).over(w) + offset
+        out_col, (F.sum(value_col).over(w) + offset).cast(sum_type)
     ).drop("__obkt")
     if total_col is not None:
         out = out.withColumn(
-            total_col, F.lit(grand if grand is not None else 0)
+            total_col,
+            F.lit(grand if grand is not None else 0).cast(sum_type),
         )
     return out
 
@@ -253,26 +328,14 @@ def sequence_gaps(
     summary and are skipped naturally, which is exactly the gap
     semantics."""
     spark = df.sparkSession
-    if num_ranges is None:
-        num_ranges = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "8")
-        )
-    if materialize:
-        df = df.localCheckpoint(eager=False)
-    kd = F.col(id_col).cast("double")
-    lo, hi = df.agg(F.min(kd).alias("lo"), F.max(kd).alias("hi")).first()
+    df = df.select(F.col(id_col).cast("bigint").alias(id_col))
+    df, bucket, _ = _bucket_col(
+        df, F.col(id_col), num_ranges, materialize
+    )
     out_schema = f"`{id_col}` bigint, `next_id` bigint"
-    if lo is None:
+    if bucket is None:
         return spark.createDataFrame([], out_schema)
-    span = hi - lo
-    width = span / num_ranges if span > 0 else 1.0
-    bucket = F.least(
-        F.lit(num_ranges - 1),
-        F.greatest(F.lit(0), F.floor((kd - F.lit(lo)) / F.lit(width))),
-    ).cast("int")
-    bucketed = df.select(
-        F.col(id_col).cast("bigint").alias(id_col)
-    ).withColumn("__obkt", bucket)
+    bucketed = df.withColumn("__obkt", bucket)
     w = Window.partitionBy("__obkt").orderBy(id_col)
     intra = (
         bucketed.withColumn("next_id", F.lead(id_col).over(w))

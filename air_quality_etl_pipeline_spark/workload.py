@@ -1405,10 +1405,11 @@ _DRIVER_PRIORITY = [
 def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
     """``name -> latest round whose driver gate checked it GREEN``,
     parsed from the driver-written ``CORRECTNESS_r*.json`` receipts at
-    the repo root (or *root*, for tests). A failed or errored check
-    does NOT count (the query should go back to the front of the
-    queue); missing/unreadable files contribute nothing, so a fresh
-    clone falls back to the static base order."""
+    the repo root (or *root*, for tests). A query whose LATEST check
+    failed or errored is excluded entirely — even if an earlier round
+    was green — so a regression re-queues it at the front with the
+    never-checked block. Missing/unreadable files contribute nothing,
+    so a fresh clone falls back to the static base order."""
     import glob
     import json
     import os
@@ -1416,7 +1417,8 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, int] = {}
+    latest_green: dict[str, int] = {}
+    latest_any: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -1432,6 +1434,7 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
+            latest_any[name] = max(rnd, latest_any.get(name, 0))
             green = (
                 rec.get("rows_match") is True
                 and rec.get("schema_match", True) is not False
@@ -1439,8 +1442,12 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
                 and rec.get("err") is None
             )
             if green:
-                latest[name] = max(rnd, latest.get(name, 0))
-    return latest
+                latest_green[name] = max(rnd, latest_green.get(name, 0))
+    return {
+        name: rnd
+        for name, rnd in latest_green.items()
+        if rnd >= latest_any[name]
+    }
 
 
 _snapshot = dict(QUERIES)

@@ -182,10 +182,13 @@ def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
     )
-    n_tot = spend.agg(F.count("*").alias("n"))
     ranked = with_global_rank(
-        spend, -F.col("s"), [F.desc("s"), F.asc("o_custkey")], "rn"
-    ).crossJoin(F.broadcast(n_tot))
+        spend,
+        -F.col("s"),
+        [F.desc("s"), F.asc("o_custkey")],
+        "rn",
+        total_col="n",
+    )
     k = 10
     q = F.expr(f"n div {k}")
     rem = F.expr(f"n % {k}")
@@ -3347,7 +3350,13 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 9× row expansion plus an event-sized shuffle; this is a 1-row
     # broadcast and a lambda over a 9-element array, then the only
     # shuffle left is the 20-group (period, bin) count.
-    edge_arr = edges.agg(F.sort_array(F.collect_list("hi")).alias("his"))
+    edge_arr = edges.agg(
+        F.sort_array(F.collect_list("hi")).alias("his")
+    ).filter(F.size("his") > 0)
+    # the size>0 filter keeps the empty-base degenerate identical to
+    # the 9-row-relation crossJoin form (no edges -> no binned rows),
+    # instead of the scalar collect_list's one empty-array row binning
+    # everything as bin 1
     counts = (
         v.crossJoin(F.broadcast(edge_arr))
         .withColumn(
@@ -3631,7 +3640,10 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     )
-    return best.select(
+    # the scalar max over an EMPTY sweep yields one all-null row; drop
+    # it so the no-sessions degenerate stays a 0-row result (the shape
+    # the grouped formulation produced)
+    return best.filter(F.col("b").isNotNull()).select(
         F.col("b.c").cast("long").alias("peak_concurrency"),
         F.date_format(
             F.timestamp_micros(F.lit(0) - F.col("b.neg_t")),

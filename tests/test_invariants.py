@@ -591,6 +591,7 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
                     "hash_match": False, "err": "boom",
                 },
                 "rows_only_green": {"rows_match": True, "err": None},
+                "rows_only_keeps": {"rows_match": True, "err": None},
             }
         )
     )
@@ -605,6 +606,12 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
                     "rows_match": True, "schema_match": True,
                     "hash_match": True, "err": None,
                 },
+                # green in r1, REGRESSED in r2: the stale green must
+                # not keep it in the checked block — it re-queues with
+                # the never-checked front
+                "rows_only_green": {
+                    "rows_match": False, "err": "rows diverged",
+                },
             }
         )
     )
@@ -612,11 +619,12 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
 
     latest = _driver_checked_rounds(root=str(tmp_path))
     assert latest == {
-        "green_old": 2,      # re-checked in r2 -> latest wins
+        "green_old": 2,  # re-checked green in r2 -> latest wins
         "green_new": 2,
-        "rows_only_green": 1,  # rows-only (no hash field) still green
+        "rows_only_keeps": 1,  # rows-only (no hash field) still green
     }
     assert "failed" not in latest and "errored" not in latest
+    assert "rows_only_green" not in latest  # latest check failed
 
     base = ["failed", "green_new", "never_a", "green_old", "never_b"]
     pos = {n: i for i, n in enumerate(base)}
@@ -626,5 +634,9 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
     assert order == ["failed", "never_a", "never_b", "green_new",
                      "green_old"]
 
-    # and the live registry kept every query exactly once
-    assert len(QUERIES) == len(set(QUERIES))
+    # and the import-time re-sort kept every registered query: the
+    # effective registry must be a permutation of the base priority
+    # list plus any unprioritized registrations (nothing dropped)
+    from air_quality_etl_pipeline_spark.workload import _snapshot
+
+    assert set(QUERIES) == set(_snapshot) and len(QUERIES) == len(_snapshot)

@@ -214,3 +214,38 @@ def test_all_equal_keys_degenerate_stays_exact(spark):
     got = {x["id"]: x["cum"] for x in s.collect()}
     # ordered by (k, id) = by id; cum(i) = 0+1+...+i
     assert got[199] == Decimal("19900.00") and got[3] == Decimal("6.00")
+
+
+def test_nonfinite_keys_match_naive_window(spark):
+    # NaN sorts above +Infinity in Spark; −Infinity below everything;
+    # nulls first. The bucket expression must route all three through
+    # explicit branches (the arithmetic path yields NaN/null buckets
+    # and silently ranks NaN rows among the SMALLEST keys) — pinned
+    # here against the naive global window.
+    nan, inf = float("nan"), float("inf")
+    rows = (
+        [(i, float(i % 13) - 6.0) for i in range(300)]
+        + [(1000, nan), (1001, nan), (1002, inf), (1003, -inf),
+           (1004, None)]
+    )
+    df = spark.createDataFrame(rows, "id bigint, x double").repartition(7)
+    naive = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("x"), F.col("id")))
+    )
+    mine = with_global_rank(df, F.col("x"), [F.col("x"), F.col("id")], "rn")
+    assert {r.id: r.rn for r in naive.collect()} == {
+        r.id: r.rn for r in mine.collect()
+    }
+
+    # all-non-finite keys: one bucket, still exact
+    weird = spark.createDataFrame(
+        [(0, nan), (1, inf), (2, -inf), (3, None)], "id bigint, x double"
+    )
+    got = {
+        r.id: r.rn
+        for r in with_global_rank(
+            weird, F.col("x"), [F.col("x"), F.col("id")], "rn"
+        ).collect()
+    }
+    # Spark order: null < -inf < inf < nan
+    assert got == {3: 1, 2: 2, 1: 3, 0: 4}

@@ -382,7 +382,6 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "largest_remainder_alloc": "event-type aggregate (~5 rows)",
     "mom_change": "month-grain aggregate",
     "moving_avg_7d": "day-grain aggregate (calendar-bounded)",
-    "ntile_deciles": "residual bounded window only; the customer-sized rank is two-phase",
     "order_backlog_daily": "day-grain running backlog (calendar-bounded)",
     "share_of_total": "nation-grain aggregate (25 rows)",
     "sql_keyset_pagination": "rn reconstruction window over the LIMIT-20 page",

@@ -322,8 +322,12 @@ def test_global_rank_5m_zipf_ties(spark):
     n = 5_000_000
     df = spark.range(n).select(
         F.col("id"),
-        # ~38% of rows share key 0, long tail above — a worst-ish case
-        F.floor(F.sqrt(F.col("id") % 1_000_000)).alias("k"),
+        # 40% of rows (2M) share key 0 — forced into ONE bucket — with
+        # a sqrt-spread tail above; genuinely heavy tie mass, unlike a
+        # plain sqrt key whose largest tie run is ~0.2% of rows
+        F.when(F.col("id") % 10 < 4, F.lit(0))
+        .otherwise(F.floor(F.sqrt(F.col("id") % 1_000_000)) + 1)
+        .alias("k"),
     )
     out = with_global_rank(
         df, F.col("k"), [F.col("k"), F.col("id")], "rn", num_ranges=32
