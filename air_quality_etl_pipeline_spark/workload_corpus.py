@@ -514,8 +514,8 @@ def q_suffix_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("keeper_id"),
-            F.min("n").alias("min_len"),
-            F.max("n").alias("max_len"),
+            F.min("n").cast("long").alias("min_len"),
+            F.max("n").cast("long").alias("max_len"),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -760,8 +760,8 @@ def q_token_histogram_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "band")
         .agg(
             F.count("*").alias("n_docs"),
-            F.min("n").alias("min_tokens"),
-            F.max("n").alias("max_tokens"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
         )
     )
 
@@ -1136,7 +1136,9 @@ def q_embedding_drift_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = g.select(
         "label", "na", "nb", (d * d).cast("decimal(38,18)").alias("term")
     )
-    return terms.groupBy("label").agg(
+    return terms.groupBy(
+        F.col("label").cast("long").alias("label")
+    ).agg(
         F.max("na").alias("n_cohort_a"),
         F.max("nb").alias("n_cohort_b"),
         round_portable(

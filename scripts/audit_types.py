@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 import duckdb
 
 from air_quality_etl_pipeline_spark.session import get_spark
