@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from air_quality_etl_pipeline_spark.session import tune_session
-from air_quality_etl_pipeline_spark.workload import QUERIES
+from air_quality_etl_pipeline_spark.workload import QUERIES, ROWS_ONLY_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,7 +42,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twin for each query (omitted → rows-only check)."""
+    """DuckDB oracle twin for each query. Exactly the registry's
+    ``ROWS_ONLY_QUERIES`` members are omitted (→ driver records a
+    rows-only check); every other registered query ships an oracle —
+    the single-definition-site contract is asserted by
+    tests/test_invariants.py."""
     return {
-        name: oracle for name, (_, oracle) in QUERIES.items() if oracle is not None
+        name: oracle
+        for name, (_, oracle) in QUERIES.items()
+        if name not in ROWS_ONLY_QUERIES and oracle is not None
     }

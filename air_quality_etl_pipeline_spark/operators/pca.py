@@ -20,9 +20,13 @@ Distributed decomposition (why this scales to 100 TB):
    literal (same plan discipline as operators/pq.py — lambdas, not
    m·d unrolled codegen).
 
-The eigen step is genuinely non-relational, so the registered query is
-a rows-only driver check; tests/test_training_ops.py pins the spectral
-contracts (orthonormality, descending eigenvalues, variance match).
+The eigen step is genuinely non-relational, but the registered query
+(workload_training.q_pca_project) emits an oracle-checkable invariant
+contract — covariance diagonal + trace recomputed by DuckDB from the
+raw parquet, spectral/variance-conservation checks run distributedly
+over the projection — so it is fully driver-verified since round 5;
+tests/test_training_ops.py additionally pins the spectral contracts
+(orthonormality, descending eigenvalues, variance match).
 """
 
 from __future__ import annotations
@@ -89,14 +93,21 @@ def pca_components(
     vec_col: str = "embedding",
     dims: int = 64,
     q: int = 4,
+    moments: tuple[list[list[int]], list[int], int] | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Top-*q* principal components of the (centered) covariance.
     Returns ``(components[q][dims], eigenvalues[q])``, eigenvalues
     descending, each component sign-normalized so its largest-magnitude
-    entry is positive (LAPACK's sign is arbitrary; this pins it)."""
+    entry is positive (LAPACK's sign is arbitrary; this pins it).
+    Pass *moments* (a prior :func:`moment_sums_micro` result) to reuse
+    an already-run moment pass instead of paying a second scan."""
     import numpy as np
 
-    g, s, n = moment_sums_micro(df, vec_col, dims)
+    g, s, n = (
+        moments
+        if moments is not None
+        else moment_sums_micro(df, vec_col, dims)
+    )
     gm = np.array(g, dtype="float64") / 1e6
     sm = np.array(s, dtype="float64") / 1e6
     mu = sm / n
@@ -114,6 +125,32 @@ def pca_components(
     return comps, eigs
 
 
+def projection_expr(
+    components: list[list[float]], decimals: int = 6
+) -> Column:
+    """The projection of a ``_v`` (array<double>) column onto
+    *components*, as ONE constant-folded expression returning an
+    ``array<double>`` of per-component dot products quantized to
+    *decimals* — the shared kernel of :func:`project` and the wide
+    (one-column-per-component) form the invariant checks use."""
+    comp_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+            for c in components
+        )
+        + ")"
+    )
+    f = float(10**decimals)
+    return F.expr(
+        f"""
+        transform({comp_lit}, c ->
+          floor(aggregate(zip_with(`_v`, c, (x, y) -> x * y),
+                          0.0D, (acc, t) -> acc + t) * {f}D + 0.5D) / {f}D)
+        """
+    )
+
+
 def project(
     df: DataFrame,
     components: list[list[float]],
@@ -125,22 +162,7 @@ def project(
     value)``, one row per (vector, component). Map-only: the component
     matrix constant-folds to a single plan literal and each dot product
     is a zip_with/aggregate fold inside the scan."""
-    comp_lit = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
-            for c in components
-        )
-        + ")"
-    )
-    f = float(10**decimals)
-    proj = F.expr(
-        f"""
-        transform({comp_lit}, c ->
-          floor(aggregate(zip_with(`_v`, c, (x, y) -> x * y),
-                          0.0D, (acc, t) -> acc + t) * {f}D + 0.5D) / {f}D)
-        """
-    )
+    proj = projection_expr(components, decimals)
     return (
         df.select(
             F.col(id_col).alias("vec_id"),

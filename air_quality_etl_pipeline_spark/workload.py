@@ -19,6 +19,7 @@ hashes match across Spark and DuckDB):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1176,6 +1177,24 @@ REBUILD_PURE_QUERIES: set[str] = {
 }
 SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 
+#: Queries REGISTERED WITHOUT a DuckDB oracle, by design — the single
+#: definition site for the rows-only contract (round-4 verdict #7):
+#: ``__spark_entry__.oracle_sql()`` omits exactly these names, and
+#: ``_driver_checked_rounds`` below counts their ``err: no_oracle``
+#: receipts (with rows returned) as a checked rows-only pass so they
+#: stop re-entering the driver gate's first-50 window every round.
+#: tests/test_registry.py asserts this set equals the queries whose
+#: registered oracle is ``None``.
+#:
+#: The one member: ``bpe_encode_corpus`` applies a LEARNED merge list
+#: (the output of the iterative trainer) as a rank-ordered fold —
+#: encode exactness is pinned against a pure-Python BPE reference in
+#: tests/test_training_ops.py, which is the accepted correctness
+#: contract for it (round-4 verdict Next-round #2c). The trainer
+#: itself (``bpe_learn_merges``) and ``pca_project`` got real oracles
+#: in round 5 (unrolled-CTE / invariant-contract) and are NOT here.
+ROWS_ONLY_QUERIES: frozenset[str] = frozenset({"bpe_encode_corpus"})
+
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. Lifetime through round 3:
 #: 146 distinct driver-green, 0 ever-failed, 107 never checked.
@@ -1409,7 +1428,14 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
     failed or errored is excluded entirely — even if an earlier round
     was green — so a regression re-queues it at the front with the
     never-checked block. Missing/unreadable files contribute nothing,
-    so a fresh clone falls back to the static base order."""
+    so a fresh clone falls back to the static base order.
+
+    A receipt with ``err == "no_oracle"`` and ``spark_rows > 0`` counts
+    as a checked ROWS-ONLY pass: that is the strongest signal the
+    driver can ever record for a :data:`ROWS_ONLY_QUERIES` member, so
+    treating it as unchecked would re-queue those queries into the
+    gate's first-50 window every round forever, burning slots that
+    should retire real backlog (round-4 verdict, "What's wrong" #2)."""
     import glob
     import json
     import os
@@ -1435,11 +1461,17 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
             if not isinstance(rec, dict):
                 continue
             latest_any[name] = max(rnd, latest_any.get(name, 0))
+            err = rec.get("err")
             green = (
                 rec.get("rows_match") is True
                 and rec.get("schema_match", True) is not False
                 and rec.get("hash_match", True) is not False
-                and rec.get("err") is None
+                and err is None
+            ) or (
+                # rows-only pass: the driver ran the query, it returned
+                # rows, and there is no oracle to compare against
+                err == "no_oracle"
+                and (rec.get("spark_rows") or 0) > 0
             )
             if green:
                 latest_green[name] = max(rnd, latest_green.get(name, 0))
@@ -1455,7 +1487,15 @@ _base = [n for n in _DRIVER_PRIORITY if n in _snapshot] + [
     n for n in _snapshot if n not in _DRIVER_PRIORITY
 ]
 _base_pos = {n: i for i, n in enumerate(_base)}
-_checked = _driver_checked_rounds()
+# SPARK_GRAFT_STATIC_ORDER=1 pins the registry to the static base order
+# (receipt files vary per working tree, so two clones of one commit can
+# otherwise expose different QUERIES orderings — set this for
+# reproducible iteration/collection order; the receipt-driven rotation
+# stays the default because the driver gate depends on it).
+if os.environ.get("SPARK_GRAFT_STATIC_ORDER", "") not in ("", "0"):
+    _checked: dict[str, int] = {}
+else:
+    _checked = _driver_checked_rounds()
 # never-checked (and last-check-failed) first in base order, then
 # checked-green by oldest-latest-check round first, ties in base order
 _order = sorted(

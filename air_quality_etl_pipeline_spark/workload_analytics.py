@@ -3260,7 +3260,8 @@ def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
                            THEN 'base' ELSE 'cur' END AS period,
                       event_id
-               FROM events),
+               FROM events
+               WHERE value IS NOT NULL),
     b AS (SELECT val, event_id FROM e WHERE period = 'base'),
     r AS (SELECT val,
                  row_number() OVER (ORDER BY val ASC, event_id ASC) AS rn,
@@ -3315,7 +3316,12 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _events(spark, sf_dir)
-    v = e.select(
+    # PSI is defined over OBSERVED values: exclude nulls explicitly
+    # (both sides — without this, a null would fall to bin 1 here via
+    # array-filter null semantics but to bin 10 in the oracle's
+    # coalesce form; the driver data has no null values, but the
+    # behavior should be deliberate, not an artifact)
+    v = e.filter(F.col("value").isNotNull()).select(
         F.col("value").cast("decimal(18,2)").alias("val"),
         F.when(F.dayofmonth("ts") <= 15, F.lit("base"))
         .otherwise(F.lit("cur"))

@@ -393,6 +393,28 @@ def test_driver_priority_names_all_registered():
     assert dupes == [], f"duplicate priority names: {dupes}"
 
 
+def test_rows_only_queries_single_definition_site():
+    """ROWS_ONLY_QUERIES is the one place the no-oracle contract lives:
+    it must equal the set of registered queries whose oracle is None,
+    and __spark_entry__.oracle_sql() must omit exactly those names."""
+    import importlib
+
+    from air_quality_etl_pipeline_spark.workload import (
+        QUERIES,
+        ROWS_ONLY_QUERIES,
+    )
+
+    no_oracle = {n for n, (_, o) in QUERIES.items() if o is None}
+    assert no_oracle == set(ROWS_ONLY_QUERIES), (
+        "registered-None oracles and ROWS_ONLY_QUERIES diverged: "
+        f"only-registered={sorted(no_oracle - ROWS_ONLY_QUERIES)} "
+        f"only-declared={sorted(ROWS_ONLY_QUERIES - no_oracle)}"
+    )
+    entry = importlib.import_module("__spark_entry__")
+    oracles = entry.oracle_sql()
+    assert set(oracles) == set(QUERIES) - ROWS_ONLY_QUERIES
+
+
 def test_side_effect_queries_all_registered():
     from air_quality_etl_pipeline_spark.workload import (
         QUERIES,
@@ -592,6 +614,19 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
                 },
                 "rows_only_green": {"rows_match": True, "err": None},
                 "rows_only_keeps": {"rows_match": True, "err": None},
+                # a ROWS_ONLY_QUERIES receipt: rows returned, no oracle
+                # to compare — counts as a checked rows-only PASS so it
+                # stops re-entering the gate window every round
+                "no_oracle_rows": {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": 6,
+                    "oracle_rows": None, "err": "no_oracle",
+                },
+                # no_oracle but ZERO rows: not a pass — stays queued
+                "no_oracle_empty": {
+                    "rows_match": None, "spark_rows": 0,
+                    "err": "no_oracle",
+                },
             }
         )
     )
@@ -622,9 +657,11 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
         "green_old": 2,  # re-checked green in r2 -> latest wins
         "green_new": 2,
         "rows_only_keeps": 1,  # rows-only (no hash field) still green
+        "no_oracle_rows": 1,  # no-oracle + rows returned = checked
     }
     assert "failed" not in latest and "errored" not in latest
     assert "rows_only_green" not in latest  # latest check failed
+    assert "no_oracle_empty" not in latest  # no rows -> not a pass
 
     base = ["failed", "green_new", "never_a", "green_old", "never_b"]
     pos = {n: i for i, n in enumerate(base)}

@@ -71,6 +71,41 @@ def test_apply_bpe_merge_greedy(spark):
     assert got[2] == ["x"]
 
 
+def test_bpe_oracle_sql_greedy_overlap_runs():
+    """The unrolled-CTE oracle (workload_training._bpe_merges_oracle)
+    must reproduce the GREEDY non-overlap rewrite on equal-symbol runs
+    — merge (l, l) over 'llll…' takes alternate positions from the run
+    head — which the driver-generated corpus never exercises. A crafted
+    corpus forces (a, a) to win round 0 ('aaaa' → [aa, aa], odd run
+    'aaaaa' → [aa, aa, a]) and then (aa, aa) to win a later round, and
+    the SQL must match the pure-Python reference on every round."""
+    from air_quality_etl_pipeline_spark.workload_training import (
+        _bpe_merges_oracle,
+    )
+
+    corpus = [
+        ("aaaa aaaa aaaaa aaaa",),
+        ("aaaa aaaaa bcbc",),
+        ("aaaa bcbc bcbc aaaa",),
+        ("  ",),  # blank → zero tokens (token_array contract)
+    ]
+    word_counts: collections.Counter = collections.Counter()
+    for (t,) in corpus:
+        if t.strip():
+            word_counts.update(w.lower() for w in t.split())
+    expected = ref_bpe(dict(word_counts), 4)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", corpus)
+    got = [tuple(r) for r in con.execute(_bpe_merges_oracle(4)).fetchall()]
+    assert got == expected
+    # the crafted corpus really did exercise overlapping candidates:
+    # round 0 must be the equal-symbol pair
+    assert (expected[0][1], expected[0][2]) == ("a", "a")
+    assert ("aa", "aa") in {(l, r) for _, l, r, _ in expected}
+
+
 def test_bpe_matches_reference(spark, sf_dir):
     words = duckdb.sql(
         f"""
