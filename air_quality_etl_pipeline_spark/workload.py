@@ -1154,7 +1154,10 @@ REBUILD_PURE_QUERIES: set[str] = {
     "pca_project",
     "pack_sequences",
     # bucketed two-phase order statistics (operators/order_stats.py):
-    # offsets are collected at build time
+    # since round 5 the builders run ZERO jobs (offsets ride the lazy
+    # summary plan), but the plan localCheckpoints its input — a reused
+    # DataFrame would serve materialized blocks to samples 2+, so each
+    # sample rebuilds to pay the materialization honestly
     "orders_gini",
     "abc_pareto_classes",
     "psi_value_drift",
