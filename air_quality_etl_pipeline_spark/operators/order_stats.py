@@ -1,43 +1,69 @@
 """Exact distributed order statistics — global row numbers, ordered
 running sums, and sequence-gap (gaps-and-islands) detection — WITHOUT
-a single-partition global sort and WITHOUT driver-side collects.
+a single-partition global sort.
 
 Spark's ``Window.orderBy(...)`` with no ``partitionBy`` moves every row
 to ONE partition (the ``WindowExec: No Partition Defined`` warning):
 correct at test scale, a non-starter at 100 TB. These operators keep
-the exact semantics with a fully declarative two-pass formulation:
+the exact semantics with a fused two-job formulation:
 
-1. tag every row with a DETERMINISTIC, DATA-INDEPENDENT quantized key
-   ``__oq`` that is non-strictly monotone in the ordering key (see
-   :func:`_with_quant_key` — octave + 16-bit mantissa prefix, built from
-   floor / division-by-powers-of-two / integer ``pow`` only, every
-   step an EXACT IEEE-754 operation, so monotonicity is guaranteed,
-   not merely "libm is probably monotone");
-2. aggregate one summary relation ``groupBy(__oq) → (count, sum)``.
-   Its size is bounded by ``min(distinct keys, quantization universe)``
-   — the universe is a hard data-independent constant (≈ 1.39 × 10⁸
-   for the full double range; real keys populate a few hundred to a
-   few thousand groups) — and NEVER by the data, so exclusive-prefix
-   offsets, count-balanced bucket ids, and grand totals are computed
-   with ordinary windows OVER THE SUMMARY and the whole thing stays
-   one lazy plan: no ``collect()``, no driver round-trips, nothing
-   for a 1000-executor cluster to serialize through one process;
-3. collapse the summary to BUCKET grain (≤ ``num_ranges`` rows), fold
-   it into one row holding a sorted ``(first group, bucket, offsets)``
-   array, attach it with a one-row broadcast cross join, and resolve
-   each row's bucket with an O(num_ranges) sorted-array probe — then
-   rank / cumulate WITHIN each bucket with an ordinary partitioned
-   window and add the per-bucket offset.
+1. ONE aggregation job over the input: group by a cheap,
+   DETERMINISTIC, DATA-INDEPENDENT quantization of the ordering key
+   (one ``floor(log2(|x|)·4096)`` band — see :func:`_with_quant_key`)
+   and fetch per-group ``(count, min(key), max(key), sum(value))``
+   through one Arrow transfer. The summary's size is bounded by
+   ``min(distinct keys, quantization universe)`` — the universe is a
+   hard data-independent constant (≈ 8.6 × 10⁶ bands over the full
+   double range; real keys populate a few hundred to a few tens of
+   thousands, a few MB at worst on the driver — never proportional
+   to the data);
+2. on the driver (:class:`_Carve`): sort groups by their raw key
+   range, MERGE any overlapping ranges into super-groups (see below),
+   carve COUNT-BALANCED buckets (each targets ``n / num_ranges``
+   rows — beats fixed-width ranges under skew: a heavy band caps its
+   bucket at ``target + band`` rows instead of dragging neighbours
+   along), and fold the ≤ ``num_ranges`` bucket bounds and exclusive
+   offsets back into the plan as LITERALS; then rank / cumulate
+   WITHIN each bucket with an ordinary partitioned window plus the
+   offset.
+
+Exactness does NOT rest on the quantizer: it rests on the range
+merge. Equal keys always share a group (the quantizer is a pure
+function), so distinct groups hold DISTINCT key sets; after merging
+groups whose observed ``[min, max]`` ranges overlap, the surviving
+super-groups hold provably DISJOINT, totally-ordered key ranges —
+even if the quantizer misordered near-equal keys (libm ``log2`` is
+only ~1-ulp accurate; we never rely on its monotonicity). Bucket
+boundaries fall only on super-group boundaries, so the data-side
+resolver — an O(num_ranges) sorted-array probe of the bucket-start
+RAW minimums, which are strictly increasing by disjointness — agrees
+exactly with the offsets computed from the carve. A bad quantizer
+can only degrade bucket BALANCE, never correctness. Non-finite keys
+(null / NaN / ±Inf) never enter the arithmetic: they take sentinel
+groups ordered the way Spark orders them and route through explicit
+WHEN branches to the bucket the carve placed them in.
+
+The windowed pass therefore pays one cast plus ≤ ``num_ranges``
+double compares per row — the quantization runs ONLY inside the
+summary aggregation (once per row).
 
 Cost shape: TWO passes over the input (summary aggregation, windowed
-pass) — down from three in the collect-based formulation this module
-replaced in round 5 — and one data shuffle (the ``__obkt`` window
-exchange), same as before. Buckets are COUNT-BALANCED from the summary
-prefix counts (each bucket targets ``n / num_ranges`` rows), which
-beats fixed-width ranges under skew: a heavy band caps its bucket at
-``target + band`` rows instead of dragging neighbours along with it.
-A 100 %-tied key still collapses to one bucket — forced by exactness,
-ties must share a bucket — and only parallelism degrades, never
+pass) and one data shuffle (the ``__obkt`` window exchange) — down
+from three jobs in the round-4 formulation (min/max/count, bucket
+totals, window): the quantized key needs no bounds, so the min/max
+pass is gone. Round 5 briefly shipped a zero-collect variant that
+kept the summary lazy (windows over the summary + broadcast join);
+it measured ~2× SLOWER at sf0.1 (9.5 s vs 5.7 s for the seven
+analytics queries) because the serial broadcast-build chain (scan →
+shuffle → two single-partition window stages → broadcast) pays four
+AQE query-stage latencies per operator use, and it put unpartitioned
+summary windows back into executed plans, weakening the registry
+fence. The collect formulation keeps the driver traffic bounded
+(summary-sized, never data-sized) and the executed plan free of any
+single-partition window — both properties the fences pin.
+
+A 100 %-tied key still collapses to one bucket (forced by exactness:
+ties must share a bucket) and only parallelism degrades, never
 correctness.
 
 To avoid paying the input subquery twice, the operators
@@ -49,16 +75,16 @@ Spark's cache manager matches by analyzed plan, so a cached input
 would silently serve REBUILT copies of the same query (bench honesty)
 and pile up entries; checkpointed blocks are owned by the DataFrame
 and GC'd with it. Pass ``materialize=False`` for inputs too large to
-materialize (correctness still holds — ``__oq`` is a pure function of
-row values, so re-evaluation cannot disagree with itself — you just
-pay the subquery twice).
+materialize (correctness still holds — the bucket id is a pure
+function of row values, so re-evaluation cannot disagree with itself
+— you just pay the subquery twice).
 
-Monotonicity contract: the bucket key must be numeric and NON-STRICTLY
-monotone in the intended global order (``a ≺ b ⇒ key(a) ≤ key(b)``).
-Ties in the key land in the same quantized group by construction, and
-the within-bucket window applies the exact (total) ordering — so lossy
-monotone keys are fine: a ``double`` cast of a decimal, or the leading
-60 bits of a hex digest for lexicographic string order.
+Monotonicity contract (callers): the bucket key must be numeric and
+NON-STRICTLY monotone in the intended global order (``a ≺ b ⇒ key(a)
+≤ key(b)``). Ties in the key land in the same group by construction,
+and the within-bucket window applies the exact (total) ordering — so
+lossy monotone keys are fine: a ``double`` cast of a decimal, or the
+leading 60 bits of a hex digest for lexicographic string order.
 
 Null keys: by default nulls quantize BELOW every value (Spark's
 ascending windows order NULLS FIRST). Callers ranking DESCENDING via a
@@ -69,13 +95,14 @@ produce a null key; the flag makes the contract explicit instead of
 latent). NaN quantizes with +Infinity (Spark orders NaN above +Inf;
 sharing a group is fine — the within-bucket window separates them).
 
-Resolution note: the quantized key resolves ~1.5 × 10⁻⁵ RELATIVE key
-width (2⁻¹⁶ per octave). Keys whose entire span is narrower than that
-— e.g. timestamps covering less than ~½ day at epoch-seconds magnitude
-— collapse into few groups and hence few buckets: exact always, but
-parallelism degrades. Pre-shift such keys toward zero (``key − const``)
-to restore resolution; none of the registered callers need it (their
-keys are prices, counts, ids, md5 prefixes, or multi-month timestamps).
+Resolution note: the quantizer resolves ~2.4 × 10⁻⁴ RELATIVE key
+width (2⁻¹² per octave — see :data:`_MANTISSA_BANDS`). Keys whose
+entire span is narrower than that — e.g. timestamps covering less
+than ~2 hours at epoch-seconds magnitude — collapse into few groups
+and hence few buckets: exact always, but parallelism degrades.
+Pre-shift such keys toward zero (``key − const``) to restore
+resolution; none of the registered callers need it (their keys are
+prices, counts, ids, md5 prefixes, or multi-month timestamps).
 
 No reference-repo counterpart (the reference's engine sorts on one
 node); this module exists so the analytics queries that NEED global
@@ -98,17 +125,22 @@ __all__ = [
     "hex_prefix_key",
 ]
 
-#: Mantissa-prefix bands per octave: 2^12 bands → ~2.4e-4 relative
-#: resolution; universe = ~2100 octaves × 4096 ≈ 8.6e6 possible
-#: groups (hard, data-independent bound on the summary relation).
-#: 4096/octave balances summary cost against resolution: real keys
-#: populate at most a few tens of thousands of groups (each summary
-#: row costs hash-aggregate + one bounded sort slot), while a key
-#: spanning even 1 % of one octave still yields ~40 groups — enough
-#: to balance the default 32 buckets.
+#: Bands per octave: 2^12 → ~2.4e-4 relative resolution; universe =
+#: ~2100 octaves × 4096 ≈ 8.6e6 possible bands per sign (hard,
+#: data-independent bound on the summary relation). 4096/octave
+#: balances summary cost against resolution: real keys populate at
+#: most a few tens of thousands of bands, while a key spanning even
+#: 1 % of one octave still yields ~40 bands — enough to balance the
+#: default 32 buckets.
 _MANTISSA_BANDS = 1 << 12
 
-#: Quantized-key sentinels. Finite keys map inside ±(1023+1100)·2^12 ≈
+#: Offset added to the log2 band so every finite nonzero key's band is
+#: strictly positive (subnormals bottom out at floor(−1074.99·4096) ≈
+#: −4.41e6 > −1100·4096): positives map to +band, negatives to
+#: −band−1, zero to 0, keeping sign order without collisions.
+_BAND_OFFSET = 1100 * _MANTISSA_BANDS
+
+#: Quantized-key sentinels. Finite keys map inside ±(1024+1100)·2^12 ≈
 #: ±8.7e6; non-finite keys take literals strictly outside that range,
 #: ordered the way Spark orders them: null < −Inf < finite < +Inf ≈ NaN
 #: (NaN shares the +Inf group; the within-bucket window separates them).
@@ -146,43 +178,29 @@ def _with_quant_key(
     out: str = "__oq",
     nulls_last: bool = False,
 ) -> DataFrame:
-    """Attach a bigint quantization of *key* that is EXACTLY
-    non-strictly monotone and data-independent: ``sign · ((octave +
-    1100) · 2¹⁶ + mantissa-prefix)``.
+    """Attach a bigint quantization of *key*: ``sign · (floor(log2(
+    |x|) · 2¹²) + offset)`` — ONE log2, one multiply, one floor per
+    row.
 
-    Exactness argument (every step is a correctly-rounded IEEE-754
-    operation whose composition is monotone, or exact outright):
-
-    - ``e₀ = floor(log2(|x|))`` may wobble ±1 ulp near powers of two,
-      so it is CORRECTED against ``p₀ = 2^e₀`` (exact — ``pow`` of an
-      integral exponent yields the representable power of two): after
-      the one-step correction the effective ``p = 2^e`` satisfies
-      ``p ≤ |x| < 2p`` exactly. ``log2`` cannot be off by 2 (double
-      log error ~1e-13 absolute over the ±1100 range), so one step
-      suffices.
-    - ``m = (|x| / p₀) · f`` with ``f ∈ {2, 1, ½}`` — division and
-      multiplication by powers of two are EXACT, so ``m ∈ [1, 2)``
-      holds bit-for-bit.
-    - ``m − 1 ∈ [0, 1)`` is exact (Sterbenz), ``× 2¹⁶`` is exact
-      (power-of-two scale), ``floor`` is exact → the mantissa prefix
-      is the TRUE leading 16 fraction bits.
-
-    So equal doubles always share a group and ``a < b`` can never map
-    ``a`` above ``b`` — unlike a transcendental compression (asinh /
-    log alone), whose 1-ulp non-monotonicity at band edges could
-    misorder near-equal keys across a bucket boundary.
+    This only needs to be a cheap, deterministic, bounded-universe
+    function: equal keys always share a band (purity), and the carve's
+    range merge (:class:`_Carve`) restores exact ordering even where
+    libm ``log2``'s ~1-ulp error misorders near-equal keys across a
+    band edge — so unlike the round-4/5 formulations there is no
+    correction chain (``pow`` + two compare-and-adjust steps) to pay
+    per row, and no monotonicity proof to carry. Non-finite keys and
+    zero never reach the arithmetic: the sentinel guard routes them
+    first (``log2(0)`` would be −Inf and ``log2(NaN)`` NaN — under
+    ANSI mode the guarded branch keeps every path defined).
 
     Built as a CHAIN of intermediate columns, not one nested
     expression: Spark's subexpression elimination skips anything
-    inside conditional branches, so a single CASE tree re-evaluates
-    ``log2``/``pow`` per occurrence (~6× per row, measured ~660 ns/row
-    at sf0.1). CollapseProject keeps a non-cheap alias that is
-    referenced more than once as its own projection, so whole-stage
-    codegen binds each intermediate to a local evaluated ONCE per row;
-    the sentinel thin-CASE up front makes every intermediate safe to
-    evaluate unconditionally on all rows (no log(0)/floor(Inf) under
-    ANSI). Sentinel rows compute a garbage-but-finite key the final
-    CASE discards.
+    inside conditional branches, so a single CASE tree would
+    re-evaluate ``log2`` per branch occurrence (measured: the
+    nested-expression form cost the seven analytics queries ~25 % at
+    sf0.1). CollapseProject keeps a non-cheap alias referenced more
+    than once as its own projection, so whole-stage codegen binds
+    each intermediate to a local evaluated ONCE per row.
 
     Nulls map below everything by default (ascending windows order
     NULLS FIRST); ``nulls_last=True`` maps them above everything for
@@ -190,173 +208,240 @@ def _with_quant_key(
     defaults to NULLS LAST)."""
     inf = float("inf")
     kd = key.cast("double")
-    sentinel = (
-        kd.isNull()
-        | F.isnan(kd)
-        | (kd == F.lit(inf))
-        | (kd == F.lit(-inf))
-        | (kd == F.lit(0.0))
-    )
     df = df.withColumn("__qk", kd)
+    qk = F.col("__qk")
     df = df.withColumn(
-        "__qax",
-        F.when(sentinel, F.lit(1.0)).otherwise(F.abs(F.col("__qk"))),
-    )
-    df = df.withColumn("__qe0", F.floor(F.log2("__qax")))
-    df = df.withColumn(
-        "__qp0", F.pow(F.lit(2.0), F.col("__qe0").cast("double"))
-    )
-    df = df.withColumn(
-        "__qdn", (F.col("__qax") < F.col("__qp0")).cast("bigint")
-    )
-    df = df.withColumn(
-        "__qup",
-        (F.col("__qax") >= F.col("__qp0") + F.col("__qp0")).cast(
-            "bigint"
-        ),
-    )
-    m = (F.col("__qax") / F.col("__qp0")) * (
-        F.lit(1.0)
-        + F.col("__qdn").cast("double")
-        - F.col("__qup").cast("double") * F.lit(0.5)
+        "__qsafe",
+        F.when(
+            qk.isNull()
+            | F.isnan(qk)
+            | (qk == F.lit(inf))
+            | (qk == F.lit(-inf))
+            | (qk == F.lit(0.0)),
+            F.lit(1.0),
+        ).otherwise(F.abs(qk)),
     )
     df = df.withColumn(
-        "__qpos",
-        (
-            F.col("__qe0") - F.col("__qdn") + F.col("__qup") + F.lit(1100)
-        )
-        * F.lit(_MANTISSA_BANDS)
-        + F.floor((m - F.lit(1.0)) * F.lit(float(_MANTISSA_BANDS))),
+        "__qband",
+        F.floor(F.log2("__qsafe") * F.lit(float(_MANTISSA_BANDS)))
+        + F.lit(_BAND_OFFSET),
     )
     q_null = F.lit(_Q_NULL if nulls_last else -_Q_NULL)
-    qk = F.col("__qk")
+    band = F.col("__qband")
     df = df.withColumn(
         out,
         F.when(qk.isNull(), q_null)
         .when(F.isnan(qk) | (qk == F.lit(inf)), F.lit(_Q_INF))
         .when(qk == F.lit(-inf), F.lit(-_Q_INF))
         .when(qk == F.lit(0.0), F.lit(0))
-        .when(qk > 0, F.col("__qpos"))
-        .otherwise(-F.col("__qpos") - 1)
+        .when(qk > 0, band)
+        .otherwise(-band - F.lit(1))
         .cast("bigint"),
     )
-    return df.drop(
-        "__qk", "__qax", "__qe0", "__qp0", "__qdn", "__qup", "__qpos"
+    return df.drop("__qk", "__qsafe", "__qband")
+
+
+class _Carve:
+    """Driver-side phase 2 over the collected per-group summary
+    (each row ``(__oq, count, min_key, max_key, *payload)``).
+
+    1. Split sentinel groups (null / ±Inf-NaN) from finite ones.
+    2. Sort finite groups by raw ``(min, max)`` and MERGE overlapping
+       ranges into super-groups — distinct groups hold distinct key
+       sets, so the merged ranges are provably disjoint and totally
+       ordered regardless of quantizer quality.
+    3. Order entries null-first (or last), −Inf, finite, +Inf/NaN —
+       matching Spark's window order — and carve count-balanced
+       buckets: each targets ``ceil(n / num_ranges)`` rows; an entry
+       larger than the target gets its own bucket (ties must share a
+       bucket — forced by exactness).
+
+    Exposes everything the plan-side literals need: per-bucket
+    exclusive count offsets, payload offsets (None-aware sums, so
+    Decimal stays Decimal), strictly-increasing finite bucket bounds,
+    sentinel-bucket ids, grand totals, and the per-bucket row lists
+    (for :func:`sequence_gaps`' seam stitching)."""
+
+    def __init__(self, rows, num_ranges, nulls_last=False):
+        from operator import itemgetter
+
+        q_null = _Q_NULL if nulls_last else -_Q_NULL
+        sent = {}
+        fin = []
+        for r in rows:
+            if abs(r[0]) >= _Q_INF:
+                sent[r[0]] = r
+            else:
+                fin.append(r)
+        fin.sort(key=itemgetter(2, 3))
+        # entry: [count, fin_min|None, rows, sentinel_oq|None]
+        entries: list[list] = []
+        append = entries.append
+        last_mx = None
+        for r in fin:
+            if last_mx is not None and r[2] <= last_mx:
+                e = entries[-1]
+                e[0] += r[1]
+                e[2].append(r)
+                if r[3] > last_mx:
+                    last_mx = r[3]
+            else:
+                append([r[1], r[2], [r], None])
+                last_mx = r[3]
+        pre = []
+        if not nulls_last and q_null in sent:
+            r = sent[q_null]
+            pre.append([r[1], None, [r], q_null])
+        if -_Q_INF in sent:
+            r = sent[-_Q_INF]
+            pre.append([r[1], None, [r], -_Q_INF])
+        post = []
+        if _Q_INF in sent:
+            r = sent[_Q_INF]
+            post.append([r[1], None, [r], _Q_INF])
+        if nulls_last and q_null in sent:
+            r = sent[q_null]
+            post.append([r[1], None, [r], q_null])
+        ordered = pre + entries + post
+
+        n = sum(e[0] for e in ordered)
+        target = max(-(-n // num_ranges), 1)
+        self.buckets: list[list] = []
+        self.count_offsets: list[int] = []
+        self.fin_lo = 0
+        self.fin_bounds: list[float] = []
+        sent_bkt: dict[int, int] = {}
+        cn = 0
+        last_b = -1
+        cur: list = []
+        cur_fin = None
+        for e in ordered:
+            b = cn // target
+            if b != last_b:
+                last_b = b
+                cur = []
+                cur_fin = None
+                self.buckets.append(cur)
+                self.count_offsets.append(cn)
+            cur.append(e)
+            cn += e[0]
+            bi = len(self.buckets) - 1
+            if e[3] is not None:
+                sent_bkt[e[3]] = bi
+            elif cur_fin is None:
+                # entries are range-sorted, so the first finite entry
+                # of a bucket carries its minimum
+                cur_fin = e[1]
+                if not self.fin_bounds:
+                    self.fin_lo = bi
+                self.fin_bounds.append(float(e[1]))
+        self.grand_n = cn
+        self.n_buckets = len(self.buckets)
+        self.bkt_null = sent_bkt.get(q_null, 0)
+        self.bkt_inf = sent_bkt.get(_Q_INF, self.n_buckets - 1)
+        self.bkt_ninf = sent_bkt.get(-_Q_INF, 0)
+
+    def bucket_expr(self, key: Column) -> Column:
+        """The plan-side bucket resolver: non-finite keys route by
+        explicit WHEN branches to their sentinel group's bucket;
+        finite keys probe the sorted ``fin_bounds`` LITERAL array —
+        ``fin_lo + #{bounds ≤ key} − 1``. Every finite key is ≥
+        ``fin_bounds[0]`` (the global finite minimum) by construction,
+        so the probe is ≥ 0. No join, no exchange, and — because the
+        probe compares RAW keys — no quantization on the data side:
+        the windowed pass pays one cast plus ≤ ``num_ranges`` double
+        compares per row."""
+        inf = float("inf")
+        kd = key.cast("double")
+        if self.fin_bounds:
+            arr = F.array(*[F.lit(b) for b in self.fin_bounds])
+            fin = (
+                F.size(F.filter(arr, lambda e: e <= kd))
+                - F.lit(1)
+                + F.lit(self.fin_lo)
+            )
+        else:
+            fin = F.lit(0)
+        return (
+            F.when(kd.isNull(), F.lit(self.bkt_null))
+            .when(F.isnan(kd) | (kd == F.lit(inf)), F.lit(self.bkt_inf))
+            .when(kd == F.lit(-inf), F.lit(self.bkt_ninf))
+            .otherwise(fin)
+            .cast("int")
+        )
+
+    def payload_offsets(self, j):
+        """Exclusive per-bucket prefix sums of payload column *j*
+        (summary row position ``4 + j``), None-aware so Decimal stays
+        Decimal and all-null prefixes stay None. Returns ``(offsets,
+        grand_total)``."""
+        outs = []
+        run = None
+        for bkt in self.buckets:
+            outs.append(run)
+            for e in bkt:
+                for r in e[2]:
+                    v = r[4 + j]
+                    if v is not None:
+                        run = v if run is None else run + v
+        return outs, run
+
+
+def _offset_lookup(values, cast_to=None) -> Column:
+    """Per-bucket exclusive offset as ``element_at`` of a literal
+    array indexed by ``__obkt`` (1-based). ``None`` entries (the
+    prefix before the first non-null payload) coalesce to 0."""
+    lits = [
+        F.lit(v).cast(cast_to) if cast_to is not None else F.lit(v)
+        for v in values
+    ]
+    return F.coalesce(
+        F.element_at(F.array(*lits), F.col("__obkt") + F.lit(1)),
+        F.lit(0),
     )
 
 
-def _bucket_table(
+def _summary(
     df: DataFrame,
     key: Column,
-    value: Column,
+    payload: Sequence[Column],
     num_ranges: int | None,
-    materialize: bool = True,
+    materialize: bool,
     nulls_last: bool = False,
 ):
-    """Phases 1+2, shared by every operator here, as ONE lazy plan:
-    tag rows with the quantized group ``__oq`` (BEFORE the optional
-    ``localCheckpoint``, so the quantization expression evaluates once
-    per row total — both passes read the materialized column),
-    aggregate the summary ``groupBy(__oq) → (count, sum(value))``,
-    derive — with windows over the SUMMARY relation only — the
-    exclusive prefix count/value-sum per group and a count-balanced
-    bucket id ``floor(prefix_count / ceil(n / num_ranges))``, then
-    COLLAPSE to bucket grain (≤ ``num_ranges`` rows) and fold the
-    whole bucket table into ONE row:
-
-    - ``__bmap``: sorted array of ``(first __oq, bucket id, exclusive
-      row offset, exclusive value offset)`` structs,
-    - ``__tn`` / ``__ts``: the grand total count / value-sum (so
-      Pareto denominators and median positions ride along with zero
-      extra passes).
-
-    The one-row table is attached to the data with a broadcast
-    nested-loop cross join (broadcasting ≤ ``num_ranges`` structs —
-    the same driver traffic the collect-based formulation shipped as
-    expression literals, minus the two driver round-trip jobs), and
-    each row finds its bucket with an O(num_ranges) sorted-array
-    probe: ``size(filter(__bmap, e → e.q ≤ __oq)) − 1``.
-
-    The summary windows are unpartitioned but BY CONSTRUCTION BOUNDED:
-    the relation under them has at most ``min(distinct keys,
-    quantization universe)`` rows — a data-independent constant —
-    which is the exception the plan fences recognize by the ``__oq`` /
-    ``__obkt`` sort keys (tests/test_plan_quality.py).
-
-    Returns ``(bucketed, one_row)``. On empty input the global
-    aggregate still yields one row (empty ``__bmap``) and the cross
-    join of zero data rows stays empty, so every downstream schema
-    falls out naturally with no build-time emptiness probe."""
+    """Fused phase 1: optionally ``localCheckpoint`` the input, then
+    ONE aggregation job — quantize (inside this job only), group, and
+    fetch ``(__oq, count, min(key), max(key), *payload)`` per group
+    via one Arrow transfer (~4× cheaper than the py4j row collect at
+    the 25k-group summaries id-sequence keys produce; nulls survive
+    as None, decimals as decimal.Decimal). Driver traffic is
+    summary-sized: ``min(distinct keys, ~8.6e6)`` rows — a hard
+    data-independent bound, never the data. Returns the (possibly
+    checkpointed) input unchanged, the summary rows, and the resolved
+    ``num_ranges``."""
     spark = df.sparkSession
     if num_ranges is None:
         num_ranges = int(
             spark.conf.get("spark.sql.shuffle.partitions", "8")
         )
-    df = _with_quant_key(df, key, "__oq", nulls_last=nulls_last)
     if materialize:
         df = df.localCheckpoint(eager=False)
-    s = df.groupBy("__oq").agg(
+    kd = key.cast("double")
+    summary = _with_quant_key(df, key, "__oq", nulls_last).groupBy(
+        "__oq"
+    ).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(value).alias("__s"),
+        F.min(kd).alias("__mn"),
+        F.max(kd).alias("__mx"),
+        *payload,
     )
-    wq = Window.orderBy("__oq")
-    prev = wq.rowsBetween(Window.unboundedPreceding, -1)
-    full = wq.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    s = s.select(
-        "__oq",
-        F.coalesce(F.sum("__n").over(prev), F.lit(0)).alias("__cn"),
-        F.coalesce(F.sum("__s").over(prev), F.lit(0)).alias("__cs"),
-        F.sum("__n").over(full).alias("__tn"),
-        F.sum("__s").over(full).alias("__ts"),
-    )
-    # ceil via double is exact to 2^53 rows; a 1-ulp slip would only
-    # nudge bucket BALANCE, never correctness (offsets are per-bucket
-    # exact sums regardless of how groups were sliced into buckets)
-    target = F.greatest(
-        F.ceil(F.col("__tn") / F.lit(num_ranges)), F.lit(1)
-    )
-    s = s.withColumn(
-        "__obkt", F.floor(F.col("__cn") / target).cast("int")
-    )
-    # per-group BUCKET offsets without a new exchange: "first group of
-    # its bucket" is lag(__obkt) != __obkt over the SAME window spec
-    # (the summary is already sorted by __oq in one bounded
-    # partition), and the bucket's exclusive offsets — that first
-    # group's __cn / __cs — propagate forward to every group of the
-    # bucket with last_value(..., ignoreNulls) over the cumulative
-    # frame: still the same partitioning, still one window stage
-    first = F.lag("__obkt").over(wq).isNull() | (
-        F.lag("__obkt").over(wq) != F.col("__obkt")
-    )
-    cum = wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mapping = s.select(
-        "__oq",
-        "__obkt",
-        F.last(F.when(first, F.col("__cn")), ignorenulls=True)
-        .over(cum)
-        .alias("__boffn"),
-        F.last(F.when(first, F.col("__cs")), ignorenulls=True)
-        .over(cum)
-        .alias("__boffs"),
-        "__tn",
-        "__ts",
-    )
-    return df, mapping
-
-
-def _attach_bucket(bucketed: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Broadcast-hash-join the summary-sized per-group map back onto
-    the data on the materialized ``__oq`` column — a codegen'd probe
-    of a bounded build side (explicitly ``F.broadcast`` so AQE can
-    never fall back to shuffling the data on ``__oq``)."""
-    return bucketed.join(F.broadcast(mapping), "__oq")
-
-
-_HELPER_COLS = (
-    "__oq", "__obkt", "__boffn", "__boffs", "__tn", "__ts",
-)
+    try:
+        tbl = summary.toArrow()
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        rows = list(zip(*cols))
+    except Exception:  # pragma: no cover - Arrow-less fallback
+        rows = [tuple(r) for r in summary.collect()]
+    return df, rows, num_ranges
 
 
 def with_global_rank(
@@ -378,26 +463,33 @@ def with_global_rank(
     ranking descending (negated key) and null keys are possible.
 
     ``total_col`` (optional) attaches the GLOBAL row count as a long
-    column — it rides the summary's grand total, so median positions /
-    decile cut ranks / Pareto denominators cost zero extra passes (a
-    separate ``count()`` would re-execute the input end to end)."""
-    bucketed, one_row = _bucket_table(
-        df, key, F.lit(1), num_ranges, materialize, nulls_last
+    literal column — it is the sum of the already-collected group
+    counts, so median positions / decile cut ranks / Pareto
+    denominators cost zero extra jobs (a separate ``count()`` would
+    re-execute the input subquery end to end)."""
+    base, rows, num_ranges = _summary(
+        df, key, [], num_ranges, materialize, nulls_last
     )
-    out = _attach_bucket(bucketed, one_row)
+    if not rows:
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(0).cast("long"))
+        return out
+    carve = _Carve(rows, num_ranges, nulls_last)
+    out = base.withColumn("__obkt", carve.bucket_expr(key))
     w = Window.partitionBy("__obkt").orderBy(*order_cols)
     out = out.withColumn(
         out_col,
         (
             F.row_number().over(w).cast("long")
-            + F.col("__boffn").cast("long")
+            + _offset_lookup(carve.count_offsets).cast("long")
         ).cast("long"),
-    )
+    ).drop("__obkt")
     if total_col is not None:
         out = out.withColumn(
-            total_col, F.coalesce(F.col("__tn"), F.lit(0)).cast("long")
+            total_col, F.lit(int(carve.grand_n)).cast("long")
         )
-    return out.drop(*_HELPER_COLS)
+    return out
 
 
 def with_running_sum(
@@ -415,21 +507,35 @@ def with_running_sum(
     order (ROWS UNBOUNDED PRECEDING .. CURRENT ROW frame) without a
     single-partition sort. The sum keeps *value_col*'s own type —
     decimal stays decimal-exact through both the window and the
-    summary-derived per-bucket offsets.
+    collected per-bucket offsets.
 
-    ``total_col`` (optional) attaches the GLOBAL sum of *value_col* —
-    the summary's grand total (decimal stays decimal), so
+    ``total_col`` (optional) attaches the GLOBAL sum of *value_col* as
+    a literal column — the sum of the already-collected group totals
+    (same Python type the offsets use: Decimal stays Decimal), so
     share-of-total denominators cost zero extra passes.
 
     Output typing: ``out_col`` and ``total_col`` are cast to the SUM
     type of *value_col* (Spark's aggregate widening: decimal(p,s) →
     decimal(min(38, p+10), s), integrals → long, floats → double), so
-    the schema is identical on empty and non-empty inputs."""
+    the schema is identical on empty and non-empty inputs and does not
+    drift with the magnitude of the collected offset literals."""
     sum_type = _sum_type(df.schema[value_col].dataType)
-    bucketed, one_row = _bucket_table(
-        df, key, F.col(value_col), num_ranges, materialize, nulls_last
+    base, rows, num_ranges = _summary(
+        df,
+        key,
+        [F.sum(value_col).alias("__s")],
+        num_ranges,
+        materialize,
+        nulls_last,
     )
-    out = _attach_bucket(bucketed, one_row)
+    if not rows:
+        out = df.withColumn(out_col, F.lit(None).cast(sum_type))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(0).cast(sum_type))
+        return out
+    carve = _Carve(rows, num_ranges, nulls_last)
+    offsets, grand_s = carve.payload_offsets(0)
+    out = base.withColumn("__obkt", carve.bucket_expr(key))
     w = (
         Window.partitionBy("__obkt")
         .orderBy(*order_cols)
@@ -437,14 +543,17 @@ def with_running_sum(
     )
     out = out.withColumn(
         out_col,
-        (F.sum(value_col).over(w) + F.col("__boffs")).cast(sum_type),
-    )
+        (
+            F.sum(value_col).over(w)
+            + _offset_lookup(offsets, sum_type)
+        ).cast(sum_type),
+    ).drop("__obkt")
     if total_col is not None:
         out = out.withColumn(
             total_col,
-            F.coalesce(F.col("__ts"), F.lit(0)).cast(sum_type),
+            F.lit(grand_s if grand_s is not None else 0).cast(sum_type),
         )
-    return out.drop(*_HELPER_COLS)
+    return out
 
 
 def sequence_gaps(
@@ -457,67 +566,53 @@ def sequence_gaps(
     return one row per gap — ``(id, next_id)`` where ``next_id`` is the
     next present id and ``next_id − id > 1`` — without a global sort.
 
-    Two-phase ``lead()`` with boundary stitching, zero collects:
-    ids bucket by the quantized key, ``lead`` runs within each bucket
-    (covering every intra-bucket group seam), and the cross-BUCKET
-    seams come from the per-bucket ``(min, max)`` summary — derived
-    from the same ``groupBy(__oq)`` aggregate, with a ``lead`` over the
-    bucket-grain relation (``≤ num_ranges`` rows). Empty buckets
-    cannot exist (buckets are carved from populated groups), so the
-    seam lead never skips ids."""
+    Two-phase ``lead()`` with boundary stitching: ids bucket by the
+    carve, ``lead`` runs within each bucket (covering every
+    intra-bucket group seam), and the cross-BUCKET seams come from the
+    collected per-group ``(min, max)`` summary — the last group of one
+    bucket against the first group of the next (adjacent groups inside
+    one bucket are already covered by the data-side ``lead``). Empty
+    buckets cannot exist (buckets are carved from populated groups),
+    so the seam scan never skips ids."""
     spark = df.sparkSession
-    if num_ranges is None:
-        num_ranges = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "8")
-        )
     df = df.select(F.col(id_col).cast("bigint").alias(id_col))
-    bucketed = _with_quant_key(df, F.col(id_col), "__oq")
-    if materialize:
-        bucketed = bucketed.localCheckpoint(eager=False)
-    s = bucketed.groupBy("__oq").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(id_col).alias("__mn"),
-        F.max(id_col).alias("__mx"),
+    base, rows, num_ranges = _summary(
+        df,
+        F.col(id_col),
+        # exact bigint min/max per group as payload: the summary's
+        # __mn/__mx are DOUBLE (fine for carve/probe — both sides live
+        # in double space) but seam ids must stay exact beyond 2^53
+        [F.min(id_col).alias("__imn"), F.max(id_col).alias("__imx")],
+        num_ranges,
+        materialize,
     )
-    wq = Window.orderBy("__oq")
-    prev = wq.rowsBetween(Window.unboundedPreceding, -1)
-    full = wq.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    out_schema = f"`{id_col}` bigint, `next_id` bigint"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    carve = _Carve(rows, num_ranges)
+    bucketed = base.withColumn(
+        "__obkt", carve.bucket_expr(F.col(id_col))
     )
-    s = s.select(
-        "__oq",
-        "__mn",
-        "__mx",
-        F.coalesce(F.sum("__n").over(prev), F.lit(0)).alias("__cn"),
-        F.sum("__n").over(full).alias("__tn"),
-    )
-    target = F.greatest(
-        F.ceil(F.col("__tn") / F.lit(num_ranges)), F.lit(1)
-    )
-    s = s.withColumn(
-        "__obkt", F.floor(F.col("__cn") / target).cast("int")
-    )
-    # all bucket-boundary work rides the SAME sorted summary partition
-    # (lead over wq — no groupBy exchange, no extra sort): a seam gap
-    # is an adjacent-group pair in DIFFERENT buckets with missing ids
-    # between them (same-bucket pairs are covered by the data-side
-    # lead), and the bucket lookup is a broadcast join on __oq
-    s = s.withColumn("__nbkt", F.lead("__obkt").over(wq)).withColumn(
-        "__nmn", F.lead("__mn").over(wq)
-    )
-    seams = s.filter(
-        (F.col("__nbkt") != F.col("__obkt"))
-        & (F.col("__nmn") - F.col("__mx") > 1)
-    ).select(
-        F.col("__mx").alias(id_col), F.col("__nmn").alias("next_id")
-    )
-    joined = bucketed.join(
-        F.broadcast(s.select("__oq", "__obkt")), "__oq"
-    )
-    wd = Window.partitionBy("__obkt").orderBy(id_col)
+    w = Window.partitionBy("__obkt").orderBy(id_col)
     intra = (
-        joined.withColumn("next_id", F.lead(id_col).over(wd))
+        bucketed.withColumn("next_id", F.lead(id_col).over(w))
         .filter(F.col("next_id") - F.col(id_col) > 1)
         .select(id_col, "next_id")
     )
-    return intra.unionByName(seams)
+    # cross-bucket seams from the carve's per-bucket row lists: each
+    # bucket's exact max id against the next bucket's exact min id
+    bkt_mn: list[int] = []
+    bkt_mx: list[int] = []
+    for bkt in carve.buckets:
+        ids_mn = [r[4] for e in bkt for r in e[2]]
+        ids_mx = [r[5] for e in bkt for r in e[2]]
+        bkt_mn.append(min(ids_mn))
+        bkt_mx.append(max(ids_mx))
+    seams = [
+        (int(a), int(b))
+        for a, b in zip(bkt_mx, bkt_mn[1:])
+        if b - a > 1
+    ]
+    if not seams:
+        return intra
+    return intra.unionByName(spark.createDataFrame(seams, out_schema))

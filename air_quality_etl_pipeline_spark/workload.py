@@ -1154,10 +1154,10 @@ REBUILD_PURE_QUERIES: set[str] = {
     "pca_project",
     "pack_sequences",
     # bucketed two-phase order statistics (operators/order_stats.py):
-    # since round 5 the builders run ZERO jobs (offsets ride the lazy
-    # summary plan), but the plan localCheckpoints its input — a reused
-    # DataFrame would serve materialized blocks to samples 2+, so each
-    # sample rebuilds to pay the materialization honestly
+    # the round-6 fused builders run ONE summary-collect job at build
+    # (and localCheckpoint their input — a reused DataFrame would serve
+    # materialized blocks to samples 2+), so each sample rebuilds to
+    # pay the summary job and the materialization honestly
     "orders_gini",
     "abc_pareto_classes",
     "psi_value_drift",
@@ -1186,7 +1186,7 @@ SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 #: ``_driver_checked_rounds`` below counts their ``err: no_oracle``
 #: receipts (with rows returned) as a checked rows-only pass so they
 #: stop re-entering the driver gate's first-50 window every round.
-#: tests/test_registry.py asserts this set equals the queries whose
+#: tests/test_invariants.py asserts this set equals the queries whose
 #: registered oracle is ``None``.
 #:
 #: The one member: ``bpe_encode_corpus`` applies a LEARNED merge list
@@ -1434,11 +1434,15 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
     so a fresh clone falls back to the static base order.
 
     A receipt with ``err == "no_oracle"`` and ``spark_rows > 0`` counts
-    as a checked ROWS-ONLY pass: that is the strongest signal the
-    driver can ever record for a :data:`ROWS_ONLY_QUERIES` member, so
-    treating it as unchecked would re-queue those queries into the
-    gate's first-50 window every round forever, burning slots that
-    should retire real backlog (round-4 verdict, "What's wrong" #2)."""
+    as a checked ROWS-ONLY pass — but ONLY for current
+    :data:`ROWS_ONLY_QUERIES` members: that is the strongest signal the
+    driver can ever record for them, so treating it as unchecked would
+    re-queue those queries into the gate's first-50 window every round
+    forever, burning slots that should retire real backlog (round-4
+    verdict, "What's wrong" #2). A query that has since GAINED an
+    oracle (left the set) must NOT keep its old no_oracle credit, or
+    its brand-new oracle would go driver-unverified for many rounds
+    (round-5 advisor finding: bpe_learn_merges / pca_project)."""
     import glob
     import json
     import os
@@ -1472,9 +1476,10 @@ def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
                 and err is None
             ) or (
                 # rows-only pass: the driver ran the query, it returned
-                # rows, and there is no oracle to compare against
+                # rows, and the query is STILL registered oracle-less
                 err == "no_oracle"
                 and (rec.get("spark_rows") or 0) > 0
+                and name in ROWS_ONLY_QUERIES
             )
             if green:
                 latest_green[name] = max(rnd, latest_green.get(name, 0))

@@ -492,7 +492,7 @@ def _bpe_merges_oracle(n_merges: int = 6) -> str:
              COALESCE(v.sym = m.l AND
                lead(v.sym) OVER (PARTITION BY v.word ORDER BY v.pos) = m.r,
                FALSE) AS cand
-      FROM v{t} v, m{t} m),
+      FROM v{t} v LEFT JOIN m{t} m ON TRUE),
     s{t} AS (
       SELECT *, cand AND
              (pos - COALESCE(max(CASE WHEN cand THEN NULL ELSE pos END)

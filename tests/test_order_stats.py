@@ -173,13 +173,12 @@ def test_total_col_equals_global_aggregate(skewed_df):
     assert len(tots) == 1 and tots[0]["tot"] == expected
 
 
-def test_no_data_sized_single_partition_window_in_plans(spark, skewed_df):
-    # the DATA-sized window must be partitioned by __obkt; the only
-    # windows allowed on a single-partition exchange are the SUMMARY
-    # windows (sort key __oq / __obkt), whose input is the
-    # groupBy(__oq) relation — bounded by min(distinct keys,
-    # quantization universe), a data-independent constant. Same rule
-    # as the registry-wide fence in tests/test_plan_quality.py.
+def test_no_single_partition_window_in_plans(spark, skewed_df):
+    # the DATA-sized window must be partitioned by __obkt, and since
+    # the round-6 fused formulation the summary is collected (never
+    # windowed in-plan), so NO window may sit on a single-partition
+    # exchange anywhere — the same rule as the registry-wide fence in
+    # tests/test_plan_quality.py, with an empty exception list.
     for df in (
         with_global_rank(skewed_df, F.col("k"), [F.col("k"), F.col("id")]),
         with_running_sum(
@@ -192,10 +191,9 @@ def test_no_data_sized_single_partition_window_in_plans(spark, skewed_df):
         for i, ln in enumerate(lines):
             if "Window [" in ln or "WindowGroupLimit" in ln:
                 below = "\n".join(lines[i + 1 : i + 3])
-                if "Exchange SinglePartition" in below:
-                    assert "__oq" in ln or "__obkt" in ln, (
-                        "data-sized global window:\n" + ln
-                    )
+                assert "Exchange SinglePartition" not in below, (
+                    "single-partition window:\n" + ln
+                )
 
 
 def test_all_equal_keys_degenerate_stays_exact(spark):

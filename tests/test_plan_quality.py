@@ -405,13 +405,6 @@ def _global_window_sites(plan_str: str) -> list[str]:
         if "Window [" in ln or "WindowGroupLimit" in ln:
             below = "\n".join(lines[i + 1 : i + 3])
             if "Exchange SinglePartition" in below:
-                # structural exception: operators/order_stats.py's
-                # SUMMARY windows (sort key __oq / __obkt) run over the
-                # groupBy(__oq) relation, bounded by min(distinct keys,
-                # quantization universe) — a data-independent constant,
-                # never the data (module docstring has the argument)
-                if "__oq" in ln or "__obkt" in ln:
-                    continue
                 bad.append(ln.strip()[:70])
     return bad
 
