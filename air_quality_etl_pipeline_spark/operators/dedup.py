@@ -468,33 +468,16 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str = "text",
-    n: int = 5,
-    num_hashes: int = 8,
-    bands: int = 4,
-    hash_family: str = "md5",
-    shingler: str = "word",
-) -> tuple[DataFrame, DataFrame]:
-    """Candidate generation half of MinHash-LSH: returns
-    ``(shingle_relation(_id, _sh, _h*), candidate_pairs(id_a, id_b))``
-    so callers can verify with ANY similarity predicate — the verify
-    metric and the candidate metric are independent choices (e.g.
-    word-5-gram candidates verified by char-3-gram Jaccard when the
-    corpus vocabulary makes char-gram LSH collide on everything).
-    """
+def banded_relation(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """The slim LSH band relation ``(_id, band_idx, band_hash)`` of a
+    signature table from :func:`minhash_signatures`: signatures split
+    into *bands* rows of ``num_hashes/bands`` hashes each, band hash =
+    md5 of the comma-joined row. Text and shingle arrays never ride
+    this relation — it is the ONLY thing the bucket join shuffles."""
     rows_per_band = num_hashes // bands
-    # ONE persisted pass computes shingles AND signatures (see
-    # minhash_signatures for why the signature is aggregate-based); the
-    # cached relation feeds the band self-join (both sides) and both
-    # verify join-backs — without it the tokenize→shingle→hash scan
-    # re-runs four times.
-    sh = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, hash_family, shingler
-    ).persist()
-    banded = sh.select(
+    return sh.select(
         "_id",
         F.explode(
             F.array(
@@ -516,6 +499,100 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs_between(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    hash_family: str = "md5",
+    shingler: str = "word",
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup: near-dup pairs BETWEEN two
+    relations — ``(new_id, corpus_id, jaccard)`` for every *new_df*
+    row whose true shingle Jaccard against some *corpus_df* row is ≥
+    *threshold* — the continuous-ingestion shape: an incoming batch is
+    screened against the existing corpus without ever comparing corpus
+    rows to each other (no self-join, no ``id_a < id_b`` dance).
+
+    Same machinery as :func:`minhash_lsh_pairs` (signature pass per
+    side, band equi-join, verify join-back to the shingle sets), but
+    the band join is new×corpus only. At 100 TB the corpus-side band
+    relation is the thing a production pipeline PERSISTS between
+    batches (it is ``(id, band, hash)`` — narrow, append-only); here it
+    is recomputed because the registry queries must be
+    self-contained."""
+    sh_new = minhash_signatures(
+        new_df, id_col, text_col, n, num_hashes, hash_family, shingler
+    ).persist()
+    sh_old = minhash_signatures(
+        corpus_df, id_col, text_col, n, num_hashes, hash_family, shingler
+    ).persist()
+    left = banded_relation(sh_new, num_hashes, bands).select(
+        "band_idx", "band_hash", F.col("_id").alias("new_id")
+    )
+    right = banded_relation(sh_old, num_hashes, bands).select(
+        "band_idx", "band_hash", F.col("_id").alias("corpus_id")
+    )
+    cands = (
+        left.join(right, on=["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    verified = (
+        cands.join(
+            sh_new.select(
+                F.col("_id").alias("new_id"), F.col("_sh").alias("sh_a")
+            ),
+            on="new_id",
+        )
+        .join(
+            sh_old.select(
+                F.col("_id").alias("corpus_id"),
+                F.col("_sh").alias("sh_b"),
+            ),
+            on="corpus_id",
+        )
+        .withColumn(
+            "jaccard", jaccard_of_arrays(F.col("sh_a"), F.col("sh_b"))
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "new_id", "corpus_id", "jaccard"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_family: str = "md5",
+    shingler: str = "word",
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation half of MinHash-LSH: returns
+    ``(shingle_relation(_id, _sh, _h*), candidate_pairs(id_a, id_b))``
+    so callers can verify with ANY similarity predicate — the verify
+    metric and the candidate metric are independent choices (e.g.
+    word-5-gram candidates verified by char-3-gram Jaccard when the
+    corpus vocabulary makes char-gram LSH collide on everything).
+    """
+    # ONE persisted pass computes shingles AND signatures (see
+    # minhash_signatures for why the signature is aggregate-based); the
+    # cached relation feeds the band self-join (both sides) and both
+    # verify join-backs — without it the tokenize→shingle→hash scan
+    # re-runs four times.
+    sh = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, hash_family, shingler
+    ).persist()
+    banded = banded_relation(sh, num_hashes, bands)
 
     # Self-join via RENAMED projections + join-by-name, NOT
     # .alias("a")/.alias("b") with qualified F.col refs: when both sides

@@ -327,6 +327,106 @@ def ivf_topk(
     )
 
 
+def ivf_batch_knn_bucketed(
+    corpus: DataFrame,
+    table_name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    centroid_stride: int = 128,
+    nprobe: int = 2,
+    sim_decimals: int = 6,
+    dims: int | None = None,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Batch kNN over a PERSISTED BUCKETED inverted file — the
+    amortized-index shape SCALE.md's IVF note names: the ``(vec_id,
+    cid, vector)`` list relation is built once (same deterministic
+    coarse quantizer and rank-1 ``max_by`` assignment as
+    :func:`ivf_topk`), written as a managed table BUCKETED BY ``cid``,
+    and every subsequent query batch probes it by joining on ``cid``
+    with ZERO exchange on the index side — the bucketed scan already
+    satisfies the join's hash distribution, so only the (small) probe
+    relation shuffles. Plan-asserted in tests/test_bucketed_join.py.
+
+    The query batch here is the WHOLE corpus (self-kNN graph — the
+    input for graph-based clustering, SemDeDup-style pruning, or
+    hard-negative mining), which is exactly the batch size where
+    broadcasting the probes stops being an option and the bucketed
+    index earns its keep; the probe join is hinted SHUFFLE_HASH so the
+    demonstration cannot silently degrade to a broadcast."""
+    from air_quality_etl_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm_expr("_v"))
+    cents = F.broadcast(
+        c.filter(F.col("_id") % centroid_stride == 0).select(
+            F.col("_id").alias("cid"),
+            F.col("_v").alias("centv"),
+            F.col("_n").alias("centn"),
+        )
+    )
+    # rank-1 assignment via map-side max_by — same shape (and the same
+    # (cos, −cid) tie-break) as ivf_topk's catalyst path
+    scored_c = c.crossJoin(cents).withColumn(
+        "_cos", _pair_cosine("_v", "_n", "centv", "centn", dims, sim_decimals)
+    )
+    assigned = (
+        scored_c.groupBy("_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("_v"), F.col("_n"), F.col("cid")),
+                F.struct(F.col("_cos"), (-F.col("cid")).alias("_nc")),
+            ).alias("_b")
+        )
+        .select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_b._v").alias("cv"),
+            F.col("_b._n").alias("cn"),
+            F.col("_b.cid").alias("cid"),
+        )
+    )
+    write_bucketed_table(assigned, table_name, ["cid"], num_buckets)
+    index = spark.table(table_name)
+
+    q = c.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"),
+    )
+    probe_scored = q.crossJoin(cents).withColumn(
+        "_cos", _pair_cosine("qv", "qn", "centv", "centn", dims, sim_decimals)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "qn", "cid")
+    )
+    scored = (
+        probes.hint("shuffle_hash")
+        .join(index, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def assign_nearest_numpy(
     vectors: DataFrame,
     centroids: DataFrame,

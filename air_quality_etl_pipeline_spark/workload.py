@@ -1146,6 +1146,7 @@ from air_quality_etl_pipeline_spark import workload_graph  # noqa: E402,F401
 REBUILD_PURE_QUERIES: set[str] = {
     "dedup_clusters",
     "dedup_canonical_docs",
+    "split_leakage_audit",
     "pagerank_trade_graph",
     "ppr_from_seeds",
     "bpe_learn_merges",

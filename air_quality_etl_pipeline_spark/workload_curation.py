@@ -183,6 +183,139 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs, "doc_id")
 
 
+#: the 80/10/10 split CASE over the salted doc-id hash — the SQL twin
+#: of workload_corpus.q_train_val_test_split's assignment, reused by
+#: the leakage audit below (same salt, same buckets)
+_SPLIT_SQL = """CASE
+      WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 100 < 80 THEN 'train'
+      WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT % 100 < 90 THEN 'val'
+      ELSE 'test' END"""
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH RECURSIVE {SIMHASH_PAIRS_CTES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM sim_pairs
+              UNION SELECT id_b, id_a FROM sim_pairs),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    decided AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    sp AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents),
+    csp AS (
+      SELECT dd.doc_id, sp.split AS naive_split, rep.split AS cluster_split
+      FROM decided dd
+      JOIN sp ON sp.doc_id = dd.doc_id
+      JOIN sp rep ON rep.doc_id = dd.cluster_id),
+    pair_splits AS (
+      SELECT a.naive_split AS na, b.naive_split AS nb,
+             a.cluster_split AS ca, b.cluster_split AS cb
+      FROM sim_pairs p
+      JOIN csp a ON a.doc_id = p.id_a
+      JOIN csp b ON b.doc_id = p.id_b)
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM sim_pairs) AS n_pairs,
+      (SELECT CAST(count(*) FILTER (WHERE na <> nb) AS BIGINT)
+         FROM pair_splits) AS leaked_naive,
+      (SELECT CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT)
+         FROM pair_splits) AS leaked_cluster_aware,
+      (SELECT CAST(count(*) FILTER (WHERE naive_split <> cluster_split)
+              AS BIGINT) FROM csp) AS n_moved,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene audit for the train/val/test split: a per-document
+    hash split (the `train_val_test_split` assignment) puts near-dup
+    documents in DIFFERENT splits — train/test leakage that inflates
+    eval scores. The CLUSTER-AWARE split reassigns every document to
+    its near-dup cluster representative's split (cluster = connected
+    components over the SimHash pair graph, exactly `dedup_clusters`),
+    which provably zeroes cross-split near-dup pairs: both endpoints
+    of any pair share a cluster, hence a representative, hence a
+    split. Output: pair counts leaked under each policy (the
+    cluster-aware column must be 0 — an invariant the oracle also
+    computes, not assumes), documents moved, totals.
+
+    Scale shape: the split is a scan-local hash; only the PAIR GRAPH
+    and the (doc, cluster) relation join — both near-dup-sized, never
+    corpus² (same contract as dedup_clusters)."""
+    from air_quality_etl_pipeline_spark.functions.core import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(
+        d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
+    ).select("id_a", "id_b").persist()
+    clusters = dedup_clusters(d, pairs, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    sp = d.select("doc_id", split.alias("naive_split"))
+    rep = sp.select(
+        F.col("doc_id").alias("cluster_id"),
+        F.col("naive_split").alias("cluster_split"),
+    )
+    csp = clusters.join(sp, "doc_id").join(rep, "cluster_id")
+    pair_splits = (
+        pairs.join(
+            csp.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("naive_split").alias("na"),
+                F.col("cluster_split").alias("ca"),
+            ),
+            "id_a",
+        )
+        .join(
+            csp.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("naive_split").alias("nb"),
+                F.col("cluster_split").alias("cb"),
+            ),
+            "id_b",
+        )
+    )
+    leak = pair_splits.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("na") != F.col("nb")).cast("long"))
+        .cast("long")
+        .alias("leaked_naive"),
+        F.sum((F.col("ca") != F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("leaked_cluster_aware"),
+    )
+    moved = csp.agg(
+        F.sum(
+            (F.col("naive_split") != F.col("cluster_split")).cast("long")
+        )
+        .cast("long")
+        .alias("n_moved"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    return leak.crossJoin(moved).select(
+        "n_pairs",
+        F.coalesce("leaked_naive", F.lit(0)).cast("long").alias(
+            "leaked_naive"
+        ),
+        F.coalesce("leaked_cluster_aware", F.lit(0)).cast("long").alias(
+            "leaked_cluster_aware"
+        ),
+        "n_moved",
+        "n_docs",
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation: scrub -> quality gate -> exact dedup -> budget report
 # ---------------------------------------------------------------------------

@@ -51,7 +51,15 @@ from air_quality_etl_pipeline_spark.operators.text import (
     token_count,
     unique_token_ratio,
 )
-from air_quality_etl_pipeline_spark.workload import _t, register
+from air_quality_etl_pipeline_spark.workload import (
+    SIDE_EFFECT_QUERIES,
+    _t,
+    register,
+)
+
+# builder writes the bucketed index table — each bench sample must pay
+# the index build + write, and the plan sweep must not construct it
+SIDE_EFFECT_QUERIES.add("ann_ivf_bucketed_batch")
 
 # ---- shared SQL fragments -------------------------------------------------
 
@@ -686,7 +694,12 @@ def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _ivf_oracle(stride: int = 128, nprobe: int = 2, k: int = 5) -> str:
+def _ivf_oracle(
+    stride: int = 128,
+    nprobe: int = 2,
+    k: int = 5,
+    query_pred: str = "q.vec_id < 8",
+) -> str:
     def cos(a: str, b: str) -> str:
         return (
             f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
@@ -711,7 +724,7 @@ def _ivf_oracle(stride: int = 128, nprobe: int = 2, k: int = 5) -> str:
         SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY {r6(cos('q.v', 'c.cv'))} DESC, c.cid ASC) AS rn
-        FROM e q, cent c WHERE q.vec_id < 8) WHERE rn <= {nprobe}),
+        FROM e q, cent c WHERE {query_pred}) WHERE rn <= {nprobe}),
     scored AS (
       SELECT query_id, neighbor_id, {r6(cos('p.qv', 'a.nv'))} AS cosine
       FROM probes p JOIN assign a
@@ -721,6 +734,160 @@ def _ivf_oracle(stride: int = 128, nprobe: int = 2, k: int = 5) -> str:
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored) WHERE rank <= {k}
     """
+
+
+@register(
+    "ann_ivf_bucketed_batch",
+    _ivf_oracle(k=3, query_pred="TRUE"),
+)
+def q_ann_ivf_bucketed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-kNN graph (top-3 neighbors for EVERY vector) over a
+    persisted inverted file BUCKETED BY centroid id — the
+    amortized-index pattern SCALE.md's IVF note names for 100 TB: the
+    list relation is written once as a bucketed managed table, and the
+    probe batch joins it on ``cid`` with no exchange on the index side
+    (plan-asserted in tests/test_bucketed_join.py; the join is hinted
+    SHUFFLE_HASH because the whole corpus is the query batch — the
+    regime where broadcasting probes stops being an option). Same
+    centroids, assignment tie-breaks, and rounded-cosine semantics as
+    ``ann_ivf_topk``, so the oracle is the same SQL with the query
+    predicate opened up. The self-kNN graph is the input for
+    graph-based clustering, SemDeDup-style pruning, and hard-negative
+    mining. WRITE side effect: rebuilt per bench sample
+    (SIDE_EFFECT_QUERIES)."""
+    import os as _os
+
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        ivf_batch_knn_bucketed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_batch_knn_bucketed(
+        e,
+        f"ivf_lists_{_os.getpid()}",
+        k=3,
+        centroid_stride=128,
+        nprobe=2,
+        dims=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _incremental_dedup_oracle(
+    num_hashes: int = 8,
+    bands: int = 4,
+    thr: float = 0.7,
+    n: int = 5,
+    corpus_pct: int = 80,
+) -> str:
+    """Cross-relation twin of the dedup_minhash_lsh oracle: documents
+    split by the deterministic sample bucket into corpus (< pct) and
+    incoming batch (>= pct); signatures per side; band join ACROSS the
+    sides only; word-shingle Jaccard verify; then one row per incoming
+    doc with its dup verdict."""
+    rows = num_hashes // bands
+    bucket = (
+        "(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 100)"
+    )
+    sig = ",\n           ".join(
+        f"list_min(list_transform(s, x -> "
+        f"substr(md5('{i}:' || x), 1, 15))) AS h{i}"
+        for i in range(num_hashes)
+    )
+
+    def banded(src: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(','"
+            + "".join(f", h{b * rows + r}" for r in range(rows))
+            + f")) AS band_hash FROM {src}"
+            for b in range(bands)
+        )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks,
+                      {bucket} >= {corpus_pct} AS incoming
+               FROM documents),
+    sh AS (SELECT doc_id, incoming, {_word_shingles_sql(n)} AS s FROM t),
+    sig_new AS (SELECT doc_id, s,
+           {sig}
+        FROM sh WHERE incoming),
+    sig_old AS (SELECT doc_id, s,
+           {sig}
+        FROM sh WHERE NOT incoming),
+    banded_new AS (
+      {banded('sig_new')}
+    ),
+    banded_old AS (
+      {banded('sig_old')}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM banded_new a JOIN banded_old b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+    verified AS (
+      SELECT new_id, corpus_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(a.s || b.s)) AS jaccard
+      FROM cands JOIN sig_new a ON a.doc_id = cands.new_id
+                 JOIN sig_old b ON b.doc_id = cands.corpus_id),
+    hits AS (
+      SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+             floor(max(jaccard) * 10000.0 + 0.5) / 10000.0 AS best_jaccard
+      FROM verified WHERE jaccard >= {thr} GROUP BY new_id)
+    SELECT t.doc_id AS new_id,
+           h.new_id IS NOT NULL AS is_dup,
+           CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+           h.best_jaccard
+    FROM t LEFT JOIN hits h ON h.new_id = t.doc_id
+    WHERE t.incoming
+    """
+
+
+@register("dedup_incremental_batch", _incremental_dedup_oracle())
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the continuous-ingestion shape every
+    production corpus pipeline runs: screen an incoming batch (the
+    deterministic ~20 % sample bucket of `documents`) against the
+    existing corpus (the other ~80 %) with MinHash(8) + 4-band LSH
+    over word-5-gram shingles, verify candidates with true Jaccard ≥
+    0.7, and emit one verdict row per incoming document (is_dup,
+    match count, best similarity). The band join is new×corpus ONLY —
+    no self-join, corpus rows are never compared to each other — and
+    at 100 TB the corpus-side band relation is the narrow append-only
+    thing a pipeline persists between batches
+    (operators/dedup.minhash_lsh_pairs_between)."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+    from air_quality_etl_pipeline_spark.operators.sampling import (
+        sample_bucket,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = sample_bucket(F.col("doc_id"))
+    corpus = d.filter(bucket < 80)
+    incoming = d.filter(bucket >= 80)
+    pairs = minhash_lsh_pairs_between(
+        incoming, corpus, "doc_id", "text", n=5, num_hashes=8, bands=4,
+        threshold=0.7,
+    )
+    hits = pairs.groupBy("new_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        round_portable(F.max("jaccard"), 4).alias("best_jaccard"),
+    )
+    return (
+        incoming.select(F.col("doc_id").alias("new_id"))
+        .join(hits, "new_id", "left")
+        .select(
+            "new_id",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+            "best_jaccard",
+        )
+    )
 
 
 @register("ann_ivf_topk", _ivf_oracle())

@@ -56,3 +56,32 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_ivf_bucketed_index_probe_join_no_index_exchange(spark):
+    """ann_ivf_bucketed_batch's contract: the persisted inverted file
+    (bucketed by cid) streams into the probe ShuffledHashJoin with NO
+    exchange above its scan — only the probe relation shuffles. The
+    executed-plan walk asserts the join's streamed side contains the
+    bucketed scan and no Exchange between them."""
+    from air_quality_etl_pipeline_spark.workload import QUERIES
+
+    df = QUERIES["ann_ivf_bucketed_batch"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # locate the probe join (the only ShuffledHashJoin in the plan)
+    joins = [i for i, l in enumerate(lines) if "ShuffledHashJoin" in l]
+    assert len(joins) == 1, plan
+    # the streamed (index) subtree after the join: from the end of the
+    # build subtree to the bucketed scan there must be no Exchange
+    tail = "\n".join(lines[joins[0]:])
+    assert "Bucketed: true" in tail, plan
+    streamed = tail[tail.rindex("+- FileScan"):]
+    prev = tail[: tail.rindex("+- FileScan")]
+    # the last child of the join is the index scan itself (FileScan is
+    # the subtree root line) — no operator, in particular no Exchange,
+    # sits between the join and the bucketed scan on the streamed side
+    last_child_block = prev[prev.rindex("ShuffledHashJoin"):]
+    streamed_side = last_child_block.split(":- Exchange", 1)
+    assert len(streamed_side) == 2, plan  # build side shuffles (probe)
+    assert "Bucketed: true" in streamed, plan

@@ -561,3 +561,50 @@ def test_csv_quarantine_splits_clean_and_corrupt(spark, tmp_path):
     assert clean_rows == [(1, 10.5), (3, 30.25)]
     bad = [r._corrupt_record for r in corrupt.collect()]
     assert bad == ["2,not_a_number"]  # raw text preserved for triage
+
+
+def test_minhash_lsh_pairs_between_matches_cross_subset(spark):
+    """The incremental (cross-relation) LSH must find exactly the
+    cross-relation subset of what the self-join form finds on the
+    union — no corpus×corpus or new×new pairs, nothing missed."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_between,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the dawn comes",
+        "sphinx of black quartz judge my vow said the old professor",
+    ]
+    rows = []
+    # ids 0-2: corpus originals; 10-12: near-clones (one word changed);
+    # 20: unrelated new doc; 11 vs 12 share a clone source (new×new —
+    # must NOT be reported by the incremental form)
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    rows.append((10, base[0].replace("dog", "cat")))
+    rows.append((11, base[1].replace("dawn", "dusk")))
+    rows.append((12, base[1].replace("jugs", "cups")))
+    rows.append((20, "completely different words about spark shuffles"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    corpus = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+
+    thr, n = 0.5, 3
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_lsh_pairs_between(
+            new, corpus, "doc_id", n=n, threshold=thr
+        ).collect()
+    }
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(
+            df, "doc_id", n=n, threshold=thr
+        ).collect()
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    }
+    assert got == want and len(got) >= 3
+    # and strictly one-sided: no new×new pair leaked through
+    assert all(a >= 10 and b < 10 for a, b in got)
