@@ -66,18 +66,29 @@ A 100 %-tied key still collapses to one bucket (forced by exactness:
 ties must share a bucket) and only parallelism degrades, never
 correctness.
 
-To avoid paying the input subquery twice, the operators
-``localCheckpoint`` it by default (``materialize=True``): one
-materialization of the narrow relation on the executors
-(MEMORY_AND_DISK, spill-safe), then both passes read the materialized
-blocks. ``localCheckpoint`` rather than ``.cache()`` deliberately —
+The operators ``localCheckpoint`` the input by default
+(``materialize=True``). This was RE-MEASURED for the two-pass
+formulation (round 6) and kept — but for a different reason than the
+three-pass era: for a SINGLE consumer the checkpoint is now a slight
+net loss (shuffle-stage reuse lets the second job re-read the first
+job's exchanges: isolated A/B at sf0.1, checkpoint on/off —
+aggregated input 1.02/0.62 s, distinct ids 1.00/0.95 s, narrow scan
+0.56/0.52 s), yet the REGISTERED queries run FASTER with it (family
+6.6 s vs 8.4-8.7 s same-box) because their downstream references the
+ranked output — and through it the input — SEVERAL times (class
+stats + share-of-total + boundary lookups), and Spark does not dedup
+common subplans: each reference re-executes everything above the
+nearest reusable exchange. The checkpoint caps that at one
+materialization. Pass ``materialize=False`` when the caller already
+checkpoints the input at the query level (padding_waste,
+repeat_purchase) or the input is too large to materialize.
+Correctness never depends on the flag: the bucket id is a pure
+function of row values, so re-evaluation cannot disagree with
+itself. ``localCheckpoint`` rather than ``.cache()`` deliberately —
 Spark's cache manager matches by analyzed plan, so a cached input
-would silently serve REBUILT copies of the same query (bench honesty)
-and pile up entries; checkpointed blocks are owned by the DataFrame
-and GC'd with it. Pass ``materialize=False`` for inputs too large to
-materialize (correctness still holds — the bucket id is a pure
-function of row values, so re-evaluation cannot disagree with itself
-— you just pay the subquery twice).
+would silently serve REBUILT copies of the same query (bench
+honesty) and pile up entries; checkpointed blocks are owned by the
+DataFrame and GC'd with it.
 
 Monotonicity contract (callers): the bucket key must be numeric and
 NON-STRICTLY monotone in the intended global order (``a ≺ b ⇒ key(a)
