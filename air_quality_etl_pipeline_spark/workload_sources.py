@@ -825,6 +825,92 @@ def q_csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming_stateful_counts with the same batch oracle.
 
 
+def _register_streaming_dedup_incremental() -> None:
+    """Registered via a function so the oracle builder import from
+    workload_llm stays local (workload_llm itself imports nothing from
+    this module, so the direction is acyclic but kept lazy anyway)."""
+    from air_quality_etl_pipeline_spark.workload_llm import (
+        _incremental_dedup_oracle,
+    )
+
+    @register("streaming_dedup_incremental", _incremental_dedup_oracle())
+    def q_streaming_dedup_incremental(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The continuous-ingestion form of ``dedup_incremental_batch``:
+        incoming documents arrive as a STREAM (availableNow over the
+        documents parquet, filtered to the incoming ~20 % bucket) and
+        each micro-batch is screened against the STATIC existing corpus
+        inside ``foreachBatch`` — the hook where a production pipeline
+        appends verdicts (or drops dups) transactionally. Per-document
+        verdicts depend only on (document, static corpus), not on batch
+        boundaries, so the result equals the batch twin row-for-row and
+        the same DuckDB oracle applies — that equality IS the
+        exactly-once test. No stream-side state store: the LSH band
+        join runs batch-side per micro-batch."""
+        from air_quality_etl_pipeline_spark.functions.core import (
+            round_portable,
+        )
+        from air_quality_etl_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs_between,
+        )
+        from air_quality_etl_pipeline_spark.operators.sampling import (
+            sample_bucket,
+        )
+
+        out_dir = f"{SCRATCH}/streaming_incremental_dedup"
+        ckpt = out_dir + "_ckpt"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        docs = _t(spark, sf_dir, "documents")
+        corpus = docs.filter(sample_bucket(F.col("doc_id")) < 80)
+
+        def screen(batch_df: DataFrame, batch_id: int) -> None:
+            pairs = minhash_lsh_pairs_between(
+                batch_df, corpus, "doc_id", "text",
+                n=5, num_hashes=8, bands=4, threshold=0.7,
+            )
+            hits = pairs.groupBy("new_id").agg(
+                F.count("*").cast("long").alias("n_matches"),
+                round_portable(F.max("jaccard"), 4).alias("best_jaccard"),
+            )
+            (
+                batch_df.select(F.col("doc_id").alias("new_id"))
+                .join(hits, "new_id", "left")
+                .select(
+                    "new_id",
+                    F.col("n_matches").isNotNull().alias("is_dup"),
+                    F.coalesce(F.col("n_matches"), F.lit(0))
+                    .cast("long")
+                    .alias("n_matches"),
+                    "best_jaccard",
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        # file streams take a DIRECTORY; the glob narrows it to the one
+        # documents file (same pattern as streaming.jobs.read_events_stream)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .filter(sample_bucket(F.col("doc_id")) >= 80)
+        )
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+
+_register_streaming_dedup_incremental()
+
+
 # Builders above that DO the work at construction time (write a sink,
 # run an ingest/DAG, or drive a stream to completion) — their returned
 # DataFrame is a read-back, so bench/prepared must rebuild per sample
@@ -850,5 +936,6 @@ SIDE_EFFECT_QUERIES.update(
         "streaming_topk_daily",
         "csv_quarantine_split",
         "streaming_rest_ingest",
+        "streaming_dedup_incremental",
     }
 )
