@@ -1162,6 +1162,7 @@ REBUILD_PURE_QUERIES: set[str] = {
     "orders_gini",
     "abc_pareto_classes",
     "psi_value_drift",
+    "curriculum_shards",
     "peak_concurrent_sessions",
     "id_gap_audit",
     "repeat_purchase_interval",

@@ -199,6 +199,77 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curriculum_shards",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    q AS (SELECT doc_id,
+           floor((0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / nullif(len(toks), 0), 0.0)
+               + 0.3 * coalesce(CAST(len(list_filter(toks,
+                     x -> list_contains({_sql_list(LANG_STOPWORDS["en"])}, lower(x))))
+                     AS DOUBLE) / nullif(len(toks), 0), 0.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM t),
+    r AS (SELECT doc_id, quality,
+                 row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn
+          FROM q)
+    SELECT CAST((rn - 1) // 100 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(rn) AS BIGINT) AS min_rank,
+           CAST(max(rn) AS BIGINT) AS max_rank,
+           CAST(sum(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_quality_e4
+    FROM r GROUP BY 1
+    """,
+)
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard assignment — the export step of a
+    quality-curriculum training run: rank the WHOLE corpus by the
+    composite quality score (best first, doc_id tiebreak) and cut
+    fixed-size shards of 100 documents, so shard 0 is the highest-
+    quality slice a data loader feeds first. The corpus-sized global
+    ranking runs on the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` (never a global
+    sort — the same primitive as the analytics family, keyed on the
+    NEGATED score for descending order); per-shard quality mass sums
+    the 4-dp scores in integer e4 micro-units, so the aggregate is
+    exact, order-independent, and engine-portable (the result-type
+    contract has no decimal lane — typealign.SPARK_TO_ARROW)."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        round_portable(quality_score(F.col("text")), 4).alias("quality"),
+    )
+    ranked = with_global_rank(
+        q,
+        -F.col("quality"),
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "rn",
+    )
+    return (
+        ranked.withColumn(
+            "shard", F.expr("(rn - 1) div 100").cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("rn").cast("long").alias("min_rank"),
+            F.max("rn").cast("long").alias("max_rank"),
+            F.sum(
+                F.floor(F.col("quality") * F.lit(10000.0) + F.lit(0.5))
+                .cast("long")
+            )
+            .cast("long")
+            .alias("sum_quality_e4"),
+        )
+    )
+
+
+@register(
     "bpe_token_count",
     f"""
     SELECT doc_id,
