@@ -255,3 +255,94 @@ def test_nonfinite_keys_match_naive_window(spark):
     }
     # Spark order: null < -inf < inf < nan
     assert got == {3: 1, 2: 2, 1: 3, 0: 4}
+
+
+def test_adversarial_band_edge_doubles_match_naive(spark):
+    # keys engineered at quantizer trouble spots: exact powers of two
+    # (log2 rounding), 1-ulp neighbours straddling band edges, huge
+    # (DBL_MAX region, where uncorrected log2 overflows pow),
+    # subnormals, and near-equal pairs — the range MERGE must absorb
+    # any band misordering, so ranks always match the naive window
+    import math
+    import struct
+
+    def ulp_away(x, n):
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return struct.unpack("<d", struct.pack("<q", b + n))[0]
+
+    keys = []
+    for e in (-1000, -100, -5, 0, 5, 100, 1000, 1023):
+        p = math.ldexp(1.0, e)
+        keys += [p, ulp_away(p, -1), ulp_away(p, 1)]
+    keys += [1.7976931348623157e308, ulp_away(1.7976931348623157e308, -1),
+             1.794e308, 5e-324, ulp_away(5e-324, 1), 2.2250738585072014e-308]
+    keys += [-k for k in keys]
+    keys += [0.0, 1.0, -1.0, 3.141592653589793,
+             ulp_away(3.141592653589793, 1)]
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id bigint, x double").repartition(7)
+
+    naive = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("x"), F.col("id")))
+    )
+    mine = with_global_rank(df, F.col("x"), [F.col("x"), F.col("id")], "rn")
+    assert {r.id: r.rn for r in naive.collect()} == {
+        r.id: r.rn for r in mine.collect()
+    }
+
+
+def test_carve_offsets_match_bruteforce_random():
+    # pure-Python property sweep of _Carve: random group summaries
+    # (including deliberately OVERLAPPING ranges, as a broken quantizer
+    # would emit) must yield exclusive offsets consistent with a brute
+    # force over the flattened rows, and strictly increasing finite
+    # bounds
+    import random
+
+    from air_quality_etl_pipeline_spark.operators.order_stats import _Carve
+
+    rng = random.Random(17)
+    for trial in range(200):
+        n_groups = rng.randint(1, 40)
+        rows = []
+        lo = -50.0
+        for g in range(n_groups):
+            width = rng.uniform(0.1, 5.0)
+            mn = lo + rng.uniform(-1.0, 1.0)  # occasional overlap
+            mx = mn + width
+            cnt = rng.randint(1, 20)
+            rows.append((g, cnt, mn, mx, cnt * 2))
+            lo = mx
+        num_ranges = rng.choice([1, 2, 4, 8])
+        carve = _Carve(rows, num_ranges)
+        total = sum(r[1] for r in rows)
+        assert carve.grand_n == total
+        assert carve.n_buckets <= num_ranges
+        # bounds strictly increasing
+        assert all(
+            a < b
+            for a, b in zip(carve.fin_bounds, carve.fin_bounds[1:])
+        )
+        # offsets: nondecreasing, first is 0, consistent with bucket
+        # row counts summing to the total
+        assert carve.count_offsets[0] == 0
+        assert all(
+            a <= b
+            for a, b in zip(carve.count_offsets, carve.count_offsets[1:])
+        )
+        bucket_counts = [
+            sum(e[0] for e in bkt) for bkt in carve.buckets
+        ]
+        assert sum(bucket_counts) == total
+        for i in range(1, carve.n_buckets):
+            assert carve.count_offsets[i] == (
+                carve.count_offsets[i - 1] + bucket_counts[i - 1]
+            )
+        offs, grand = carve.payload_offsets(0)
+        assert grand == total * 2
+        run = None
+        for i, bkt in enumerate(carve.buckets):
+            assert offs[i] == run
+            for e in bkt:
+                for r in e[2]:
+                    run = r[4] if run is None else run + r[4]
