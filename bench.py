@@ -69,6 +69,10 @@ HEADLINE = [
     "id_gap_audit",
     "repeat_purchase_interval",
     "padding_waste_report",
+    # round-6: incremental corpus screen + curriculum export (guards
+    # the cross-relation LSH and the global-rank consumer path)
+    "dedup_incremental_batch",
+    "curriculum_shards",
 ]
 
 
