@@ -30,6 +30,14 @@ from air_quality_etl_pipeline_spark.functions.core import (
     token_array,
     word_shingles_of_tokens,
 )
+from air_quality_etl_pipeline_spark.functions.portable_math import (
+    ln_ratio_portable,
+    mean_round6_micro,
+    quantize_micro9,
+    sql_ln_ratio,
+    sql_mean_round6,
+    sql_quantize_micro9,
+)
 from air_quality_etl_pipeline_spark.operators.text import (
     LANG_STOPWORDS,
     fingerprint,
@@ -166,14 +174,15 @@ def q_heavy_hitter_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT lang, source, unnest({LTOKS}) AS tok FROM documents)),
     freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+    lpv AS (
+      SELECT tok,
+             {sql_quantize_micro9(sql_ln_ratio("f.n", "tot.total"))} AS lpm
+      FROM freq f, tot),
     scored AS (
-      SELECT t.lang, t.source,
-             CAST(ln(CAST(f.n AS DOUBLE) / tot.total)
-                  AS DECIMAL(18,9)) AS lp
-      FROM toks t JOIN freq f USING (tok), tot)
+      SELECT t.lang, t.source, l.lpm
+      FROM toks t JOIN lpv l USING (tok))
     SELECT lang, source, count(*) AS n_tokens,
-           floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
-             / 1000000.0 AS avg_logprob
+           {sql_mean_round6("sum(lpm)", "count(*)")} AS avg_logprob
     FROM scored GROUP BY 1, 2
     """,
 )
@@ -194,21 +203,26 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("lang", "source", F.lower(F.col("_raw")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = toks.agg(F.count("*").alias("total"))
-    scored = (
-        toks.join(F.broadcast(freq), on="tok")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "lang",
-            "source",
-            F.ln(F.col("n").cast("double") / F.col("total"))
-            .cast("decimal(18,9)")
-            .alias("lp"),
-        )
+    # lp per DISTINCT token with the bit-portable ln (cross-engine
+    # libm logs differ by 1 ulp → DECIMAL(18,9) cell flips; see
+    # functions/portable_math.py) — the vocab-sized lp relation then
+    # broadcasts onto the token stream.
+    lpv = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        quantize_micro9(
+            ln_ratio_portable(F.col("n"), F.col("total"))
+        ).alias("lpm"),
     )
+    scored = toks.join(F.broadcast(lpv), on="tok").select(
+        "lang", "source", "lpm"
+    )
+    # group-level sums ride DECIMAL(38,0): a (lang, source) slice of a
+    # 100-TB corpus can hold > 2.6e8 tokens, where an int64 nano-unit
+    # sum would overflow.
     return scored.groupBy("lang", "source").agg(
         F.count("*").alias("n_tokens"),
-        round_portable(
-            F.sum("lp").cast("double") / F.count("*"), 6
+        mean_round6_micro(
+            F.sum(F.col("lpm").cast("decimal(38,0)")), F.count("*")
         ).alias("avg_logprob"),
     )
 

@@ -23,6 +23,14 @@ from air_quality_etl_pipeline_spark.functions.core import (
     round_portable,
     token_array,
 )
+from air_quality_etl_pipeline_spark.functions.portable_math import (
+    ln_ratio_portable,
+    mean_round6_micro,
+    quantize_micro9,
+    sql_ln_ratio,
+    sql_mean_round6,
+    sql_quantize_micro9,
+)
 from air_quality_etl_pipeline_spark.operators.pq import (
     collect_codebook,
     pq_adc_topk,
@@ -191,15 +199,16 @@ _LTOKS = f"list_transform({TOKS}, x -> lower(x))"
     flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
     c12 AS (SELECT w1, w2, count(*) AS n12 FROM flat GROUP BY 1, 2),
     c1 AS (SELECT w1, count(*) AS n1 FROM flat GROUP BY 1),
+    lp12 AS (
+      SELECT c12.w1, c12.w2,
+             {sql_quantize_micro9(sql_ln_ratio("c12.n12", "c1.n1"))} AS lpm
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1),
     scored AS (
-      SELECT f.doc_id,
-             CAST(ln(CAST(c12.n12 AS DOUBLE) / c1.n1) AS DECIMAL(18,9)) AS lp
+      SELECT f.doc_id, l.lpm
       FROM flat f
-      JOIN c12 ON f.w1 = c12.w1 AND f.w2 = c12.w2
-      JOIN c1 ON f.w1 = c1.w1)
+      JOIN lp12 l ON f.w1 = l.w1 AND f.w2 = l.w2)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           floor(CAST(sum(lp) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
-             / 1000000.0 AS avg_logprob
+           {sql_mean_round6("sum(lpm)", "count(*)")} AS avg_logprob
     FROM scored GROUP BY 1
     """,
 )
@@ -244,24 +253,26 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c12 = db.groupBy("w1", "w2").agg(F.sum("cnt").alias("n12"))
     c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    scored = (
-        db.join(c12, on=["w1", "w2"])
-        .join(c1, on="w1")
-        .select(
-            "doc_id",
-            "cnt",
-            (
-                F.ln(F.col("n12").cast("double") / F.col("n1"))
-                .cast("decimal(18,9)")
-                * F.col("cnt")
-            ).alias("lp"),
-        )
+    # lp per DISTINCT pair via the bit-portable ln (Spark's Math.log
+    # and DuckDB's libm log differ by 1 ulp on some ratios, which
+    # flipped DECIMAL(18,9) cells at sf0.1 — see functions/
+    # portable_math.py); the vocab²-sized lp relation then joins back
+    # onto the per-doc counts, so the series evaluates once per pair.
+    lp12 = c12.join(c1, on="w1").select(
+        "w1",
+        "w2",
+        quantize_micro9(
+            ln_ratio_portable(F.col("n12"), F.col("n1"))
+        ).alias("lpm"),
+    )
+    scored = db.join(lp12, on=["w1", "w2"]).select(
+        "doc_id",
+        "cnt",
+        (F.col("lpm") * F.col("cnt")).alias("t"),
     )
     return scored.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_bigrams"),
-        round_portable(
-            F.sum("lp").cast("double") / F.sum("cnt"), 6
-        ).alias("avg_logprob"),
+        mean_round6_micro(F.sum("t"), F.sum("cnt")).alias("avg_logprob"),
     )
 
 
@@ -1002,15 +1013,16 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tetg GROUP BY 1, 2, 3, 4),
     scored AS (
       SELECT d.doc_id, d.cnt,
-             CAST(CASE
+             CAST(CAST(CAST(CASE
                WHEN c3.n123 IS NOT NULL
-                 THEN ln(CAST(c3.n123 AS DOUBLE) / p12.n12)
+                 THEN {sql_ln_ratio("c3.n123", "p12.n12")}
                WHEN p23.n12 IS NOT NULL
-                 THEN ln(0.4 * CAST(p23.n12 AS DOUBLE) / u2.n1u)
+                 THEN {sql_ln_ratio("2 * p23.n12", "5 * u2.n1u")}
                WHEN u3.n1u IS NOT NULL
-                 THEN ln(0.16 * CAST(u3.n1u AS DOUBLE) / n.n_tokens)
-               ELSE ln(0.16 / CAST(n.n_tokens AS DOUBLE))
-             END AS DECIMAL(18,9)) * d.cnt AS lp
+                 THEN {sql_ln_ratio("4 * u3.n1u", "25 * n.n_tokens")}
+               ELSE {sql_ln_ratio("4", "25 * n.n_tokens")}
+             END AS DECIMAL(18,9)) AS DECIMAL(28,9))
+               * 1000000000 AS BIGINT) * d.cnt AS t
       FROM db3 d
       LEFT JOIN c3 ON c3.w1 = d.w1 AND c3.w2 = d.w2 AND c3.w3 = d.w3
       LEFT JOIN c2 p12 ON p12.w1 = d.w1 AND p12.w2 = d.w2
@@ -1019,8 +1031,7 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN c1 u3 ON u3.w = d.w3, n)
     SELECT doc_id,
            CAST(sum(cnt) AS BIGINT) AS n_trigrams,
-           floor(CAST(sum(lp) AS DOUBLE) / sum(cnt) * 1000000.0 + 0.5)
-             / 1000000.0 AS avg_logscore
+           {sql_mean_round6("sum(t)", "sum(cnt)")} AS avg_logscore
     FROM scored GROUP BY 1
     """,
 )
@@ -1124,33 +1135,37 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u3, F.col("w3") == F.col("u3_w"), "left")
         .crossJoin(F.broadcast(n))
     )
+    # Stupid-backoff branches through the bit-portable ln (see
+    # functions/portable_math.py): the 0.4 / 0.16 backoff factors are
+    # exact small rationals (2/5, 4/25), so each branch scales INTO
+    # the integer arguments — ln(0.4·a/b) = lnp(2a) − lnp(5b) — and
+    # every transcendental input stays a positive int64 both engines
+    # treat identically.
     score = (
         F.when(
             F.col("n123").isNotNull(),
-            F.ln(F.col("n123").cast("double") / F.col("p12_n")),
+            ln_ratio_portable(F.col("n123"), F.col("p12_n")),
         )
         .when(
             F.col("p23_n").isNotNull(),
-            F.ln(F.lit(0.4) * F.col("p23_n").cast("double") / F.col("u2_n")),
+            ln_ratio_portable(F.col("p23_n") * 2, F.col("u2_n") * 5),
         )
         .when(
             F.col("u3_n").isNotNull(),
-            F.ln(
-                F.lit(0.16) * F.col("u3_n").cast("double") / F.col("n_tokens")
-            ),
+            ln_ratio_portable(F.col("u3_n") * 4, F.col("n_tokens") * 25),
         )
-        .otherwise(F.ln(F.lit(0.16) / F.col("n_tokens").cast("double")))
+        .otherwise(
+            ln_ratio_portable(F.lit(4), F.col("n_tokens") * 25)
+        )
     )
     scored = joined.select(
         "doc_id",
         "cnt",
-        (score.cast("decimal(18,9)") * F.col("cnt")).alias("lp"),
+        (quantize_micro9(score) * F.col("cnt")).alias("t"),
     )
     return scored.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_trigrams"),
-        round_portable(
-            F.sum("lp").cast("double") / F.sum("cnt"), 6
-        ).alias("avg_logscore"),
+        mean_round6_micro(F.sum("t"), F.sum("cnt")).alias("avg_logscore"),
     )
 
 
