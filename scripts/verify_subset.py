@@ -1,7 +1,8 @@
 """Verify a subset of registered queries against their DuckDB oracles
-at sf0.01 — the same canon/compare the driver's gate applies, runnable
-per-query while iterating: ``python scripts/verify_subset.py name1 name2``
-(no names = all).
+— the same canon/compare the driver's gate applies, runnable per-query
+while iterating: ``python scripts/verify_subset.py name1 name2``
+(no names = all).  ``--sf=/root/testdata/sf0.1`` (or env
+``SPARK_GRAFT_VERIFY_SF``) retargets the scale factor; default sf0.01.
 """
 
 from __future__ import annotations
@@ -33,8 +34,20 @@ def main() -> int:
 
     from air_quality_etl_pipeline_spark.workload import QUERIES
 
-    sf = "/root/testdata/sf0.01"
-    names = sys.argv[1:] or list(QUERIES)
+    # --sf=DIR (or SPARK_GRAFT_VERIFY_SF) retargets the comparison —
+    # an sf0.1 sweep is the cheapest detector of scale-dependent
+    # divergence (it caught the round-6 decimal/ulp findings that
+    # sf0.01 can't see).
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf = a[5:]
+        else:
+            args.append(a)
+    names = args or list(QUERIES)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
