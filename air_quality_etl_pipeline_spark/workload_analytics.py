@@ -3517,9 +3517,9 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            < 1800,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            < 1800 * 1_000_000,
             0,
         )
         .otherwise(1)
@@ -3601,9 +3601,9 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w)
-            < 1800,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            < 1800 * 1_000_000,
             0,
         )
         .otherwise(1)
