@@ -499,8 +499,12 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type = 'view'),
     p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
           FROM events WHERE event_type = 'purchase'),
-    w AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 DAY AS wm
-          FROM events),
+    w AS (SELECT date_trunc('milliseconds', least(
+            (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+              WHERE event_type = 'view'),
+            (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+              WHERE event_type = 'purchase')))
+          - INTERVAL 1 DAY AS wm),
     matched AS (
       SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
       FROM v JOIN p ON v.user_id = p.user_id
@@ -522,10 +526,23 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WATERMARK PASSES their join window — the semantics inner joins
     can't give ("which views converted, and which provably didn't").
     The batch oracle models the flush rule exactly: a view is declared
-    unmatched iff ``view_ts + 1 h < final watermark`` (max event time
-    − 1 day); views still inside the horizon when the stream drains
-    stay in state and are NOT emitted — that unemitted tail is
-    correct streaming semantics, pinned by this oracle, not a bug."""
+    unmatched iff ``view_ts + 1 h < final watermark``; views still
+    inside the horizon when the stream drains stay in state and are
+    NOT emitted — that unemitted tail is correct streaming semantics,
+    pinned by this oracle, not a bug.
+
+    The watermark model matters at scale: each ``withWatermark`` node
+    tracks the max event time of the rows flowing through IT (post
+    type-filter), and the query's global watermark is the MIN over the
+    two streams under the default ``multipleWatermarkPolicy`` —
+    ``least(max view ts, max purchase ts) − 1 day``, NOT the overall
+    event max, and Spark tracks event-time stats in milliseconds, so
+    the max truncates to ms before the delay subtracts. The sf0.1
+    sweep caught the difference: the corpus tail put the last purchase
+    32 s before the last event overall, and one view landed inside
+    that window — flushed under a max-over-all model, held in state by
+    Spark. sf0.01 never straddles the gap; a production stream
+    straddles it constantly."""
     from pyspark.sql import functions as SF
 
     e = read_events_stream(spark, sf_dir)
