@@ -81,6 +81,57 @@ def exact_dup_groups(
     )
 
 
+def collapse_exact_clones(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """``(members, representatives)`` for the exact→near dedup cascade.
+
+    Production near-dup pipelines run exact dedup FIRST (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" §4 runs
+    NearDup over exact-deduplicated corpora): every near-dup stage —
+    shingling, signatures, banding, candidate verification — depends
+    only on the text, so exact clones are pure replicated work, and a
+    clone *group* of size g turns one unit of verify work into g²/2.
+    The sf1 scale stress pinned the cost on this repo's corpus shape:
+    replicating every document 10× verbatim took ``dedup_ngram_jaccard``
+    from 0.60 s to 7.13 s (11.9× for 10× data) because each stage ran
+    per clone.  Collapsing to one representative per distinct content
+    makes the expensive stages distinct-text-sized; only the final
+    (output-sized, irreducible) pair expansion sees clone counts.
+
+    ``members``: ``(_fp, id_col, _rep)`` — one row per input doc with
+    its content fingerprint and its group's representative (min id).
+    ``representatives``: ``(id_col, text_col)`` — one row per distinct
+    content, the min-id member's.  ONE pass: the representative's id
+    and text ride the fingerprint groupBy as a ``min(struct(id,
+    text))`` partial aggregate (struct comparison is field-order
+    lexicographic and ids are unique, so this is exactly min-by-id;
+    map-side partial min keeps ≤ one struct per fingerprint per
+    partition, so the shuffle stays distinct-sized) — no second scan,
+    no semi-join back to the input.  The members join is on the
+    groupBy's own key, so it reuses the fingerprint partitioning.
+    """
+    fpf = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    groups = fpf.groupBy("_fp").agg(
+        F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_r")
+    )
+    members = fpf.select(id_col, "_fp").join(
+        groups.select(
+            "_fp", F.col("_r")[id_col].alias("_rep")
+        ),
+        on="_fp",
+    )
+    reps = groups.select(
+        F.col("_r")[id_col].alias(id_col),
+        F.col("_r")[text_col].alias(text_col),
+    )
+    return members, reps
+
+
 def jaccard_of_arrays(a: Column, b: Column) -> Column:
     """|a ∩ b| / |a ∪ b| over distinct-element arrays.
 

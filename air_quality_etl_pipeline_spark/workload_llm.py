@@ -395,13 +395,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in the oracle."""
     from air_quality_etl_pipeline_spark.functions.core import char_shingles
     from air_quality_etl_pipeline_spark.operators.dedup import (
+        collapse_exact_clones,
         jaccard_of_arrays,
         minhash_lsh_candidates,
     )
 
     d = _t(spark, sf_dir, "documents")
+    # Exact→near cascade (Lee et al. §4): every stage below depends
+    # only on the text, so run it once per DISTINCT content and expand
+    # pairs through the clone groups at the end. Result-identical:
+    # clones share signatures (so candidacy transfers member-to-member
+    # unchanged) and identical shingle sets give intra-group pairs
+    # jaccard exactly 1.0 ≥ 0.8 (char_shingles is never empty). On the
+    # sf1 clone-replica stress this was THE super-linear query (11.9×
+    # at 10× data); collapsed, the heavy stages are distinct-text-sized
+    # and only the irreducible output expansion scales with clones.
+    members, reps = collapse_exact_clones(d, "doc_id")
+    members = members.persist()
     _, cands = minhash_lsh_candidates(
-        d, "doc_id", "text", n=5, num_hashes=8, bands=4, shingler="word"
+        reps, "doc_id", "text", n=5, num_hashes=8, bands=4, shingler="word"
     )
     # shingle ONLY the candidate docs: char_shingles' array_distinct is
     # O(len²) per row and costs ~2 s over the full sf0.1 corpus, while
@@ -440,9 +452,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified.withColumn(
+    rep_pairs = verified.withColumn(
         "jaccard", round_portable(F.col("jaccard"), 4)
     )
+    # Expand representative pairs to member pairs. Cross-group: every
+    # (a ∈ G₁, b ∈ G₂) combination inherits the groups' jaccard
+    # (identical texts ⇒ identical shingle sets); least/greatest
+    # restores the id_a < id_b orientation. Intra-group: all member
+    # pairs of a clone group are exact dups — jaccard exactly 1.0.
+    ma = members.select(
+        F.col("_rep").alias("id_a"), F.col("doc_id").alias("_a")
+    )
+    mb = members.select(
+        F.col("_rep").alias("id_b"), F.col("doc_id").alias("_b")
+    )
+    cross = (
+        rep_pairs.join(ma, on="id_a")
+        .join(mb, on="id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x._fp") == F.col("y._fp"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("id_a"),
+        F.col("y.doc_id").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return cross.unionByName(intra)
 
 
 
