@@ -608,3 +608,119 @@ def test_minhash_lsh_pairs_between_matches_cross_subset(spark):
     assert got == want and len(got) >= 3
     # and strictly one-sided: no new×new pair leaked through
     assert all(a >= 10 and b < 10 for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# Exact→near dedup cascade (collapse_exact_clones)
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard_pairs(rows, n=3, threshold=0.8):
+    """Reference: char-n-gram Jaccard over ALL pairs, pure Python."""
+    def sh(t):
+        if len(t) < n:
+            return frozenset([t])
+        return frozenset(t[i:i + n] for i in range(len(t) - n + 1))
+    out = {}
+    items = sorted(rows)
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (ida, ta), (idb, tb) = items[i], items[j]
+            a, b = sh(ta), sh(tb)
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            jac = inter / union if union else None
+            if jac is not None and jac >= threshold:
+                out[(ida, idb)] = jac
+    return out
+
+
+def test_collapse_exact_clones_members_and_reps(spark):
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        collapse_exact_clones,
+    )
+
+    rows = [
+        (7, "the quick brown fox jumps"),
+        (3, "the quick brown fox jumps"),   # clone, smaller id → rep
+        (9, "the quick brown fox jumps"),   # clone
+        (1, "entirely different text here"),
+        (5, "ab"),                          # shorter than shingle width
+        (6, "ab"),                          # clone of the short text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    members, reps = collapse_exact_clones(df, "doc_id")
+    m = {r["doc_id"]: r["_rep"] for r in members.collect()}
+    assert m == {7: 3, 3: 3, 9: 3, 1: 1, 5: 5, 6: 5}
+    got = sorted((r["doc_id"], r["text"]) for r in reps.collect())
+    assert got == [
+        (1, "entirely different text here"),
+        (3, "the quick brown fox jumps"),
+        (5, "ab"),
+    ]
+
+
+def test_cascade_pair_expansion_matches_brute_force(spark):
+    """Clone-heavy corpus: the cascaded query must produce exactly the
+    all-pairs ≥0.8 char-3-gram Jaccard set — intra-clone pairs at 1.0,
+    cross-group near-dup pairs expanded to every member combination.
+    Uses the same shingle/verify construction as dedup_ngram_jaccard,
+    via brute force as the oracle (LSH banding with identical word
+    5-gram shingles makes all these candidates)."""
+    from air_quality_etl_pipeline_spark.functions.core import char_shingles
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        collapse_exact_clones,
+        jaccard_of_arrays,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base_b = base_a + " x"  # near-dup of base_a (same long prefix)
+    rows = (
+        [(i, base_a) for i in (11, 4, 8)]     # clone group, rep = 4
+        + [(i, base_b) for i in (2, 15)]      # clone group, rep = 2
+        + [(20, "completely unrelated content with other words")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    members, reps = collapse_exact_clones(df, "doc_id")
+
+    # rep-level all-pairs verify (stand-in for the LSH candidates —
+    # recall-equivalent here; candidacy depends only on the text)
+    csh = reps.select(
+        F.col("doc_id").alias("_id"),
+        char_shingles(F.col("text"), 3).alias("_c"),
+    )
+    a = csh.select(F.col("_id").alias("id_a"), F.col("_c").alias("c_a"))
+    b = csh.select(F.col("_id").alias("id_b"), F.col("_c").alias("c_b"))
+    rep_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard_of_arrays(F.col("c_a"), F.col("c_b")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("_a"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("doc_id").alias("_b"))
+    cross = (
+        rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x._fp") == F.col("y._fp"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("id_a"),
+        F.col("y.doc_id").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in cross.unionByName(intra).collect()
+    }
+    want = _brute_jaccard_pairs(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
