@@ -9,6 +9,14 @@ promotion → decimal128/float64 in the Arrow/pandas path) while Spark
 produced int64 — the type check catches that class before the driver
 does. Any mismatch here would fail the driver's CORRECTNESS gate at
 sf0.01.
+
+Scale retarget: ``SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1`` runs
+this same sweep at sf0.1 — the cheapest detector of scale-dependent
+cross-engine divergence. The round-6 sf0.1 sweep caught three classes
+invisible at sf0.01 (decimal precision-loss rescale + libm ulp skew in
+the LM scorers, second-truncated sessionization gaps, the
+min-of-watermarks streaming policy); after the fixes the full registry
+is green at sf0.1 (257 OK + 1 rows-only).
 """
 
 from __future__ import annotations
