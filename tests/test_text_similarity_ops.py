@@ -614,8 +614,11 @@ def test_minhash_lsh_pairs_between_matches_cross_subset(spark):
 # Exact→near dedup cascade (collapse_exact_clones)
 # ---------------------------------------------------------------------------
 
-def _brute_jaccard_pairs(rows, n=3, threshold=0.8):
-    """Reference: char-n-gram Jaccard over ALL pairs, pure Python."""
+def _brute_jaccard_scores(rows, n=3, threshold=0.8):
+    """Reference: char-n-gram Jaccard over ALL pairs, pure Python,
+    pair -> score (distinct name: ``_brute_jaccard_pairs`` above returns
+    the pair SET for the prefix-filter recall property — a same-name
+    second def would shadow it module-wide)."""
     def sh(t):
         if len(t) < n:
             return frozenset([t])
@@ -720,7 +723,7 @@ def test_cascade_pair_expansion_matches_brute_force(spark):
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in cross.unionByName(intra).collect()
     }
-    want = _brute_jaccard_pairs(rows)
+    want = _brute_jaccard_scores(rows)
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
