@@ -1130,6 +1130,7 @@ from air_quality_etl_pipeline_spark import workload_corpus  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_sql  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_training  # noqa: E402,F401
 from air_quality_etl_pipeline_spark import workload_graph  # noqa: E402,F401
+from air_quality_etl_pipeline_spark import workload_lakehouse  # noqa: E402,F401
 
 # Iterative/training queries whose CONSTRUCTION executes Spark jobs
 # (eager localCheckpoint rounds, driver-side union-find, trainer
@@ -1169,6 +1170,7 @@ REBUILD_PURE_QUERIES: set[str] = {
     "padding_waste_report",
     "dim_part_category",
     "ntile_deciles",
+    "rfm_segments",
     # builders that execute Spark jobs at construction (found by the
     # job-group audit that is now the plan-quality fence
     # tests/test_plan_quality.py::test_pure_query_builds_run_no_jobs):

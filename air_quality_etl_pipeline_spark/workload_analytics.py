@@ -4356,3 +4356,408 @@ def q_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mix_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linearly-weighted moving average (decimal-exact trend smoothing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wma_revenue_trend",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             strftime(o_orderdate, '%Y-%m') AS ym,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1, 2),
+    idx AS (
+      SELECT prio, ym, rev,
+             CAST(row_number() OVER (PARTITION BY prio ORDER BY ym)
+               AS BIGINT) AS rn
+      FROM monthly),
+    win AS (
+      SELECT prio, ym, rev, rn,
+             sum(rev) OVER w AS sum_x,
+             sum(rev * rn) OVER w AS sum_ix,
+             count(*) OVER w AS cnt
+      FROM idx
+      WINDOW w AS (PARTITION BY prio ORDER BY rn
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT prio, ym, CAST(rev AS DOUBLE) AS revenue,
+           CAST(sum_ix - (rn - 6) * sum_x AS DOUBLE)
+             / ((2 * rn - cnt + 1) * cnt // 2 - (rn - 6) * cnt) AS wma6
+    FROM win
+    """,
+)
+def q_wma_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-month linearly-weighted moving average of monthly revenue per
+    priority (weight 6 for the current month down to 1 for the oldest —
+    the LWMA smoother a metrics layer puts next to the uniform
+    ``moving_avg_7d``). The windowed weighting is rewritten into two
+    UNWEIGHTED running sums — sum(x) and sum(rn*x) — via
+    sum(w_i*x_i) = sum(rn_i*x_i) - (t-6)*sum(x_i), so the whole thing
+    is decimal-times-integer exact arithmetic with ONE double division
+    at the end (an EWMA's pow(alpha, n) weights are a cross-engine ulp
+    hazard; linear weights need no transcendentals). The weight
+    denominator comes from the same identity on sum(rn_i) in closed
+    form, so ramp-up months (fewer than 6 points) are exact too.
+
+    Scale: one shuffle to the month grain, then windows partitioned by
+    priority over calendar-bounded partitions."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    worder = Window.partitionBy("prio").orderBy("ym")
+    idx = monthly.withColumn(
+        "rn", F.row_number().over(worder).cast("long")
+    )
+    w6 = (
+        Window.partitionBy("prio")
+        .orderBy("rn")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    win = idx.select(
+        "prio",
+        "ym",
+        "rev",
+        "rn",
+        F.sum("rev").over(w6).alias("sum_x"),
+        F.sum(F.col("rev") * F.col("rn")).over(w6).alias("sum_ix"),
+        F.count("*").over(w6).alias("cnt"),
+    )
+    wgt = F.expr("(2 * rn - cnt + 1) * cnt DIV 2 - (rn - 6) * cnt")
+    return win.select(
+        "prio",
+        "ym",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            (F.col("sum_ix") - (F.col("rn") - 6) * F.col("sum_x")).cast(
+                "double"
+            )
+            / wgt
+        ).alias("wma6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (three bucketed global ranks, no single-partition sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             max(datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE))) AS rec,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS mon
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT mon,
+             row_number() OVER (ORDER BY rec DESC, o_custkey) AS rrn,
+             row_number() OVER (ORDER BY freq DESC, o_custkey) AS frn,
+             row_number() OVER (ORDER BY mon DESC, o_custkey) AS mrn,
+             count(*) OVER () AS n
+      FROM cust)
+    SELECT 'R' || CAST(5 - (rrn - 1) * 5 // n AS VARCHAR)
+        || 'F' || CAST(5 - (frn - 1) * 5 // n AS VARCHAR)
+        || 'M' || CAST(5 - (mrn - 1) * 5 // n AS VARCHAR) AS segment,
+           count(*) AS n_customers,
+           CAST(sum(mon) AS DOUBLE) AS total_monetary
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes' recency/frequency/monetary quintiles):
+    each customer gets an R/F/M score of 5 (best) down to 1 via the
+    closed-form quintile ``5 - (rank-1)*5 div n`` over three exact
+    global ranks, then segments roll up to counts and revenue.
+
+    Scale: the ranked relation is the CUSTOMER aggregate (data-sized),
+    so all three ranks are the bucketed two-phase
+    :func:`~.operators.order_stats.with_global_rank` — never a
+    single-partition sort; ties break on custkey so the assignment is
+    reproducible across engines. Three rank passes = three bounded
+    summary collects (in REBUILD_PURE_QUERIES so the bench pays them)."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.to_date(F.lit("1970-01-01")),
+            )
+        ).alias("rec"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("mon"),
+    )
+    r = with_global_rank(
+        cust, -F.col("rec").cast("double"),
+        [F.desc("rec"), F.asc("o_custkey")], "rrn", total_col="n",
+    )
+    r = with_global_rank(
+        r, -F.col("freq").cast("double"),
+        [F.desc("freq"), F.asc("o_custkey")], "frn",
+    )
+    r = with_global_rank(
+        r, -F.col("mon").cast("double"),
+        [F.desc("mon"), F.asc("o_custkey")], "mrn",
+    )
+
+    def score(rn: str):
+        # integer DIV, not `/`: Spark's / is double division, and
+        # truncating AFTER the subtraction collapses the top quintile
+        return F.expr(f"5 - ({rn} - 1) * 5 DIV n")
+
+    seg = F.concat(
+        F.lit("R"), score("rrn").cast("string"),
+        F.lit("F"), score("frn").cast("string"),
+        F.lit("M"), score("mrn").cast("string"),
+    )
+    return (
+        r.select(seg.alias("segment"), "mon")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon").cast("double").alias("total_monetary"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (2-D dominance frontier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_pareto_parts",
+    """
+    SELECT a.p_partkey, a.p_retailprice AS price, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice < a.p_retailprice
+        AND b.p_size > a.p_size)
+    """,
+)
+def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (Borzsony/Kossmann/Stocker, "The Skyline
+    Operator", ICDE 2001): parts not strictly dominated on (lower
+    price, larger size). For two dimensions the skyline reduces to a
+    prefix maximum: a part is dominated iff some strictly cheaper
+    price level carries a larger size, so group to per-price max-size,
+    take the exclusive running max in price order, and keep rows whose
+    size beats it — NO quadratic all-pairs comparison (the oracle IS
+    the quadratic NOT EXISTS form, so the two engines verify each
+    other through structurally different algorithms).
+
+    Scale: the windowed relation is the DISTINCT-PRICE max-size table —
+    prices are currency cents from a generator-bounded domain (1,000
+    values at sf0.01 and sf0.1 alike; TPC-H's formula bounds it by
+    construction), so the global window is allowlisted on that
+    argument, while both data-sized steps (group to price levels, hash
+    join back) shuffle on the price key."""
+    p = _t(spark, sf_dir, "part")
+    levels = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    levels = levels.withColumn("prevmax", F.max("gmax").over(w))
+    j = p.join(
+        levels.select("p_retailprice", "prevmax"), "p_retailprice"
+    )
+    return j.filter(
+        F.col("prevmax").isNull() | (F.col("p_size") >= F.col("prevmax"))
+    ).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        "p_size",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(rev) AS DECIMAL(18,2)) AS tot,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM daily),
+    curve AS (
+      SELECT d,
+             nd * sum(rev) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - (row_number() OVER (ORDER BY d)) * tot AS scaled,
+             nd
+      FROM daily CROSS JOIN tot)
+    SELECT d AS change_day,
+           CAST(scaled AS DOUBLE) / nd AS cusum_peak,
+           nd AS n_days
+    FROM curve
+    ORDER BY abs(scaled) DESC, d ASC LIMIT 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint (Page, Biometrika 1954): the day where the
+    cumulative deviation of daily revenue from its grand mean peaks —
+    the classic drift detector for a metric time series. Exactness
+    trick: S_t = cumsum(rev) - t*mean has a division inside the
+    cumulative, so both engines compute the INTEGER-SCALED curve
+    n*S_t = n*cumsum(rev_t) - t*total (decimal-times-integer, exact,
+    same argmax) and divide once at the end. The grand total rides a
+    broadcast one-row aggregate — no driver collect, no build-time job.
+
+    Scale: one shuffle to the day grain; the cumulative window runs
+    over calendar-bounded daily rows (allowlisted); the final argmax is
+    an orderBy+limit, which Spark plans as TakeOrderedAndProject."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    tot = daily.agg(
+        F.sum("rev").cast("decimal(18,2)").alias("tot"),
+        F.count("*").cast("long").alias("nd"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("__cum", F.sum("rev").over(wcum))
+        .withColumn("__t", F.row_number().over(Window.orderBy("d")))
+        .withColumn(
+            "scaled",
+            F.col("nd") * F.col("__cum") - F.col("__t") * F.col("tot"),
+        )
+    )
+    return (
+        curve.orderBy(F.abs(F.col("scaled")).desc(), F.asc("d"))
+        .limit(1)
+        .select(
+            F.col("d").alias("change_day"),
+            (F.col("scaled").cast("double") / F.col("nd")).alias(
+                "cusum_peak"
+            ),
+            F.col("nd").alias("n_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv",
+    """
+    WITH om AS (
+      SELECT o_custkey,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders),
+    first AS (
+      SELECT o_custkey, min(m) AS cm FROM om GROUP BY 1),
+    sizes AS (
+      SELECT cm, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM first GROUP BY 1),
+    rev AS (
+      SELECT f.cm, om.m - f.cm AS age,
+             CAST(sum(om.price) AS DECIMAL(18,2)) AS r
+      FROM om JOIN first f ON om.o_custkey = f.o_custkey
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cm, CAST(age AS BIGINT) AS age,
+             sum(r) OVER (PARTITION BY cm ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM rev)
+    SELECT CAST(c.cm // 12 AS VARCHAR) || '-'
+             || lpad(CAST(c.cm % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+           c.age, s.n_cohort,
+           CAST(c.cum_rev AS DOUBLE) / s.n_cohort AS ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cm = s.cm
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers are cohorted by first-order
+    month; each cohort's cumulative revenue per member is tracked by
+    month-age. The month index is the integer year*12+month-1 (no date
+    arithmetic ambiguity across engines); revenue stays decimal through
+    the cumulative window and divides by cohort size once at the end.
+
+    Scale: two data-sized shuffles (first-order aggregate, the
+    customer equi-join back) plus a cohort x age aggregate; the
+    cumulative window partitions by cohort month over calendar-bounded
+    ages. Cohort sizes broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = first.groupBy("cm").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    rev = (
+        om.join(first, "o_custkey")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("age"))
+        .agg(F.sum("price").cast("decimal(18,2)").alias("r"))
+    )
+    wcum = (
+        Window.partitionBy("cm")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cm",
+        F.col("age").cast("long").alias("age"),
+        F.sum("r").over(wcum).alias("cum_rev"),
+    )
+    cohort = F.concat(
+        F.expr("CAST(cm DIV 12 AS STRING)"),
+        F.lit("-"),
+        F.lpad(F.expr("CAST(cm % 12 + 1 AS STRING)"), 2, "0"),
+    )
+    return cum.join(F.broadcast(sizes), "cm").select(
+        cohort.alias("cohort"),
+        "age",
+        "n_cohort",
+        (F.col("cum_rev").cast("double") / F.col("n_cohort")).alias(
+            "ltv_per_customer"
+        ),
+    )

@@ -374,6 +374,7 @@ def test_trigram_backoff_no_cartesian(spark):
 # operators/order_stats.py instead.
 GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "argmax_with_ties": "market-segment aggregate (5 rows; WindowGroupLimit also pre-bounds per partition)",
+    "compaction_bin_packing": "file-manifest grain (month x priority, calendar-bounded ~420 rows/era)",
     "auc_rank_sum": "distinct rounded-score relation (bounded score domain, documented in its docstring)",
     "dim_date": "calendar-day dimension (~2.5k rows/decade, independent of fact volume)",
     "display_labels": "region x nation aggregate (25 rows)",
@@ -385,6 +386,8 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "order_backlog_daily": "day-grain running backlog (calendar-bounded)",
     "share_of_total": "nation-grain aggregate (25 rows)",
     "sql_keyset_pagination": "rn reconstruction window over the LIMIT-20 page",
+    "skyline_pareto_parts": "distinct-price max-size relation (generator-bounded currency domain, 1000 values at sf0.01 and sf0.1 alike)",
+    "cusum_changepoint": "day-grain aggregate (calendar-bounded)",
     "yoy_change": "month-grain aggregate",
 }
 
