@@ -1729,3 +1729,150 @@ def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("separability"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking
+# ---------------------------------------------------------------------------
+
+_MMR_COS_AB = _COS.replace("qv", "a.v").replace("cv", "b.v")
+_MMR_COS_Q = _COS.replace("cv", "e.v")
+
+
+@register(
+    "mmr_diversified_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cands AS (
+      SELECT id, rel FROM (
+        SELECT e.vec_id AS id,
+               floor(({_MMR_COS_Q}) * 1000000.0 + 0.5) / 1000000.0 AS rel,
+               row_number() OVER (ORDER BY
+                 floor(({_MMR_COS_Q}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                 e.vec_id ASC) AS rnk
+        FROM e, q WHERE e.vec_id <> 0)
+      WHERE rnk <= 20),
+    cv AS (SELECT c.id, e.v FROM cands c JOIN e ON e.vec_id = c.id),
+    pairs AS (
+      SELECT a.id AS ia, b.id AS ib,
+             floor(({_MMR_COS_AB}) * 1000000.0 + 0.5) / 1000000.0 AS sim
+      FROM cv a, cv b WHERE a.id <> b.id),
+    s1 AS (SELECT id, rel, 0.7 * rel AS mmr, CAST(1 AS BIGINT) AS rank
+           FROM cands ORDER BY rel DESC, id ASC LIMIT 1),
+    s2 AS (SELECT c.id, c.rel,
+                  0.7 * c.rel - 0.3 * max(p.sim) AS mmr,
+                  CAST(2 AS BIGINT) AS rank
+           FROM cands c JOIN pairs p ON p.ia = c.id
+           WHERE p.ib IN (SELECT id FROM s1)
+             AND c.id NOT IN (SELECT id FROM s1)
+           GROUP BY c.id, c.rel
+           ORDER BY mmr DESC, c.id ASC LIMIT 1),
+    s3 AS (SELECT c.id, c.rel,
+                  0.7 * c.rel - 0.3 * max(p.sim) AS mmr,
+                  CAST(3 AS BIGINT) AS rank
+           FROM cands c JOIN pairs p ON p.ia = c.id
+           WHERE p.ib IN (SELECT id FROM s1 UNION SELECT id FROM s2)
+             AND c.id NOT IN (SELECT id FROM s1 UNION SELECT id FROM s2)
+           GROUP BY c.id, c.rel
+           ORDER BY mmr DESC, c.id ASC LIMIT 1),
+    s4 AS (SELECT c.id, c.rel,
+                  0.7 * c.rel - 0.3 * max(p.sim) AS mmr,
+                  CAST(4 AS BIGINT) AS rank
+           FROM cands c JOIN pairs p ON p.ia = c.id
+           WHERE p.ib IN (SELECT id FROM s1 UNION SELECT id FROM s2
+                          UNION SELECT id FROM s3)
+             AND c.id NOT IN (SELECT id FROM s1 UNION SELECT id FROM s2
+                              UNION SELECT id FROM s3)
+           GROUP BY c.id, c.rel
+           ORDER BY mmr DESC, c.id ASC LIMIT 1),
+    s5 AS (SELECT c.id, c.rel,
+                  0.7 * c.rel - 0.3 * max(p.sim) AS mmr,
+                  CAST(5 AS BIGINT) AS rank
+           FROM cands c JOIN pairs p ON p.ia = c.id
+           WHERE p.ib IN (SELECT id FROM s1 UNION SELECT id FROM s2
+                          UNION SELECT id FROM s3 UNION SELECT id FROM s4)
+             AND c.id NOT IN (SELECT id FROM s1 UNION SELECT id FROM s2
+                              UNION SELECT id FROM s3 UNION SELECT id FROM s4)
+           GROUP BY c.id, c.rel
+           ORDER BY mmr DESC, c.id ASC LIMIT 1)
+    SELECT rank, id AS vec_id, rel AS relevance, mmr AS mmr_score
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+          UNION ALL SELECT * FROM s5)
+    """,
+)
+def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): from the exact cosine top-20 candidates for query vector 0,
+    greedily select 5 results maximizing
+    ``0.7·rel(d) − 0.3·max_{s∈S} sim(d, s)`` — the diversity-aware
+    final stage of a retrieval stack (sits after `ann_*` candidate
+    generation and beside `rerank_crossencoder_stub`).
+
+    Engine reproducibility: relevance and pairwise similarities are
+    6-decimal-rounded BEFORE selection, so both engines compare the
+    same doubles and break score ties on vec_id; round 1's diversity
+    term is 0 by convention (empty selected set).
+
+    Scale: candidate generation is the broadcast-query corpus scan of
+    :func:`~.operators.similarity.cosine_topk`; everything after runs
+    on the BOUNDED candidate relation (20 rows, 380 pairs) — the greedy
+    rounds are unrolled as lazy DataFrame ops (anti-join + broadcast
+    max-sim join + TakeOrdered pick per round), so the builder runs no
+    jobs and the whole selection ships as one plan. Per-query candidate
+    sets stay bounded at any corpus size; scaling to many queries =
+    partitionBy(query_id) over the same bounded-per-query relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    cands = cosine_topk(
+        e, e.filter(F.col("vec_id") == 0), k=20, dims=64
+    ).select(F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    cvecs = e.join(
+        F.broadcast(cands.select("id")),
+        e["vec_id"] == F.col("id"),
+    ).select("vec_id", "embedding")
+    pairs = cosine_topk(cvecs, cvecs, k=19, dims=64).select(
+        F.col("query_id").alias("ia"),
+        F.col("neighbor_id").alias("ib"),
+        F.col("cosine").alias("sim"),
+    )
+    lam, mu = F.lit(0.7), F.lit(0.3)
+    sel = (
+        cands.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(1)
+        .select(
+            "id",
+            "rel",
+            (lam * F.col("rel")).alias("mmr"),
+            F.lit(1).cast("long").alias("rank"),
+        )
+    )
+    for t in range(2, 6):
+        sel_ids = sel.select("id")
+        maxsim = (
+            pairs.join(
+                F.broadcast(sel_ids.withColumnRenamed("id", "ib")), "ib"
+            )
+            .groupBy("ia")
+            .agg(F.max("sim").alias("ms"))
+        )
+        rem = cands.join(F.broadcast(sel_ids), "id", "left_anti")
+        pick = (
+            rem.join(maxsim, rem["id"] == maxsim["ia"])
+            .select(
+                "id",
+                "rel",
+                (lam * F.col("rel") - mu * F.col("ms")).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("id"))
+            .limit(1)
+            .withColumn("rank", F.lit(t).cast("long"))
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )

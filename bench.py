@@ -73,6 +73,10 @@ HEADLINE = [
     # the cross-relation LSH and the global-rank consumer path)
     "dedup_incremental_batch",
     "curriculum_shards",
+    # round-6 lakehouse maintenance (guards the single-shuffle bitmap
+    # distinct and the Morton-code projection staying codegen-only)
+    "bitmap_distinct_rollup",
+    "zorder_layout_audit",
 ]
 
 
