@@ -132,6 +132,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_global_rank",
     "with_running_sum",
+    "with_running_max",
     "sequence_gaps",
     "hex_prefix_key",
 ]
@@ -381,6 +382,22 @@ class _Carve:
             .cast("int")
         )
 
+    def payload_prefix_max(self, j):
+        """Exclusive per-bucket prefix MAX of payload column *j* —
+        the max-analogue of :meth:`payload_offsets` (None entries mean
+        "no earlier value", and stay None rather than coalescing:
+        0 is not an identity for max)."""
+        outs = []
+        run = None
+        for bkt in self.buckets:
+            outs.append(run)
+            for e in bkt:
+                for r in e[2]:
+                    v = r[4 + j]
+                    if v is not None:
+                        run = v if run is None else max(run, v)
+        return outs
+
     def payload_offsets(self, j):
         """Exclusive per-bucket prefix sums of payload column *j*
         (summary row position ``4 + j``), None-aware so Decimal stays
@@ -564,6 +581,62 @@ def with_running_sum(
             total_col,
             F.lit(grand_s if grand_s is not None else 0).cast(sum_type),
         )
+    return out
+
+
+def with_running_max(
+    df: DataFrame,
+    key: Column,
+    order_cols: Sequence[Column],
+    value_col: str,
+    out_col: str = "runmax",
+    num_ranges: int | None = None,
+    materialize: bool = True,
+    nulls_last: bool = False,
+) -> DataFrame:
+    """EXCLUSIVE global running max of *value_col* in ``order_cols``
+    order (frame ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) without a
+    single-partition sort — the primitive behind "record-breaking row"
+    / skyline-style dominance scans over data-sized relations. The
+    first row in the global order gets NULL (max over the empty
+    prefix), exactly like the SQL frame.
+
+    Same two-phase shape as :func:`with_running_sum`: the per-group
+    summary carries ``max(value_col)``, the driver-side carve folds an
+    exclusive prefix max across buckets (max is monotone under the
+    carve's range merge, so exactness needs only the disjoint bucket
+    order, not quantizer fidelity), and each bucket's window combines
+    its literal offset with the within-bucket exclusive max via
+    ``greatest`` (null-skipping, so bucket firsts inherit the offset
+    and the global first stays null). Unlike the sum path the offset
+    must NOT coalesce to 0 — 0 is no identity for max over negatives."""
+    vtype = df.schema[value_col].dataType
+    base, rows, num_ranges = _summary(
+        df,
+        key,
+        [F.max(value_col).alias("__m")],
+        num_ranges,
+        materialize,
+        nulls_last,
+    )
+    if not rows:
+        return df.withColumn(out_col, F.lit(None).cast(vtype))
+    carve = _Carve(rows, num_ranges, nulls_last)
+    offsets = carve.payload_prefix_max(0)
+    out = base.withColumn("__obkt", carve.bucket_expr(key))
+    w = (
+        Window.partitionBy("__obkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.element_at(
+        F.array(*[F.lit(v).cast(vtype) for v in offsets]),
+        F.col("__obkt") + F.lit(1),
+    )
+    out = out.withColumn(
+        out_col,
+        F.greatest(F.max(value_col).over(w), off).cast(vtype),
+    ).drop("__obkt")
     return out
 
 

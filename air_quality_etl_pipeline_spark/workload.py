@@ -1171,6 +1171,7 @@ REBUILD_PURE_QUERIES: set[str] = {
     "dim_part_category",
     "ntile_deciles",
     "rfm_segments",
+    "record_breaking_orders",
     # builders that execute Spark jobs at construction (found by the
     # job-group audit that is now the plan-quality fence
     # tests/test_plan_quality.py::test_pure_query_builds_run_no_jobs):

@@ -4761,3 +4761,58 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_customer"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Record-breaking rows (exclusive global running max at data scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "record_breaking_orders",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           o_totalprice AS price
+    FROM (
+      SELECT o_orderkey, o_orderdate, o_totalprice,
+             max(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM orders)
+    WHERE pm IS NULL OR o_totalprice > pm
+    """,
+)
+def q_record_breaking_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking orders: every order whose total strictly exceeds
+    ALL earlier orders' totals (order = orderdate, orderkey tiebreak) —
+    the "running record" scan behind all-time-high dashboards and
+    monotone envelope extraction. Expected output is ~H(n) ≈ ln n rows
+    for exchangeable totals, but the SCAN is over every order in
+    global time order — exactly the data-sized exclusive-prefix-max
+    the single-partition SQL frame can't survive at 100 TB.
+
+    Scale: uses :func:`~.operators.order_stats.with_running_max` — the
+    bucketed two-phase carve with a per-bucket exclusive prefix-max
+    offset (summary collect bounded by the timestamp band count; in
+    REBUILD_PURE_QUERIES so the bench pays it). The oracle is the
+    plain windowed-frame SQL, so the two engines verify each other
+    through different algorithms."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_max,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    r = with_running_max(
+        o,
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice",
+        "pm",
+    )
+    return r.filter(
+        F.col("pm").isNull() | (F.col("o_totalprice") > F.col("pm"))
+    ).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.col("o_totalprice").alias("price"),
+    )

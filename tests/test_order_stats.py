@@ -346,3 +346,78 @@ def test_carve_offsets_match_bruteforce_random():
             for e in bkt:
                 for r in e[2]:
                     run = r[4] if run is None else run + r[4]
+
+
+def test_running_max_matches_naive_exclusive_window(skewed_df):
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_max,
+    )
+
+    w = Window.orderBy(F.col("k"), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = skewed_df.withColumn("pm", F.max("v").over(w))
+    mine = with_running_max(
+        skewed_df, F.col("k"), [F.col("k"), F.col("id")], "v", "pm"
+    )
+    a = {r.id: r.pm for r in naive.collect()}
+    b = {r.id: r.pm for r in mine.collect()}
+    assert a == b  # includes None for the global first row
+
+
+def test_running_max_negative_values_and_null_values(spark):
+    # 0 must NOT leak in as a max identity (all-negative prefixes),
+    # and null values must be transparent (no earlier value -> null)
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_max,
+    )
+
+    rows = [
+        (1, 10.0, None),
+        (2, 20.0, -5.0),
+        (3, 30.0, None),
+        (4, 40.0, -2.0),
+        (5, 50.0, -9.0),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k double, v double")
+    got = {
+        r.id: r.pm
+        for r in with_running_max(
+            df, F.col("k"), [F.col("k")], "v", "pm", num_ranges=3
+        ).collect()
+    }
+    assert got == {1: None, 2: None, 3: -5.0, 4: -5.0, 5: -2.0}
+
+
+def test_running_max_random_fuzz_vs_naive(spark):
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_max,
+    )
+
+    rng = random.Random(20260815)
+    rows = [
+        (
+            i,
+            rng.choice(
+                [None, float("nan"), float("inf"), -float("inf")]
+                + [float(rng.randint(-50, 50))] * 12
+            ),
+            None if rng.random() < 0.1 else round(rng.uniform(-9, 9), 2),
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, k double, v double"
+    ).repartition(8)
+    w = Window.orderBy(F.col("k").asc(), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = {r.id: r.pm for r in df.withColumn("pm", F.max("v").over(w)).collect()}
+    mine = {
+        r.id: r.pm
+        for r in with_running_max(
+            df, F.col("k"), [F.col("k").asc(), F.col("id")], "v", "pm",
+            num_ranges=7,
+        ).collect()
+    }
+    assert naive == mine
