@@ -375,6 +375,44 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``session_windows``: readStream file source
+    + watermark + native ``session_window`` state merging, availableNow
+    trigger, complete output — sessions that grow (or merge) across
+    micro-batches are maintained in the session-window state store, and
+    the final table must equal the batch gaps-and-islands oracle
+    exactly. This completes the streaming window family (tumbling /
+    sliding / session).
+
+    Scale: session state is per (user, open session) and evicted once
+    the watermark passes the session end — bounded by active users, not
+    history; the groupBy shards state by user hash across executors."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(
+        sessionize(stream.withWatermark("ts", "1 day")), spark
+    )
+
+
+@register(
     "streaming_dedup",
     """
     WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type
@@ -954,5 +992,6 @@ SIDE_EFFECT_QUERIES.update(
         "csv_quarantine_split",
         "streaming_rest_ingest",
         "streaming_dedup_incremental",
+        "streaming_session_windows",
     }
 )
