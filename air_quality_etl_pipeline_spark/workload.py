@@ -1172,6 +1172,7 @@ REBUILD_PURE_QUERIES: set[str] = {
     "ntile_deciles",
     "rfm_segments",
     "record_breaking_orders",
+    "skyline_running_max",
     # builders that execute Spark jobs at construction (found by the
     # job-group audit that is now the plan-quality fence
     # tests/test_plan_quality.py::test_pure_query_builds_run_no_jobs):

@@ -4816,3 +4816,49 @@ def q_record_breaking_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
         F.col("o_totalprice").alias("price"),
     )
+
+
+@register(
+    "skyline_running_max",
+    """
+    SELECT a.p_partkey, a.p_retailprice AS price, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice < a.p_retailprice
+        AND b.p_size > a.p_size)
+    """,
+)
+def q_skyline_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 2-D Pareto skyline as ``skyline_pareto_parts``, but via
+    the bucketed EXCLUSIVE running max directly over the DATA relation
+    — the formulation that survives an unbounded dominance-key domain
+    (timestamps, scores) where the sibling's per-price-level window
+    would become data-sized. The trick is the tie order: sorting
+    (price ASC, size ASC, partkey) makes the exclusive prefix max
+    exceed a row's size IFF some STRICTLY cheaper part carries a
+    strictly larger size — same-price rows earlier in the order have
+    sizes <= the current row's, so they can never trigger the test —
+    which is exactly strict 2-D dominance. One summary collect
+    (REBUILD_PURE), one partitioned window pass, no join back, no
+    bounded-domain assumption. Oracle: the quadratic NOT EXISTS form
+    (cross-algorithm check, shared with the sibling)."""
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_max,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    r = with_running_max(
+        p,
+        F.col("p_retailprice"),
+        [F.asc("p_retailprice"), F.asc("p_size"), F.asc("p_partkey")],
+        "p_size",
+        "pm",
+    )
+    return r.filter(
+        F.col("pm").isNull() | (F.col("p_size") >= F.col("pm"))
+    ).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        "p_size",
+    )
