@@ -42,6 +42,13 @@ QUERIES_SF1 = [
     "dedup_canonical_docs",
     "dedup_ngram_jaccard",
     "trigram_backoff_score",
+    # round-6 continuation: the new order-stats consumers (three rank
+    # passes / exclusive prefix max) and the bitmap distinct, whose
+    # scale claims SCALE.md makes explicitly
+    "rfm_segments",
+    "record_breaking_orders",
+    "skyline_running_max",
+    "bitmap_distinct_rollup",
 ]
 
 
