@@ -1,0 +1,73 @@
+"""Semantic property pins for the lakehouse-maintenance workload
+(`workload_lakehouse.py`) — the CLAIMS the docstrings make, asserted
+directly (the DuckDB oracles already pin value equality; these pin the
+geometry/conservation properties that make the operators worth running
+at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.workload import QUERIES, _t
+
+
+def test_zorder_files_are_16x16_tiles(spark, sf_dir):
+    # file_id = morton16 DIV 256 covers EXACTLY one 16x16 tile of the
+    # (pk8, sk8) plane — the data-skipping claim: every file envelope
+    # spans <= 15 in BOTH interleaved keys (a single-key sort layout
+    # would span the full 0..255 domain on the trailing key).
+    fn, _ = QUERIES["zorder_layout_audit"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "audit produced no files"
+    for r in rows:
+        assert 0 <= r.file_id <= 255
+        assert r.pk_hi - r.pk_lo <= 15, r
+        assert r.sk_hi - r.sk_lo <= 15, r
+    # conservation: every input row landed in exactly one file
+    li = _t(spark, sf_dir, "lineitem")
+    assert sum(r.n_rows for r in rows) == li.count()
+
+
+def test_compaction_bins_are_contiguous_and_conserving(spark, sf_dir):
+    fn, _ = QUERIES["compaction_bin_packing"]
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.bin_id)
+    assert rows
+    # bins partition the manifest in key order: ranges must not overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a.bin_id < b.bin_id
+        assert a.last_file <= b.first_file, (a, b)
+    # byte conservation vs the manifest the query derives from
+    o = _t(spark, sf_dir, "orders")
+    total = o.count() * 128
+    assert sum(r.total_bytes for r in rows) == total
+
+
+def test_k_anonymity_risk_monotone_in_k(spark, sf_dir):
+    fn, _ = QUERIES["k_anonymity_audit"]
+    rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [2, 5, 10, 20, 50]
+    n_classes = {r.n_classes for r in rows}
+    assert len(n_classes) == 1  # k never changes the class partition
+    for a, b in zip(rows, rows[1:]):
+        assert a.violating_classes <= b.violating_classes
+        assert a.rows_at_risk <= b.rows_at_risk
+        assert b.violating_classes <= b.n_classes
+
+
+def test_bitmap_distinct_equals_native_count_distinct(spark, sf_dir):
+    # cross-check INSIDE Spark (the DuckDB oracle is the cross-engine
+    # check; this pins the bitmap algebra against Spark's own
+    # countDistinct on the identical session/reader)
+    from air_quality_etl_pipeline_spark.workload import _events
+
+    fn, _ = QUERIES["bitmap_distinct_rollup"]
+    got = {r.day: r.n_users for r in fn(spark, sf_dir).collect()}
+    want = {
+        r.day: r.n
+        for r in _events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
