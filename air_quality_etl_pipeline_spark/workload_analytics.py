@@ -4862,3 +4862,112 @@ def q_skyline_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
         "p_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (A/B comparison with exact-decimal moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_t_test",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    m AS (
+      SELECT
+        CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN seg = 'BUILDING' THEN x END) AS DOUBLE) AS s1,
+        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN x END) AS DOUBLE) AS s2,
+        CAST(sum(CASE WHEN seg = 'BUILDING' THEN x * x END) AS DOUBLE) AS q1,
+        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN x * x END) AS DOUBLE) AS q2
+      FROM j),
+    v AS (
+      SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS a2
+      FROM m)
+    SELECT n1, n2,
+           floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean_building,
+           floor(m2 * 1000000.0 + 0.5) / 1000000.0 AS mean_machinery,
+           floor((m1 - m2) / sqrt(a1 + a2) * 1000000.0 + 0.5) / 1000000.0
+             AS t_stat,
+           floor((a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1))
+                 * 100.0 + 0.5) / 100.0 AS welch_df
+    FROM v
+    """,
+)
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch, Biometrika 1947) on mean
+    order value between the BUILDING and MACHINERY segments — the A/B
+    significance readout a metrics layer runs on experiment cohorts.
+    Moments are EXACT: count, decimal sum, and decimal sum-of-squares
+    accumulate order-independently in one aggregation pass (conditional
+    aggregates, so both arms share one shuffle); the double-precision
+    tail (means, a_i = s_i^2/n_i variance-over-n terms, the t statistic
+    and the Welch-Satterthwaite df) is a fixed expression tree over
+    those identical exact inputs, so both engines produce bit-identical
+    doubles before the output rounding.
+
+    Scale: one equi join (orders x customer on custkey) and ONE
+    aggregation to a single row — no window, no second pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    b = F.col("seg") == "BUILDING"
+    m = j.agg(
+        F.sum(F.when(b, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~b, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(b, F.col("x"))).cast("double").alias("s1"),
+        F.sum(F.when(~b, F.col("x"))).cast("double").alias("s2"),
+        F.sum(F.when(b, F.col("x") * F.col("x"))).cast("double").alias("q1"),
+        F.sum(F.when(~b, F.col("x") * F.col("x"))).cast("double").alias("q2"),
+    )
+    v = m.select(
+        "n1",
+        "n2",
+        (F.col("s1") / F.col("n1")).alias("m1"),
+        (F.col("s2") / F.col("n2")).alias("m2"),
+        (
+            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+            / F.col("n1")
+        ).alias("a1"),
+        (
+            (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
+            / (F.col("n2") - 1)
+            / F.col("n2")
+        ).alias("a2"),
+    )
+    return v.select(
+        "n1",
+        "n2",
+        round_portable(F.col("m1"), 6).alias("mean_building"),
+        round_portable(F.col("m2"), 6).alias("mean_machinery"),
+        round_portable(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("a1") + F.col("a2")),
+            6,
+        ).alias("t_stat"),
+        round_portable(
+            (F.col("a1") + F.col("a2"))
+            * (F.col("a1") + F.col("a2"))
+            / (
+                F.col("a1") * F.col("a1") / (F.col("n1") - 1)
+                + F.col("a2") * F.col("a2") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )

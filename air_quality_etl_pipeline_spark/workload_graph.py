@@ -612,3 +612,93 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_portable(lift, 6).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (cosine over co-purchase counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "item_item_cosine",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    freq AS (SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             GROUP BY 1),
+    sym AS (SELECT part_a AS item, part_b AS other, n_orders FROM edges
+            UNION ALL
+            SELECT part_b AS item, part_a AS other, n_orders FROM edges),
+    scored AS (
+      SELECT s.item, s.other,
+             floor(s.n_orders / sqrt(fa.n * fb.n) * 1000000.0 + 0.5)
+               / 1000000.0 AS cosine
+      FROM sym s
+      JOIN freq fa ON fa.item = s.item
+      JOIN freq fb ON fb.item = s.other)
+    SELECT item, other, cosine, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY item ORDER BY cosine DESC, other ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering (Sarwar et al., WWW 2001):
+    top-5 most-similar parts per part by co-occurrence cosine
+    ``n_ab / sqrt(n_a * n_b)`` over distinct order baskets — the
+    "customers also bought" scorer, built on the SAME support-pruned
+    co-purchase edge list as ``copurchase_pairs`` (support >= 2 prunes
+    random co-occurrence, so the pair relation stays orders of
+    magnitude below the cross product). Cosines are 6-decimal-rounded
+    BEFORE ranking so both engines rank identical values; ties break
+    on the neighbor id.
+
+    Scale: basket pair expansion is the audited one-shuffle plan of
+    :func:`_copurchase_edges`; the frequency joins are equi joins on
+    the part key; the top-5 window partitions per item (bounded by
+    that item's pruned neighbor count, never data-sized)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    freq = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    sym = edges.select(
+        F.col("part_a").alias("item"),
+        F.col("part_b").alias("other"),
+        "n_orders",
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("item"),
+            F.col("part_a").alias("other"),
+            "n_orders",
+        )
+    )
+    fa = freq.withColumnRenamed("n", "na")
+    fb = freq.select(
+        F.col("item").alias("other"), F.col("n").alias("nb")
+    )
+    scored = (
+        sym.join(fa, "item")
+        .join(fb, "other")
+        .select(
+            "item",
+            "other",
+            round_portable(
+                F.col("n_orders")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.asc("other")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("item", "other", "cosine", "rank")
+    )
