@@ -156,3 +156,82 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(token_array(F.col("text"))).alias("_raw"),
     ).select("source", F.lower(F.col("_raw")).alias("tok"))
     return kmv_jaccard(toks, "source", "tok", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct via window-merged HLL day sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_hll_distinct_7d",
+    """
+    WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    win AS (SELECT dd.d AS day, du.user_id
+            FROM days dd JOIN du ON du.d BETWEEN dd.d - 6 AND dd.d)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS exact_7d,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM win GROUP BY 1
+    """,
+)
+def q_rolling_hll_distinct_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via MERGEABLE sketches:
+    one Apache DataSketches HLL per day (`hll_sketch_agg`), then the
+    7-day figure is `hll_union_agg` over a day-grain window — the
+    OLAP-cube pattern where per-grain sketches are built once and any
+    rolling/rollup distinct is a cheap register merge, never a rescan
+    (a plain COUNT(DISTINCT) over a sliding window re-shuffles every
+    event into all 7 windows it belongs to). The exact trailing
+    distinct rides the same query (the one-pass day-offset explode on
+    the distinct day/user relation), and `within_tol` asserts the
+    estimate against the lgk=12 error bound (3 sigma ~= 4.9%; at these
+    cardinalities the sketch is in sparse mode and typically exact).
+    The oracle recomputes the exact figure and a literal flag — an
+    estimate outside tolerance fails the hash compare.
+
+    Scale: day sketches are ONE shuffle over events; the union window
+    runs on the calendar-bounded day relation (allowlisted); the exact
+    twin's explode is bounded at 7 copies of the distinct (day, user)
+    relation — at 100 TB you drop the exact twin and keep the sketch
+    path, which is the point."""
+    from air_quality_etl_pipeline_spark.workload import _events
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    du = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    sk = du.groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    est = sk.select(
+        "d",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "est"
+        ),
+    )
+    offs = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "user_id",
+        "d",
+    ).select(F.expr("date_add(d, off)").alias("day"), "user_id")
+    days = du.select(F.col("d").alias("day")).distinct()
+    exact = (
+        offs.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_7d"))
+    )
+    j = est.join(exact, est["d"] == exact["day"])
+    tol = F.lit(0.049) * F.col("exact_7d") + F.lit(2.0)
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_7d",
+        (
+            F.abs(F.col("est") - F.col("exact_7d")) <= tol
+        ).cast("long").alias("within_tol"),
+    )

@@ -388,6 +388,7 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "sql_keyset_pagination": "rn reconstruction window over the LIMIT-20 page",
     "skyline_pareto_parts": "distinct-price max-size relation (generator-bounded currency domain, 1000 values at sf0.01 and sf0.1 alike)",
     "cusum_changepoint": "day-grain aggregate (calendar-bounded)",
+    "rolling_hll_distinct_7d": "day-grain HLL sketch relation (calendar-bounded; one 2.5kB register set per day)",
     "yoy_change": "month-grain aggregate",
 }
 
