@@ -71,3 +71,30 @@ def test_bitmap_distinct_equals_native_count_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_morton_polynomial_matches_python_reference(spark):
+    # pin the generated bit-interleave SQL against an independent pure-
+    # Python Morton encoder (both engines share the polynomial, so the
+    # oracle only proves Spark == DuckDB; this proves both == intent)
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.workload_lakehouse import _Z_SPARK
+
+    def morton(pk: int, sk: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((pk >> i) & 1) << (2 * i)
+            z |= ((sk >> i) & 1) << (2 * i + 1)
+        return z
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2)] + [
+        (rng.randrange(256), rng.randrange(256)) for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "__pk long, __sk long")
+    got = [r.z for r in df.select(F.expr(_Z_SPARK).alias("z")).collect()]
+    want = [morton(a, b) for a, b in rows]
+    assert got == want

@@ -543,3 +543,34 @@ def test_global_topk_compiles_to_take_ordered(spark):
     df, _ = QUERIES["bm25_search"]
     plan = _plan_of(df(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bitmap_distinct_avoids_expand(spark):
+    # the operator's reason to exist: COUNT(DISTINCT) plans an Expand
+    # whose shuffle carries one row per distinct (day, user) pair; the
+    # bitmap rollup must plan as two plain hash aggregates (BIT_OR
+    # partial combines map-side) with NO Expand node anywhere.
+    df, _ = QUERIES["bitmap_distinct_rollup"]
+    plan = _plan_of(df(spark, SF))
+    assert "Expand" not in plan, plan
+    assert "bit_or" in plan or "BitOr" in plan, plan
+
+
+def test_zorder_projection_stays_in_scan_stage(spark):
+    # the Morton polynomial must be a codegen'd projection feeding ONE
+    # exchange (the file_id groupBy) — no Python, no extra shuffle
+    df, _ = QUERIES["zorder_layout_audit"]
+    plan = _plan_of(df(spark, SF))
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg pair
+    assert "BatchEvalPython" not in plan
+    assert "shiftright" in plan
+
+
+def test_mmr_pick_rounds_compile_to_take_ordered(spark):
+    # each greedy round's argmax is an orderBy+limit(1) over the
+    # bounded candidate relation — every pick must be a
+    # TakeOrderedAndProject, never a global sort
+    df, _ = QUERIES["mmr_diversified_rerank"]
+    plan = _plan_of(df(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 5, plan
+    assert "CartesianProduct" not in plan
