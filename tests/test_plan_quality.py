@@ -574,3 +574,43 @@ def test_mmr_pick_rounds_compile_to_take_ordered(spark):
     plan = _plan_of(df(spark, SF))
     assert plan.count("TakeOrderedAndProject") >= 5, plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_fence_detector_still_detects(spark):
+    # canary for the fence itself: if Spark's executedPlan format ever
+    # changes the Window/Exchange layout strings, _global_window_sites
+    # could start returning [] for EVERYTHING and the registry sweep
+    # would pass vacuously. Build a deliberately-global window and
+    # assert the detector flags it.
+    from pyspark.sql import Window
+
+    df = (
+        spark.range(1000)
+        .withColumn("v", F.col("id") % 7)
+        .withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    )
+    sites = _global_window_sites(_executed_plan_str(df))
+    assert sites, "fence detector no longer sees a global window"
+    # and a properly partitioned window must NOT be flagged
+    ok = (
+        spark.range(1000)
+        .withColumn("g", F.col("id") % 8)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("id")
+            ),
+        )
+    )
+    assert not _global_window_sites(_executed_plan_str(ok))
+
+
+def test_build_job_audit_still_detects(spark):
+    # same canary for the bench-honesty fence: a builder that runs a
+    # Spark job must show up in the job-group audit
+    sc = spark.sparkContext
+    group = "plan-audit-canary"
+    sc.setJobGroup(group, "canary")
+    spark.range(10).collect()  # a real job inside the group
+    sc.setJobGroup("plan-audit-canary-idle", "idle")
+    assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1
