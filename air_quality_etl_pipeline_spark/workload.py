@@ -1173,6 +1173,12 @@ REBUILD_PURE_QUERIES: set[str] = {
     "rfm_segments",
     "record_breaking_orders",
     "skyline_running_max",
+    # MMR checkpoints its bounded candidate/pair relations before the
+    # unrolled greedy rounds (the rounds reference them ~3x each; an
+    # un-cut lineage re-executes the corpus scan per reference —
+    # measured 8.1 s vs sub-second at sf1), so the builder runs the
+    # candidate-generation jobs and each bench sample must pay them
+    "mmr_diversified_rerank",
     # builders that execute Spark jobs at construction (found by the
     # job-group audit that is now the plan-quality fence
     # tests/test_plan_quality.py::test_pure_query_builds_run_no_jobs):

@@ -1818,16 +1818,22 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate generation is the broadcast-query corpus scan of
     :func:`~.operators.similarity.cosine_topk`; everything after runs
-    on the BOUNDED candidate relation (20 rows, 380 pairs) — the greedy
-    rounds are unrolled as lazy DataFrame ops (anti-join + broadcast
-    max-sim join + TakeOrdered pick per round), so the builder runs no
-    jobs and the whole selection ships as one plan. Per-query candidate
-    sets stay bounded at any corpus size; scaling to many queries =
+    on the BOUNDED candidate relation (20 rows, 380 pairs). The
+    candidate and pair relations are localCheckpointed before the
+    greedy rounds — the unrolled selection references them ~3x per
+    round, and without the lineage cut Catalyst re-executes the
+    corpus-scan subtree per reference (measured at sf1: 8.1 s lazy vs
+    sub-second checkpointed), so the builder runs the candidate-
+    generation jobs and the query lives in REBUILD_PURE_QUERIES (bench
+    samples pay that work honestly). Per-query candidate sets stay
+    bounded at any corpus size; scaling to many queries =
     partitionBy(query_id) over the same bounded-per-query relation."""
     e = _t(spark, sf_dir, "embeddings")
     cands = cosine_topk(
         e, e.filter(F.col("vec_id") == 0), k=20, dims=64
-    ).select(F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    ).select(
+        F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel")
+    ).localCheckpoint()
     cvecs = e.join(
         F.broadcast(cands.select("id")),
         e["vec_id"] == F.col("id"),
@@ -1836,7 +1842,7 @@ def q_mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("ia"),
         F.col("neighbor_id").alias("ib"),
         F.col("cosine").alias("sim"),
-    )
+    ).localCheckpoint()
     lam, mu = F.lit(0.7), F.lit(0.3)
     sel = (
         cands.orderBy(F.desc("rel"), F.asc("id"))

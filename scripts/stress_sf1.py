@@ -49,6 +49,9 @@ QUERIES_SF1 = [
     "record_breaking_orders",
     "skyline_running_max",
     "bitmap_distinct_rollup",
+    "item_item_cosine",
+    "rolling_hll_distinct_7d",
+    "mmr_diversified_rerank",
 ]
 
 
