@@ -4730,14 +4730,18 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
     first = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
-    sizes = first.groupBy("cm").agg(
-        F.count("*").cast("long").alias("n_cohort")
+    # both aggregates derive from the SAME join subtree (identical
+    # exchanges -> ReuseExchange dedups them), instead of referencing
+    # `first` twice and re-scanning orders for a separate size pass;
+    # every cohort member has >= 1 order, so the distinct custkey count
+    # over the joined rows IS the cohort size
+    j = om.join(first, "o_custkey")
+    sizes = j.groupBy("cm").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_cohort")
     )
-    rev = (
-        om.join(first, "o_custkey")
-        .groupBy("cm", (F.col("m") - F.col("cm")).alias("age"))
-        .agg(F.sum("price").cast("decimal(18,2)").alias("r"))
-    )
+    rev = j.groupBy(
+        "cm", (F.col("m") - F.col("cm")).alias("age")
+    ).agg(F.sum("price").cast("decimal(18,2)").alias("r"))
     wcum = (
         Window.partitionBy("cm")
         .orderBy("age")
