@@ -385,3 +385,28 @@ def test_sequence_gaps_5m_known_holes(spark):
     ).first()
     assert agg["n"] == 4999  # holes at 1000, 2000, ..., 4_999_000
     assert agg["w"] == 1
+
+
+def test_running_max_5m(spark):
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_running_max,
+    )
+
+    df = spark.range(5_000_000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    out = with_running_max(
+        df, F.col("id"), [F.col("id")], "v", "pm", num_ranges=32
+    )
+    # closed form: max of (j % 1000 for j < i) = min(i-1, 999); null at i=0
+    bad = out.filter(
+        ~(
+            (F.col("id") == 0) & F.col("pm").isNull()
+            | (F.col("id") > 0)
+            & (
+                F.col("pm")
+                == F.least(F.col("id") - 1, F.lit(1000 - 1)).cast("double")
+            )
+        )
+    ).count()
+    assert bad == 0
