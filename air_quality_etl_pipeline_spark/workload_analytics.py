@@ -4975,3 +4975,94 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regulatory design value (annual 4th-highest daily max, 3-year average)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "design_value_4th_max",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             max(value) AS dmax
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, year(d) AS yr, dmax,
+             row_number() OVER (PARTITION BY event_type, year(d)
+               ORDER BY dmax DESC, d ASC) AS rnk
+      FROM daily),
+    annual AS (
+      SELECT event_type, CAST(yr AS BIGINT) AS yr, dmax AS fourth_max
+      FROM ranked WHERE rnk = 4),
+    dv AS (
+      SELECT event_type, yr, fourth_max,
+             avg(fourth_max) OVER w AS dv3,
+             count(*) OVER w AS nyrs
+      FROM annual
+      WINDOW w AS (PARTITION BY event_type ORDER BY yr
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+    SELECT event_type, yr,
+           floor(fourth_max * 1000000.0 + 0.5) / 1000000.0 AS fourth_max,
+           floor(dv3 * 1000000.0 + 0.5) / 1000000.0 AS design_value,
+           CAST(nyrs AS BIGINT) AS n_years
+    FROM dv
+    """,
+)
+def q_design_value_4th_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPA-style DESIGN VALUE on the measurement stream: per pollutant
+    (event_type), the annual 4th-highest daily maximum, then the
+    rolling 3-year mean of that statistic — the exact shape of the
+    ozone NAAQS design value (40 CFR 50 Appendix U: 3-year average of
+    the annual 4th-highest daily max 8-hour concentration), the
+    regulatory metric the reference's AQI pipeline feeds
+    (``Automated_Bronze_to_Silver_Data_Transformation.py``'s
+    sample-measurement grain rolls up to exactly this). Ties in the
+    annual ranking break on the earlier day, so the 4th-highest is
+    deterministic across engines.
+
+    Scale: one shuffle to the (pollutant, day) grain; the annual
+    ranking windows partition per (pollutant, year) — at most ~366
+    rows each regardless of event volume; the 3-year window runs per
+    pollutant over years. Every window partition is calendar-bounded.
+
+    The 3-year mean divides an in-frame double sum by the frame count;
+    both engines sum the same <= 3 doubles in frame order, and the
+    result is 6-decimal-rounded inside the query."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.max("value").alias("dmax"))
+    wrank = Window.partitionBy("event_type", F.year("d")).orderBy(
+        F.desc("dmax"), F.asc("d")
+    )
+    annual = (
+        daily.withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("rnk") == 4)
+        .select(
+            "event_type",
+            F.year("d").cast("long").alias("yr"),
+            F.col("dmax").alias("fourth_max"),
+        )
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("yr")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    dv = annual.select(
+        "event_type",
+        "yr",
+        "fourth_max",
+        F.avg("fourth_max").over(w3).alias("dv3"),
+        F.count("*").over(w3).cast("long").alias("n_years"),
+    )
+    return dv.select(
+        "event_type",
+        "yr",
+        round_portable(F.col("fourth_max"), 6).alias("fourth_max"),
+        round_portable(F.col("dv3"), 6).alias("design_value"),
+        "n_years",
+    )
