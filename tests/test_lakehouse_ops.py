@@ -98,3 +98,34 @@ def test_morton_polynomial_matches_python_reference(spark):
     got = [r.z for r in df.select(F.expr(_Z_SPARK).alias("z")).collect()]
     want = [morton(a, b) for a, b in rows]
     assert got == want
+
+
+def test_welch_t_matches_numpy_reference(spark, sf_dir):
+    # formula-level cross-check: the oracle proves Spark == DuckDB on
+    # the same expression tree; this proves the tree == Welch's test as
+    # an independent NumPy implementation computes it from raw data
+    import math
+
+    import numpy as np
+
+    fn, _ = QUERIES["welch_t_test"]
+    got = fn(spark, sf_dir).first()
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    x1 = np.array([r.o_totalprice for r in j if r.c_mktsegment == "BUILDING"])
+    x2 = np.array([r.o_totalprice for r in j if r.c_mktsegment == "MACHINERY"])
+    a1 = x1.var(ddof=1) / len(x1)
+    a2 = x2.var(ddof=1) / len(x2)
+    t = (x1.mean() - x2.mean()) / math.sqrt(a1 + a2)
+    df = (a1 + a2) ** 2 / (a1**2 / (len(x1) - 1) + a2**2 / (len(x2) - 1))
+    assert got.n1 == len(x1) and got.n2 == len(x2)
+    assert abs(got.mean_building - x1.mean()) < 1e-4
+    assert abs(got.mean_machinery - x2.mean()) < 1e-4
+    assert abs(got.t_stat - t) < 1e-4
+    assert abs(got.welch_df - df) < 0.5
