@@ -129,3 +129,59 @@ def test_welch_t_matches_numpy_reference(spark, sf_dir):
     assert abs(got.mean_machinery - x2.mean()) < 1e-4
     assert abs(got.t_stat - t) < 1e-4
     assert abs(got.welch_df - df) < 0.5
+
+
+def test_cusum_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    fn, _ = QUERIES["cusum_changepoint"]
+    got = fn(spark, sf_dir).first()
+
+    o = _t(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+        .orderBy("d")
+        .collect()
+    )
+    days = [r.d for r in rows]
+    rev = np.array([float(r.r) for r in rows])
+    s = np.cumsum(rev - rev.mean())
+    i = int(np.argmax(np.abs(s)))
+    # ties in |S| break on the earlier day in the query; numpy argmax
+    # picks the first max too, and the data has no exact ties
+    assert got.change_day == days[i]
+    assert abs(got.cusum_peak - s[i]) < 1e-3
+    assert got.n_days == len(days)
+
+
+def test_wma_matches_pure_python_reference(spark, sf_dir):
+    fn, _ = QUERIES["wma_revenue_trend"]
+    got = {
+        (r.prio, r.ym): (r.revenue, r.wma6)
+        for r in fn(spark, sf_dir).collect()
+    }
+    o = _t(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.p, r.ym)):
+        series.setdefault(r.p, []).append((r.ym, float(r.r)))
+    n_checked = 0
+    for p, months in series.items():
+        for t in range(len(months)):
+            lo = max(0, t - 5)
+            window = months[lo : t + 1]
+            # linear weights: 6 for the newest, down the window
+            ws = [6 - (t - i) for i in range(lo, t + 1)]
+            want = sum(w * v for w, (_, v) in zip(ws, window)) / sum(ws)
+            ym = months[t][0]
+            assert abs(got[(p, ym)][1] - want) < 1e-6, (p, ym)
+            n_checked += 1
+    assert n_checked == len(got)
