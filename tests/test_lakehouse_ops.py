@@ -1,8 +1,11 @@
-"""Semantic property pins for the lakehouse-maintenance workload
-(`workload_lakehouse.py`) — the CLAIMS the docstrings make, asserted
-directly (the DuckDB oracles already pin value equality; these pin the
-geometry/conservation properties that make the operators worth running
-at 100 TB).
+"""Semantic property pins for the round-6 operator batch — the CLAIMS
+the docstrings make, asserted directly, plus INDEPENDENT reference
+implementations (NumPy / pure Python) for the formula-heavy queries.
+The DuckDB oracles pin cross-engine value equality; these pin
+geometry/conservation properties (zorder tiles, compaction bins,
+k-anonymity monotonicity) and prove the shared expression trees equal
+the intended algorithm (Welch, CUSUM, LWMA, greedy MMR), closing the
+"both engines agree on the same wrong formula" gap.
 """
 
 from __future__ import annotations
@@ -185,3 +188,49 @@ def test_wma_matches_pure_python_reference(spark, sf_dir):
             assert abs(got[(p, ym)][1] - want) < 1e-6, (p, ym)
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_dir):
+    # intent-level pin for the unrolled DataFrame rounds: a dict-based
+    # greedy MMR over the same rounded relevance/similarity inputs must
+    # select the same 5 ids in the same order with the same scores
+    fn, _ = QUERIES["mmr_diversified_rerank"]
+    got = [
+        (r.rank, r.vec_id, r.relevance, r.mmr_score)
+        for r in sorted(fn(spark, sf_dir).collect(), key=lambda r: r.rank)
+    ]
+
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rel = {
+        r.neighbor_id: r.cosine
+        for r in cosine_topk(
+            e, e.filter(F.col("vec_id") == 0), k=20, dims=64
+        ).collect()
+    }
+    cvecs = e.filter(F.col("vec_id").isin(*rel)).select(
+        "vec_id", "embedding"
+    )
+    sim = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(cvecs, cvecs, k=19, dims=64).collect()
+    }
+    selected: list = []
+    want = []
+    for rank in range(1, 6):
+        best = None
+        for d in sorted(rel):
+            if d in selected:
+                continue
+            ms = max((sim[(d, s)] for s in selected), default=0.0)
+            score = 0.7 * rel[d] - 0.3 * ms
+            if best is None or score > best[1]:
+                best = (d, score)
+        selected.append(best[0])
+        want.append((rank, best[0], rel[best[0]], best[1]))
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[2] - w[2]) < 1e-12 and abs(g[3] - w[3]) < 1e-12
