@@ -234,3 +234,50 @@ def test_mmr_matches_pure_python_greedy(spark, sf_dir):
     assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
     for g, w in zip(got, want):
         assert abs(g[2] - w[2]) < 1e-12 and abs(g[3] - w[3]) < 1e-12
+
+
+def test_rfm_matches_pure_python_quintiles(spark, sf_dir):
+    from collections import Counter
+    from decimal import Decimal
+
+    fn, _ = QUERIES["rfm_segments"]
+    got = {
+        r.segment: (r.n_customers, r.total_monetary)
+        for r in fn(spark, sf_dir).collect()
+    }
+
+    o = _t(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.to_date(F.lit("1970-01-01")),
+                )
+            ).alias("rec"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+        )
+        .collect()
+    )
+    n = len(rows)
+
+    def scores(key):
+        order = sorted(rows, key=key)
+        return {
+            r.o_custkey: 5 - (rn * 5) // n for rn, r in enumerate(order)
+        }
+
+    rs = scores(lambda r: (-r.rec, r.o_custkey))
+    fs = scores(lambda r: (-r.freq, r.o_custkey))
+    ms = scores(lambda r: (-r.mon, r.o_custkey))
+    counts: Counter = Counter()
+    money: dict = {}
+    for r in rows:
+        seg = f"R{rs[r.o_custkey]}F{fs[r.o_custkey]}M{ms[r.o_custkey]}"
+        counts[seg] += 1
+        money[seg] = money.get(seg, Decimal(0)) + r.mon
+    assert {k: v[0] for k, v in got.items()} == dict(counts)
+    for seg, (_, tot) in got.items():
+        assert abs(tot - float(money[seg])) < 1e-6, seg
