@@ -281,3 +281,83 @@ def test_rfm_matches_pure_python_quintiles(spark, sf_dir):
     assert {k: v[0] for k, v in got.items()} == dict(counts)
     for seg, (_, tot) in got.items():
         assert abs(tot - float(money[seg])) < 1e-6, seg
+
+
+def test_item_item_cosine_matches_pure_python(spark, sf_dir):
+    import itertools
+    import math
+    from collections import Counter
+
+    fn, _ = QUERIES["item_item_cosine"]
+    got = {
+        (r.item, r.other): (r.cosine, r.rank)
+        for r in fn(spark, sf_dir).collect()
+    }
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select("l_orderkey", "l_partkey").distinct().collect()
+    baskets: dict = {}
+    freq: Counter = Counter()
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        freq[r.l_partkey] += 1
+    support: Counter = Counter()
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    sym: dict = {}
+    for (a, b), n in support.items():
+        if n < 2:
+            continue
+        cos = n / math.sqrt(freq[a] * freq[b])
+        cos = math.floor(cos * 1e6 + 0.5) / 1e6
+        sym.setdefault(a, []).append((b, cos))
+        sym.setdefault(b, []).append((a, cos))
+    want: dict = {}
+    for item, lst in sym.items():
+        lst.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (other, cos) in enumerate(lst[:5], 1):
+            want[(item, other)] = (cos, rank)
+    assert got == want
+
+
+def test_design_value_matches_pure_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    fn, _ = QUERIES["design_value_4th_max"]
+    got = {
+        (r.event_type, r.yr): (r.fourth_max, r.design_value, r.n_years)
+        for r in fn(spark, sf_dir).collect()
+    }
+
+    from air_quality_etl_pipeline_spark.workload import _events
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .agg(F.max("value").alias("dmax"))
+        .collect()
+    )
+    per_year: dict = defaultdict(list)
+    for r in daily:
+        per_year[(r.event_type, r.d.year)].append((r.dmax, r.d))
+    annual: dict = defaultdict(dict)
+    for (et, yr), vals in per_year.items():
+        vals.sort(key=lambda t: (-t[0], t[1]))
+        if len(vals) >= 4:
+            annual[et][yr] = vals[3][0]
+    want: dict = {}
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for et, years in annual.items():
+        for yr in years:
+            window = [years[y] for y in (yr - 2, yr - 1, yr) if y in years]
+            want[(et, yr)] = (
+                r6(years[yr]),
+                r6(sum(window) / len(window)),
+                len(window),
+            )
+    assert got == want
