@@ -239,3 +239,65 @@ def ln_ratio_portable(num: Column, den: Column) -> Column:
 def sql_ln_ratio(num: str, den: str) -> str:
     """DuckDB twin of :func:`ln_ratio_portable`."""
     return f"({sql_ln_int(num)} - {sql_ln_int(den)})"
+
+
+# 2^42 and 2^84 — the limb bases for the wide-integer → double split.
+_LIMB = 4398046511104  # 2^42, < 2^53: exact as a double
+_LIMB2_STR = "19342813113834066795298816"  # 2^84, exact power of two
+
+
+def dec38_to_double_portable(col: Column) -> Column:
+    """Bit-portable ``DECIMAL(38,0) → DOUBLE`` for exact-integer sums
+    that may exceed 2^53.
+
+    Spark's decimal→double cast is correctly rounded
+    (``BigDecimal.doubleValue``); DuckDB recomposes the int128 through
+    double arithmetic and can double-round — the same hazard class
+    :func:`quantize_micro9` documents for scaled decimals.  Above 2^53
+    the two engines therefore disagree by 1 ulp on a measurable
+    fraction of values, which the hash-comparing gate treats as a
+    miss.
+
+    The portable route splits the integer into three base-2^42 limbs
+    with exact integer div/mod, casts each limb to double exactly
+    (every limb < 2^53; the top limb < 1e38/2^84 ≈ 5.2e12), and
+    recomposes with power-of-two multiplies (exact) and two
+    left-associated adds (correctly rounded, same order in both
+    engines).  The result is within 1 ulp of the true value and —
+    the property the gate needs — bit-identical across engines by
+    construction.  Negative inputs split on ``abs`` and restore the
+    sign with an exact negation.
+    """
+    u = F.abs(col.cast("decimal(38,0)"))
+    b2 = F.lit(_LIMB2_STR).cast("decimal(38,0)")
+    b1 = F.lit(_LIMB).cast("decimal(38,0)")
+    hi = F.call_function("div", u, b2)  # long, exact
+    rem = u - hi.cast("decimal(38,0)") * b2
+    mid = F.call_function("div", rem, b1)  # long, < 2^42
+    lo = (rem - mid.cast("decimal(38,0)") * b1).cast("long")
+    mag = (
+        hi.cast("double") * F.lit(float(1 << 84))
+        + mid.cast("double") * F.lit(float(1 << 42))
+        + lo.cast("double")
+    )
+    return F.when(col < 0, -mag).otherwise(mag)
+
+
+def sql_dec38_to_double(expr: str) -> str:
+    """DuckDB twin of :func:`dec38_to_double_portable` (HUGEINT lane;
+    ``//``/``%`` on the non-negative magnitude are exact integer ops,
+    and the power-of-two factors are CAST('…' AS DOUBLE) literals per
+    the module's bare-literal pitfall)."""
+    u = f"abs(CAST({expr} AS HUGEINT))"
+    hi = f"({u} // CAST('{_LIMB2_STR}' AS HUGEINT))"
+    rem = f"({u} % CAST('{_LIMB2_STR}' AS HUGEINT))"
+    mid = f"({rem} // {_LIMB})"
+    lo = f"({rem} % {_LIMB})"
+    mag = (
+        f"(CAST({hi} AS DOUBLE) * CAST('{float(1 << 84)!r}' AS DOUBLE)"
+        f" + CAST({mid} AS DOUBLE) * CAST('{float(1 << 42)!r}' AS DOUBLE)"
+        f" + CAST({lo} AS DOUBLE))"
+    )
+    return (
+        f"(CASE WHEN {expr} < 0 THEN -{mag} ELSE {mag} END)"
+    )

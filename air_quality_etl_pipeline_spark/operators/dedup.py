@@ -99,8 +99,18 @@ def collapse_exact_clones(
     makes the expensive stages distinct-text-sized; only the final
     (output-sized, irreducible) pair expansion sees clone counts.
 
+    The group key is md5 of the RAW text — NOT the normalized
+    ``fingerprint()`` used by ``exact_dup_groups``.  The cascade's
+    result-identity argument (clones share shingle sets, so candidacy
+    transfers member-to-member and intra-group jaccard is exactly 1.0)
+    requires byte-identical texts: two docs that differ only in case or
+    punctuation normalize to the same fingerprint but shingle
+    differently, so a normalized key would hand them hardcoded 1.0
+    intra-group scores and the representative's cross-group scores
+    where the true per-text jaccard differs.
+
     ``members``: ``(_fp, id_col, _rep)`` — one row per input doc with
-    its content fingerprint and its group's representative (min id).
+    its raw-content fingerprint and its group's representative (min id).
     ``representatives``: ``(id_col, text_col)`` — one row per distinct
     content, the min-id member's.  ONE pass: the representative's id
     and text ride the fingerprint groupBy as a ``min(struct(id,
@@ -114,7 +124,7 @@ def collapse_exact_clones(
     fpf = df.select(
         F.col(id_col),
         F.col(text_col),
-        fingerprint(F.col(text_col)).alias("_fp"),
+        F.md5(F.col(text_col)).alias("_fp"),
     )
     groups = fpf.groupBy("_fp").agg(
         F.min(F.struct(F.col(id_col), F.col(text_col))).alias("_r")

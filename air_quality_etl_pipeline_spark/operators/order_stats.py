@@ -659,7 +659,14 @@ def sequence_gaps(
     buckets cannot exist (buckets are carved from populated groups),
     so the seam scan never skips ids."""
     spark = df.sparkSession
-    df = df.select(F.col(id_col).cast("bigint").alias(id_col))
+    # NULL ids carry no position in the sequence: drop them up front
+    # (matching the lead()-based formulation, whose window comparison
+    # silently discarded them). Without this the summary emits a
+    # sentinel group with None __imn/__imx and the driver-side seam
+    # min()/max() below would raise TypeError.
+    df = df.select(F.col(id_col).cast("bigint").alias(id_col)).filter(
+        F.col(id_col).isNotNull()
+    )
     base, rows, num_ranges = _summary(
         df,
         F.col(id_col),

@@ -42,6 +42,10 @@ from air_quality_etl_pipeline_spark.functions.core import (
     round_portable,
     token_array,
 )
+from air_quality_etl_pipeline_spark.functions.portable_math import (
+    dec38_to_double_portable,
+    sql_dec38_to_double,
+)
 from air_quality_etl_pipeline_spark.plans.merge import table_diff, upsert_replace
 from air_quality_etl_pipeline_spark.workload import _dec_sum, _events, _t, register
 from air_quality_etl_pipeline_spark.workload_llm import TOKS
@@ -4875,48 +4879,84 @@ def q_skyline_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "welch_t_test",
-    """
+    f"""
     WITH j AS (
       SELECT c.c_mktsegment AS seg,
-             CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+               AS xi
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
     m AS (
       SELECT
-        CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        CAST(sum(CASE WHEN seg = 'BUILDING' THEN x END) AS DOUBLE) AS s1,
-        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN x END) AS DOUBLE) AS s2,
-        CAST(sum(CASE WHEN seg = 'BUILDING' THEN x * x END) AS DOUBLE) AS q1,
-        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN x * x END) AS DOUBLE) AS q2
+        CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n1,
+        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS HUGEINT)
+          AS n2,
+        CAST(sum(CASE WHEN seg = 'BUILDING' THEN xi END) AS HUGEINT) AS s1,
+        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN xi END) AS HUGEINT) AS s2,
+        CAST(sum(CASE WHEN seg = 'BUILDING' THEN xi * xi END) AS HUGEINT)
+          AS q1,
+        CAST(sum(CASE WHEN seg = 'MACHINERY' THEN xi * xi END) AS HUGEINT)
+          AS q2
       FROM j),
     v AS (
-      SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
-             (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS a1,
-             (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS a2
-      FROM m)
-    SELECT n1, n2,
-           floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean_building,
-           floor(m2 * 1000000.0 + 0.5) / 1000000.0 AS mean_machinery,
-           floor((m1 - m2) / sqrt(a1 + a2) * 1000000.0 + 0.5) / 1000000.0
+      SELECT n1, n2,
+             n1 * q1 - s1 * s1 AS v1,
+             n2 * q2 - s2 * s2 AS v2,
+             n1 * n1 * (n1 - 1) * 10000 AS d1,
+             n2 * n2 * (n2 - 1) * 10000 AS d2,
+             s1 * n2 - s2 * n1 AS num,
+             n1 * n2 * 100 AS den,
+             s1 * 20000 + n1 AS am1,
+             s2 * 20000 + n2 AS am2
+      FROM m),
+    w AS (
+      SELECT n1, n2,
+             {sql_dec38_to_double('v1')} / {sql_dec38_to_double('d1')} AS a1,
+             {sql_dec38_to_double('v2')} / {sql_dec38_to_double('d2')} AS a2,
+             {sql_dec38_to_double('num')} / {sql_dec38_to_double('den')}
+               AS diff,
+             CAST((am1 - (((am1 % (n1 * 2)) + n1 * 2) % (n1 * 2)))
+                  // (n1 * 2) AS BIGINT) AS mb_micro,
+             CAST((am2 - (((am2 % (n2 * 2)) + n2 * 2) % (n2 * 2)))
+                  // (n2 * 2) AS BIGINT) AS mm_micro
+      FROM v)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(mb_micro AS DOUBLE) / 1000000.0 AS mean_building,
+           CAST(mm_micro AS DOUBLE) / 1000000.0 AS mean_machinery,
+           floor(diff / sqrt(a1 + a2) * 1000000.0 + 0.5) / 1000000.0
              AS t_stat,
            floor((a1 + a2) * (a1 + a2)
-                 / (a1 * a1 / (n1 - 1) + a2 * a2 / (n2 - 1))
+                 / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+                    + a2 * a2 / CAST(n2 - 1 AS DOUBLE))
                  * 100.0 + 0.5) / 100.0 AS welch_df
-    FROM v
+    FROM w
     """,
 )
 def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test (Welch, Biometrika 1947) on mean
     order value between the BUILDING and MACHINERY segments — the A/B
     significance readout a metrics layer runs on experiment cohorts.
-    Moments are EXACT: count, decimal sum, and decimal sum-of-squares
-    accumulate order-independently in one aggregation pass (conditional
-    aggregates, so both arms share one shuffle); the double-precision
-    tail (means, a_i = s_i^2/n_i variance-over-n terms, the t statistic
-    and the Welch-Satterthwaite df) is a fixed expression tree over
-    those identical exact inputs, so both engines produce bit-identical
-    doubles before the output rounding.
+
+    Every moment rides an INTEGER lane until the last possible step:
+    prices quantize to exact integer cents, and count / Σxᵢ /
+    Σxᵢ² accumulate as DECIMAL(38,0) (HUGEINT in the oracle) in one
+    conditional-aggregate pass sharing one shuffle.  The variance
+    numerators (nᵢQᵢ − Sᵢ², ≥ 0 by Cauchy-Schwarz), their
+    denominators nᵢ²(nᵢ−1)·10⁴, and the mean difference's exact
+    rational (S₁n₂ − S₂n₁)/(100n₁n₂) are still exact integers;
+    each converts to double through the limb-split
+    ``dec38_to_double_portable`` — the round-5/6 lesson that a direct
+    DECIMAL(38,x)→DOUBLE cast double-rounds in DuckDB beyond 2^53
+    (Σxᵢ² is ~1.35e19 already at sf0.1).  Group means round half-up
+    at 6 decimals entirely in integer arithmetic (mod-adjust
+    floor-division, the ``mean_round6_micro`` pattern).  The t
+    statistic and Welch-Satterthwaite df then use only IEEE
+    correctly-rounded double ops (÷, ×, +, sqrt) in a fixed order, so
+    both engines are bit-identical by construction.  Exactness bound:
+    the integer lanes hold while nᵢ³·10⁴ and nᵢ·Qᵢ stay under
+    10³⁸ — ~10¹¹ rows per arm at TPC-H price magnitudes, beyond any
+    realistic cohort.
 
     Scale: one equi join (orders x customer on custkey) and ONE
     aggregation to a single row — no window, no second pass."""
@@ -4927,50 +4967,80 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(
             F.col("c_mktsegment").alias("seg"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * F.lit(100))
+            .cast("decimal(20,0)")
+            .alias("xi"),
         )
     )
     b = F.col("seg") == "BUILDING"
+    d38 = "decimal(38,0)"
     m = j.agg(
-        F.sum(F.when(b, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(~b, 1).otherwise(0)).cast("long").alias("n2"),
-        F.sum(F.when(b, F.col("x"))).cast("double").alias("s1"),
-        F.sum(F.when(~b, F.col("x"))).cast("double").alias("s2"),
-        F.sum(F.when(b, F.col("x") * F.col("x"))).cast("double").alias("q1"),
-        F.sum(F.when(~b, F.col("x") * F.col("x"))).cast("double").alias("q2"),
+        F.sum(F.when(b, 1).otherwise(0)).cast(d38).alias("n1"),
+        F.sum(F.when(~b, 1).otherwise(0)).cast(d38).alias("n2"),
+        F.sum(F.when(b, F.col("xi"))).cast(d38).alias("s1"),
+        F.sum(F.when(~b, F.col("xi"))).cast(d38).alias("s2"),
+        F.sum(F.when(b, F.col("xi") * F.col("xi"))).cast(d38).alias("q1"),
+        F.sum(F.when(~b, F.col("xi") * F.col("xi"))).cast(d38).alias("q2"),
     )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
     v = m.select(
-        "n1",
-        "n2",
-        (F.col("s1") / F.col("n1")).alias("m1"),
-        (F.col("s2") / F.col("n2")).alias("m2"),
+        n1,
+        n2,
+        (n1 * F.col("q1") - s1 * s1).alias("v1"),
+        (n2 * F.col("q2") - s2 * s2).alias("v2"),
+        (n1 * n1 * (n1 - 1) * F.lit(10000)).alias("d1"),
+        (n2 * n2 * (n2 - 1) * F.lit(10000)).alias("d2"),
+        (s1 * n2 - s2 * n1).alias("num"),
+        (n1 * n2 * F.lit(100)).alias("den"),
+        (s1 * F.lit(20000) + n1).alias("am1"),
+        (s2 * F.lit(20000) + n2).alias("am2"),
+    )
+
+    def _mean_micro(a: Column, n: Column) -> Column:
+        # exact half-up 6-decimal mean: floor((2e4·S + n)/(2n)) in
+        # integer arithmetic via the mod-adjust identity
+        bq = n * F.lit(2)
+        r = ((a % bq) + bq) % bq
+        return F.call_function("div", a - r, bq)
+
+    w = v.select(
+        n1,
+        n2,
         (
-            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
-            / (F.col("n1") - 1)
-            / F.col("n1")
+            dec38_to_double_portable(F.col("v1"))
+            / dec38_to_double_portable(F.col("d1"))
         ).alias("a1"),
         (
-            (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2"))
-            / (F.col("n2") - 1)
-            / F.col("n2")
+            dec38_to_double_portable(F.col("v2"))
+            / dec38_to_double_portable(F.col("d2"))
         ).alias("a2"),
+        (
+            dec38_to_double_portable(F.col("num"))
+            / dec38_to_double_portable(F.col("den"))
+        ).alias("diff"),
+        _mean_micro(F.col("am1"), n1).alias("mb_micro"),
+        _mean_micro(F.col("am2"), n2).alias("mm_micro"),
     )
-    return v.select(
-        "n1",
-        "n2",
-        round_portable(F.col("m1"), 6).alias("mean_building"),
-        round_portable(F.col("m2"), 6).alias("mean_machinery"),
+    a1, a2 = F.col("a1"), F.col("a2")
+    return w.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        (F.col("mb_micro").cast("double") / F.lit(1000000.0)).alias(
+            "mean_building"
+        ),
+        (F.col("mm_micro").cast("double") / F.lit(1000000.0)).alias(
+            "mean_machinery"
+        ),
         round_portable(
-            (F.col("m1") - F.col("m2"))
-            / F.sqrt(F.col("a1") + F.col("a2")),
-            6,
+            F.col("diff") / F.sqrt(a1 + a2), 6
         ).alias("t_stat"),
         round_portable(
-            (F.col("a1") + F.col("a2"))
-            * (F.col("a1") + F.col("a2"))
+            (a1 + a2)
+            * (a1 + a2)
             / (
-                F.col("a1") * F.col("a1") / (F.col("n1") - 1)
-                + F.col("a2") * F.col("a2") / (F.col("n2") - 1)
+                a1 * a1 / (n1 - 1).cast("double")
+                + a2 * a2 / (n2 - 1).cast("double")
             ),
             2,
         ).alias("welch_df"),

@@ -130,6 +130,19 @@ def test_sequence_gaps_dense_and_single(spark):
     assert sequence_gaps(single, "id").count() == 0
 
 
+def test_sequence_gaps_null_ids_dropped(spark):
+    """NULL ids carry no sequence position: they must be ignored, not
+    turned into a sentinel summary group whose None min/max blows up
+    the driver-side seam stitching (round-6 advisor finding)."""
+    rows = [(1,), (2,), (None,), (5,), (None,), (6,), (9,)]
+    df = spark.createDataFrame(rows, "id bigint").repartition(4)
+    got = {(r["id"], r["next_id"]) for r in sequence_gaps(df, "id").collect()}
+    assert got == {(2, 5), (6, 9)}
+    # all-null input behaves like empty
+    nulls = spark.createDataFrame([(None,), (None,)], "id bigint")
+    assert sequence_gaps(nulls, "id").count() == 0
+
+
 def test_empty_inputs(spark):
     empty = spark.createDataFrame([], "id bigint, k bigint, v decimal(18,2)")
     assert with_global_rank(empty, F.col("k"), [F.col("k")]).count() == 0

@@ -141,6 +141,61 @@ def test_mean_round6_exact_and_cross_engine(spark):
         assert duck[(s, c)] == want, (s, c, duck[(s, c)], want)
 
 
+DEC38_CASES = [
+    0,
+    1,
+    -1,
+    2**53 - 1,              # below the exact-double line
+    2**53 + 1,              # first value a double cannot hold
+    2**53 + 3,
+    -(2**53 + 3),
+    10**19 + 7,             # the welch q1 magnitude class (~1.35e19)
+    13_500_000_000_000_000_001,
+    -13_500_000_000_000_000_001,
+    10**27 + 11,            # n·Q − S² magnitude class
+    10**37 + 123456789,     # near the DECIMAL(38,0) ceiling
+    -(10**37 + 123456789),
+    2**84,                  # limb boundaries
+    2**84 - 1,
+    2**84 + 1,
+    2**42 - 1,
+    2**42 + 1,
+]
+
+
+def test_dec38_to_double_cross_engine_and_accurate(spark):
+    """The limb-split conversion must be bit-identical across engines
+    (the gate's requirement) and within 1 ulp of the correctly-rounded
+    value (Python's int→float IS correctly rounded)."""
+    from decimal import Decimal
+
+    from air_quality_etl_pipeline_spark.functions.portable_math import (
+        dec38_to_double_portable,
+        sql_dec38_to_double,
+    )
+
+    sdf = spark.createDataFrame(
+        [(str(v), Decimal(v)) for v in DEC38_CASES],
+        "k string, n decimal(38,0)",
+    ).select("k", dec38_to_double_portable(F.col("n")).alias("d"))
+    s = {r["k"]: r["d"] for r in sdf.collect()}
+    values = ", ".join(
+        f"('{v}', CAST('{v}' AS DECIMAL(38,0)))" for v in DEC38_CASES
+    )
+    d = dict(
+        _duck_rows(
+            f"SELECT k, {sql_dec38_to_double('n')} "
+            f"FROM (VALUES {values}) t(k, n)"
+        )
+    )
+    for v in DEC38_CASES:
+        k = str(v)
+        assert s[k].hex() == d[k].hex(), (v, s[k], d[k])
+        want = float(v)  # correctly rounded
+        ulp = math.ulp(want) if want else 5e-324
+        assert abs(s[k] - want) <= ulp, (v, s[k], want)
+
+
 def test_quantize_micro9_cross_engine(spark):
     xs = [0.1234567894, -0.9999999995, 3.0000000004, -2.5e-9, 1.5e-9]
     sdf = spark.createDataFrame(

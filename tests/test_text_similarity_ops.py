@@ -662,6 +662,49 @@ def test_collapse_exact_clones_members_and_reps(spark):
     ]
 
 
+def test_collapse_exact_clones_keys_on_raw_text(spark):
+    """Docs that differ only in case/punctuation normalize to the same
+    ``fingerprint()`` but shingle differently — they must NOT collapse
+    into one clone group, or the cascade would hand them hardcoded 1.0
+    intra-group jaccard where the true per-raw-text score differs
+    (round-6 advisor finding). Only byte-identical texts collapse."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        collapse_exact_clones,
+        jaccard_of_arrays,
+    )
+    from air_quality_etl_pipeline_spark.functions.core import char_shingles
+
+    rows = [
+        (1, "The Quick, Brown Fox!"),
+        (2, "the quick brown fox"),     # normalize-equal, raw-different
+        (3, "the quick brown fox"),     # true byte clone of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    members, reps = collapse_exact_clones(df, "doc_id")
+    m = {r["doc_id"]: r["_rep"] for r in members.collect()}
+    assert m == {1: 1, 2: 2, 3: 2}          # doc 1 stays its own group
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 2]
+    # and the rep-level jaccard between the two groups is the TRUE
+    # raw-text shingle score, not 1.0
+    csh = reps.select(
+        F.col("doc_id").alias("_id"),
+        char_shingles(F.col("text"), 3).alias("_c"),
+    )
+    a = csh.select(F.col("_id").alias("id_a"), F.col("_c").alias("c_a"))
+    b = csh.select(F.col("_id").alias("id_b"), F.col("_c").alias("c_b"))
+    [row] = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard_of_arrays(F.col("c_a"), F.col("c_b")))
+        .collect()
+    )
+    want = _brute_jaccard_scores(
+        [(1, "The Quick, Brown Fox!"), (2, "the quick brown fox")],
+        threshold=0.0,
+    )[(1, 2)]
+    assert abs(row["jaccard"] - want) < 1e-12
+    assert row["jaccard"] < 1.0
+
+
 def test_cascade_pair_expansion_matches_brute_force(spark):
     """Clone-heavy corpus: the cascaded query must produce exactly the
     all-pairs ≥0.8 char-3-gram Jaccard set — intra-clone pairs at 1.0,
