@@ -3,10 +3,14 @@
 Training-data pipelines carry image/audio/video as ``binary`` columns
 with typed metadata alongside. The Spark-side contract implemented here
 is real — schema, Arrow-batched ``mapInPandas`` decode, partition-size
-control — while the codec itself is stubbed: the real decoders (PIL,
-ffmpeg, torchaudio, …) are not in this container, so ``decode_meta``
-ships a clearly-marked deterministic fake and ``decode_image`` raises
-``NotImplementedError`` where a real pixel decode would go.
+control. ``decode_meta`` ships a clearly-marked deterministic fake of a
+container-header parse, while ``decode_image`` is a REAL end-to-end
+pixel decode: pure-Python parsers for the two uncompressed truecolor
+formats a codec-library-free container can honestly support (Netpbm P6
+PPM and 24-bit BMP, including BMP's bottom-up rows / BGR order / 4-byte
+row stride). Compressed formats (JPEG/PNG/video) would swap the parser
+body for a PIL/ffmpeg call — not available here — with every other
+line unchanged.
 
 Why ``mapInPandas``: decode is per-row Python work on bytes — the one
 place a built-in can't express the semantics — and Arrow batching
@@ -24,7 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -116,13 +123,161 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = 7) -> Dat
     return df.select(id_col, "payload").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
 
 
-def decode_image(df: DataFrame):
-    """Pixel decode — NOT IMPLEMENTED in this container (no PIL/ffmpeg).
+#: Output schema of the real pixel decode: one row per image, pixels
+#: as a flat top-down RGB-interleaved tensor (length 3·w·h, 0–255).
+DECODE_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("pixels", ArrayType(LongType(), False), False),
+    ]
+)
 
-    The production version mirrors :func:`decode_meta` but yields
-    ``array<float>`` pixel tensors (or resized thumbnails) per row.
-    """
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this "
-        "container; see decode_meta for the identical mapInPandas plumbing"
+
+def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real encoded image per document — PPM for even ids,
+    uncompressed 24-bit BMP for odd — whose pixel bytes follow the
+    closed form ``pixel_byte[j] = (id·7 + j) mod 256`` over a
+    ``(8 + id mod 9) × (8 + id mod 7)`` canvas.  The formula is what
+    lets the DuckDB oracle recompute the channel sums arithmetically
+    while Spark must earn them through a byte-level header parse,
+    row flip and channel swap (see :func:`decode_image`).  The BMP
+    packer writes the real wire format: bottom-up rows, BGR byte
+    order, rows padded to 4-byte stride — the decoder has to undo all
+    three to recover the tensor.  Arrow-batched ``mapInPandas``;
+    self-contained closure (see :func:`decode_meta`)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def ppm(pix: bytes, w: int, h: int) -> bytes:
+            return b"P6\n%d %d\n255\n" % (w, h) + pix
+
+        def bmp(pix: bytes, w: int, h: int) -> bytes:
+            stride = (w * 3 + 3) // 4 * 4
+            pad = b"\x00" * (stride - w * 3)
+            data = bytearray()
+            for y in range(h - 1, -1, -1):
+                row = pix[y * w * 3 : (y + 1) * w * 3]
+                for x in range(w):
+                    r, g, b = row[x * 3 : x * 3 + 3]
+                    data += bytes((b, g, r))
+                data += pad
+            header = struct.pack(
+                "<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+            )
+            return header + bytes(data)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                pix = bytes(
+                    (doc_id * 7 + j) % 256 for j in range(3 * w * h)
+                )
+                ids.append(doc_id)
+                payloads.append(
+                    ppm(pix, w, h) if doc_id % 2 == 0 else bmp(pix, w, h)
+                )
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel decode over the binary payload column — pure-Python
+    PPM (P6) and uncompressed 24-bit BMP parsers, no codec library
+    (the container has no PIL/ffmpeg; for JPEG/PNG/video swap the
+    parser body for the library call — every other line, the Arrow
+    batching, schema and tensor shape, stays).  Yields one row per
+    image with the flat top-down RGB-interleaved tensor (0–255).
+
+    Scale: identical posture to :func:`decode_meta` — per-row Python
+    on bytes is the one shape built-ins can't express, Arrow amortizes
+    the boundary, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    bounds batch memory when payloads are large.  Self-contained
+    closure (imports inside, no module-level references)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def parse(payload: bytes):
+            if payload[:2] == b"P6":
+                # Netpbm header: ASCII tokens (w, h, maxval) split on
+                # whitespace, '#' comments allowed, one whitespace
+                # byte before the raw top-down RGB data.
+                pos, tokens = 2, []
+                while len(tokens) < 3:
+                    while payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if payload[pos : pos + 1] == b"#":
+                        pos = payload.index(b"\n", pos) + 1
+                        continue
+                    start = pos
+                    while not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    tokens.append(int(payload[start:pos]))
+                pos += 1
+                w, h, maxval = tokens
+                if maxval != 255:
+                    raise ValueError(f"unsupported PPM maxval {maxval}")
+                pix = payload[pos : pos + 3 * w * h]
+                if len(pix) != 3 * w * h:
+                    raise ValueError("truncated PPM payload")
+                return "ppm", w, h, list(pix)
+            if payload[:2] == b"BM":
+                offset = struct.unpack_from("<I", payload, 10)[0]
+                w, h = struct.unpack_from("<ii", payload, 18)
+                bpp = struct.unpack_from("<H", payload, 28)[0]
+                compression = struct.unpack_from("<I", payload, 30)[0]
+                if bpp != 24 or compression != 0:
+                    raise ValueError(f"unsupported BMP variant bpp={bpp}")
+                top_down = h < 0
+                h = abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                out = []
+                for y in range(h):
+                    src_y = y if top_down else h - 1 - y
+                    row = payload[offset + src_y * stride :][: w * 3]
+                    for x in range(w):
+                        b, g, r = row[x * 3 : x * 3 + 3]
+                        out.extend((r, g, b))
+                return "bmp", w, h, out
+            raise ValueError(f"unknown image magic {payload[:2]!r}")
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "fmt": [],
+                "width": [],
+                "height": [],
+                "pixels": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                fmt, w, h, pix = parse(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixels"].append(pix)
+            yield _pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(
+        decode, DECODE_IMAGE_SCHEMA
     )

@@ -10,7 +10,7 @@ definition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import (
@@ -1136,6 +1136,72 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row yields a row per sampled frame index of the stubbed video)."""
     d = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(d), stride=7)
+
+
+@register(
+    "image_decode_channel_stats",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + 3 * p) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + 3 * p + 1) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + 3 * p + 2) % 256)) AS BIGINT) AS sum_b
+    FROM g
+    """,
+)
+def q_image_decode_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image decode: synthesize a real encoded image per
+    document (PPM for even ids, padded bottom-up BGR 24-bit BMP for
+    odd), byte-parse it back with the pure-Python decoders in
+    ``operators/multimodal.py``, and aggregate per-channel pixel sums
+    from the DECODED tensor.  The oracle recomputes the sums from the
+    synthesis closed form ``pixel_byte[j] = (id·7 + j) mod 256`` — so
+    any header-parse, row-flip, channel-swap or stride-padding bug in
+    either codec hash-mismatches.  Replaces the round-6
+    ``NotImplementedError`` stub (no PIL/ffmpeg in the container; the
+    two uncompressed truecolor formats are decodable from first
+    principles).
+
+    Scale: two Arrow-batched ``mapInPandas`` passes (synth, decode) and
+    a per-row JVM array aggregation — no shuffle at all; the channel
+    sums fold over the pixel array with ``zip_with``/``aggregate``
+    inside whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    imgs = multimodal.decode_image(multimodal.synth_image_payload(d))
+    px = F.col("pixels")
+    idx = F.sequence(F.lit(0), F.size(px) - 1)
+
+    def ch_sum(c: int) -> Column:
+        masked = F.zip_with(
+            px,
+            idx,
+            lambda v, i: F.when(i % 3 == F.lit(c), v).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            masked, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    return imgs.select(
+        "doc_id",
+        "fmt",
+        "width",
+        "height",
+        ch_sum(0).alias("sum_r"),
+        ch_sum(1).alias("sum_g"),
+        ch_sum(2).alias("sum_b"),
+    )
 
 
 # ---------------------------------------------------------------------------

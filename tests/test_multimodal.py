@@ -1,0 +1,118 @@
+"""Pixel-decode tests for operators/multimodal.py.
+
+The decoders are pinned against INDEPENDENT test-local encoders (written
+from the format specs, not by importing the operator's synth closure),
+so an encoder/decoder bug pair that round-trips cannot hide: the synth
+path is itself decoded and compared to the closed-form pixel formula,
+and hand-built payloads (including a top-down BMP, which the synth
+never emits) must decode to known tensors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.multimodal import (
+    decode_image,
+    synth_image_payload,
+)
+
+
+def ref_ppm(pix: bytes, w: int, h: int) -> bytes:
+    """Independent P6 packer (with a header comment, which the synth
+    closure never writes — exercises the decoder's comment handling)."""
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + pix
+
+
+def ref_bmp(pix: bytes, w: int, h: int, top_down: bool = False) -> bytes:
+    """Independent 24-bit BMP packer built from the format spec."""
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pix[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - w * 3)
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    hdr_h = -h if top_down else h
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(data), 0, 0, 0, 0
+        )
+        + data
+    )
+
+
+def _decode_payloads(spark, payloads):
+    df = spark.createDataFrame(
+        list(payloads.items()), "doc_id long, payload binary"
+    )
+    return {
+        r["doc_id"]: (r["fmt"], r["width"], r["height"], list(r["pixels"]))
+        for r in decode_image(df).collect()
+    }
+
+
+def test_decode_ppm_and_bmp_known_tensor(spark):
+    # 3x2 image, distinct per-byte values so any reorder is visible
+    w, h = 3, 2
+    pix = bytes(range(10, 10 + 3 * w * h))
+    got = _decode_payloads(
+        spark,
+        {
+            1: ref_ppm(pix, w, h),
+            2: ref_bmp(pix, w, h),               # bottom-up (standard)
+            3: ref_bmp(pix, w, h, top_down=True),  # negative-height form
+        },
+    )
+    want = list(pix)
+    assert got[1] == ("ppm", w, h, want)
+    assert got[2] == ("bmp", w, h, want)
+    assert got[3] == ("bmp", w, h, want)
+
+
+@pytest.mark.parametrize("w", [3, 4, 5, 6])  # stride pads 3,0,1,2 bytes
+def test_decode_bmp_every_stride_padding(spark, w):
+    h = 3
+    pix = bytes((7 * j + 1) % 256 for j in range(3 * w * h))
+    got = _decode_payloads(spark, {1: ref_bmp(pix, w, h)})
+    assert got[1] == ("bmp", w, h, list(pix))
+
+
+def test_synth_decodes_to_closed_form(spark):
+    ids = [0, 1, 2, 3, 17, 252, 1001]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in decode_image(synth_image_payload(df)).collect()
+    }
+    for i in ids:
+        w, h = 8 + i % 9, 8 + i % 7
+        r = out[i]
+        assert r["fmt"] == ("ppm" if i % 2 == 0 else "bmp")
+        assert (r["width"], r["height"]) == (w, h)
+        assert list(r["pixels"]) == [
+            (i * 7 + j) % 256 for j in range(3 * w * h)
+        ]
+
+
+def test_decode_rejects_unknown_and_compressed(spark):
+    from py4j.protocol import Py4JJavaError
+
+    bad = {1: b"\x89PNG\r\n\x1a\nxxxx"}
+    with pytest.raises(Exception) as ei:
+        _decode_payloads(spark, bad)
+    assert isinstance(ei.value, Py4JJavaError) or "magic" in str(ei.value)
+    # 8-bit (palette) BMP must raise, not silently misdecode
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0
+    )
+    with pytest.raises(Exception):
+        _decode_payloads(spark, {1: hdr + b"\x00" * 16})
