@@ -74,6 +74,136 @@ def upsert_replace(
     return source.select(*target.columns).unionByName(survivors)
 
 
+class MergeMultipleMatchesError(ValueError):
+    """A target row matched more than one source row while an
+    update/delete clause applies — the nondeterministic case Delta
+    rejects (``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW_IN_MERGE``,
+    Delta MERGE docs: "can produce unexpected results ... error")."""
+
+
+def merge_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    when_matched: str | None = "update",
+    matched_condition=None,
+    when_not_matched: str | None = "insert",
+    not_matched_condition=None,
+    when_not_matched_by_source: str | None = None,
+    not_matched_by_source_condition=None,
+    check_multiple_matches: bool = True,
+) -> DataFrame:
+    """Delta Lake's full MERGE clause matrix as ONE pure-Spark plan —
+    the general form of :func:`merge_insert_if_absent` (insert-only)
+    and :func:`upsert_replace` (update+insert), written so a
+    Delta-enabled cluster can swap in ``DeltaTable.merge`` behind the
+    same call sites with identical results.
+
+    Semantics per the documented matrix:
+
+    * ``when_matched``: ``"update"`` (``WHEN MATCHED UPDATE SET *`` —
+      the source row wins wholesale), ``"delete"``, or ``None`` (keep
+      the target row). ``matched_condition(t, s)`` optionally gates the
+      clause per row — unmatched-by-condition rows keep the target row,
+      exactly Delta's fall-through.
+    * ``when_not_matched``: ``"insert"`` (``WHEN NOT MATCHED INSERT
+      *``) or ``None`` (drop the source-only row), gated by
+      ``not_matched_condition(s)``.
+    * ``when_not_matched_by_source``: ``"delete"`` or ``None`` (keep),
+      gated by ``not_matched_by_source_condition(t)`` — Delta's ``WHEN
+      NOT MATCHED BY SOURCE`` family (the update variant takes SET
+      expressions, out of scope for the star-schema call sites here).
+    * Key equality is ``=`` (null keys never match either side), the
+      join condition every reference MERGE uses.
+    * ``check_multiple_matches``: when an update/delete clause is
+      active, a target row matching >1 source rows is nondeterministic
+      and Delta errors — so do we, with one bounded aggregate over the
+      source's matched keys (``first()`` of a count, not a data-sized
+      collect). Multiple source rows on an UNMATCHED key are fine and
+      all insert, as in Delta.
+
+    Condition callables receive struct columns (``t``, ``s``) so one
+    expression can reference both sides, e.g.
+    ``lambda t, s: s["updated_at"] > t["updated_at"]``.
+
+    Scale: everything shuffles on the one natural key — the source
+    key-dedup aggregate, the left join (target pass), and the
+    anti-join (insert pass) share the same partitioning, so Spark
+    reuses the exchange across them; the duplicate probe is an
+    aggregate to one scalar on that same key. The cost class is Delta
+    MERGE's own join phase. At 100 TB both sides would be bucketed by
+    the key so the joins run exchange-free.
+    """
+    tcols = list(target.columns)
+    key_list = list(keys)
+    if check_multiple_matches and when_matched in ("update", "delete"):
+        dup = (
+            source.groupBy(*key_list)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .join(target.select(*key_list).distinct(), on=key_list)
+            .agg(F.count(F.lit(1)))
+            .first()[0]
+        )
+        if dup:
+            raise MergeMultipleMatchesError(
+                f"{dup} target key(s) match multiple source rows while a "
+                f"when_matched={when_matched!r} clause is active"
+            )
+    # Target pass: LEFT join against ONE source row per key, so a
+    # matched target row can never fan out — when update/delete is
+    # active the duplicate probe above already guaranteed uniqueness
+    # on matched keys (min(struct) is then exact, not a choice); with
+    # no matched clause only key EXISTENCE matters.
+    t = target.select(
+        *key_list, F.struct(*[F.col(c) for c in tcols]).alias("_t")
+    )
+    s1 = (
+        source.select(
+            *key_list, F.struct(*[F.col(c) for c in tcols]).alias("_s")
+        )
+        .groupBy(*key_list)
+        .agg(F.min("_s").alias("_s"))
+    )
+    j = t.join(s1, on=key_list, how="left")
+    ts, ss = F.col("_t"), F.col("_s")
+    matched = ss.isNotNull()
+
+    def cond(c, *args):
+        return F.lit(True) if c is None else c(*args)
+
+    null_row = F.lit(None).cast(j.schema["_t"].dataType)
+    chooser = F.when(
+        matched & cond(matched_condition, ts, ss),
+        ss if when_matched == "update" else (
+            null_row if when_matched == "delete" else ts
+        ),
+    ).when(matched, ts)
+    if when_not_matched_by_source == "delete":
+        chooser = chooser.when(
+            cond(not_matched_by_source_condition, ts), null_row
+        ).otherwise(ts)
+    else:
+        chooser = chooser.otherwise(ts)
+    kept = (
+        j.select(chooser.alias("_r"))
+        .filter(F.col("_r").isNotNull())
+        .select(*[F.col("_r")[c].alias(c) for c in tcols])
+    )
+    # Insert pass: ALL source rows on unmatched keys (duplicates all
+    # insert, per Delta), straight from the raw source via anti-join.
+    if when_not_matched == "insert":
+        fresh = source.join(
+            target.select(*key_list), on=key_list, how="left_anti"
+        )
+        if not_matched_condition is not None:
+            fresh = fresh.filter(
+                not_matched_condition(F.struct(*[F.col(c) for c in tcols]))
+            )
+        kept = kept.unionByName(fresh.select(*tcols))
+    return kept
+
+
 def table_diff(
     v1: DataFrame,
     v2: DataFrame,

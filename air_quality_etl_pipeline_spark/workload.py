@@ -1189,6 +1189,10 @@ REBUILD_PURE_QUERIES: set[str] = {
     "pq_adc_search",
     "ivf_pq_search",
     "bloom_filter_join",
+    # merge_apply's Delta-parity duplicate-match probe (one scalar
+    # aggregate asserting no target key matches >1 source rows) is
+    # MERGE's own validation work — samples must pay it
+    "merge_full_sync",
 }
 SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 

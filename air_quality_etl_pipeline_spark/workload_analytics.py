@@ -46,7 +46,11 @@ from air_quality_etl_pipeline_spark.functions.portable_math import (
     dec38_to_double_portable,
     sql_dec38_to_double,
 )
-from air_quality_etl_pipeline_spark.plans.merge import table_diff, upsert_replace
+from air_quality_etl_pipeline_spark.plans.merge import (
+    merge_apply,
+    table_diff,
+    upsert_replace,
+)
 from air_quality_etl_pipeline_spark.workload import _dec_sum, _events, _t, register
 from air_quality_etl_pipeline_spark.workload_llm import TOKS
 
@@ -451,6 +455,65 @@ def q_merge_upsert_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
     )
     merged = upsert_replace(tgt, src, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "merge_full_sync",
+    """
+    WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+    src AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT s.* FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      WHERE s.o_orderstatus = 'O'
+      UNION ALL
+      SELECT t.* FROM tgt t JOIN src s ON s.o_orderkey = t.o_orderkey
+      WHERE s.o_orderstatus <> 'O'
+      UNION ALL
+      SELECT t.* FROM tgt t
+      WHERE NOT EXISTS (SELECT 1 FROM src s
+                        WHERE s.o_orderkey = t.o_orderkey)
+        AND t.o_orderstatus <> 'F'
+      UNION ALL
+      SELECT s.* FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM tgt t
+                        WHERE t.o_orderkey = s.o_orderkey))
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's full MERGE clause matrix in one statement — conditional
+    WHEN MATCHED UPDATE (only open orders take the correction), WHEN
+    NOT MATCHED INSERT, and conditional WHEN NOT MATCHED BY SOURCE
+    DELETE (finished orders absent from the feed are retired) — via
+    ``plans/merge.merge_apply``, the pure-Spark formulation pinned
+    test-by-test against Delta's documented semantics in
+    tests/test_merge_matrix.py.  The oracle spells the same matrix as
+    four UNION ALL branches."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    merged = merge_apply(
+        tgt,
+        src,
+        ["o_orderkey"],
+        matched_condition=lambda t, s: s["o_orderstatus"] == "O",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=lambda t: t["o_orderstatus"] == "F",
+    )
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
     )

@@ -1,0 +1,239 @@
+"""Delta MERGE semantics matrix pinned on the pure-Spark fallback.
+
+``delta-spark`` is not importable in this container, so ``plans/
+merge.py`` always executes its pure-Spark formulations. These tests
+enumerate Delta's documented WHEN MATCHED / WHEN NOT MATCHED / WHEN NOT
+MATCHED BY SOURCE clause matrix — conditional and unconditional, plus
+the multiple-source-match error case — against an INDEPENDENT pure-
+Python reference of the documented semantics, so a future Delta-enabled
+environment can swap ``DeltaTable.merge`` behind the same call sites
+and these pins prove drop-in equivalence.
+
+Reference semantics (Delta Lake MERGE docs):
+* matched + clause condition true → update-all (source row wins) or
+  delete; condition false / no clause → target row survives.
+* a matched source row NEVER inserts, even when its matched clause
+  condition is false.
+* not-matched source rows insert iff the insert clause exists and its
+  condition passes; multiple source rows on one unmatched key all
+  insert.
+* not-matched-by-source target rows delete iff that clause exists and
+  its condition passes, else survive.
+* >1 source rows matching one target row with an update/delete clause
+  active is an error (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW).
+* key equality is ``=``: NULL keys never match either side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.plans.merge import (
+    MergeMultipleMatchesError,
+    merge_apply,
+    merge_insert_if_absent,
+    upsert_replace,
+)
+
+SCHEMA = "k long, ver long, val string"
+
+# target: keys 1..4 plus a NULL-key row; source: overlap 3..4 (one
+# newer, one older version), fresh 5..6, its own NULL-key row.
+TARGET = [
+    (1, 1, "t1"),
+    (2, 1, "t2"),
+    (3, 1, "t3"),
+    (4, 5, "t4"),
+    (None, 1, "tnull"),
+]
+SOURCE = [
+    (3, 2, "s3"),   # matched, newer ver
+    (4, 2, "s4"),   # matched, OLDER ver (conditional clauses skip it)
+    (5, 2, "s5"),   # unmatched
+    (6, 2, "s6"),   # unmatched
+    (None, 2, "snull"),  # NULL key: never matches, inserts if clause
+]
+
+
+def ref_merge(
+    target,
+    source,
+    keys_idx,
+    when_matched="update",
+    matched_condition=None,
+    when_not_matched="insert",
+    not_matched_condition=None,
+    when_not_matched_by_source=None,
+    not_matched_by_source_condition=None,
+):
+    """Independent implementation of the documented matrix over row
+    tuples (keys_idx = positions of the key columns)."""
+
+    def key(r):
+        return tuple(r[i] for i in keys_idx)
+
+    def matchable(k):
+        return all(v is not None for v in k)
+
+    src_by_key = {}
+    for r in source:
+        src_by_key.setdefault(key(r), []).append(r)
+    out, matched_keys = [], set()
+    for trow in target:
+        k = key(trow)
+        matches = src_by_key.get(k, []) if matchable(k) else []
+        if matches:
+            matched_keys.add(k)
+            if len(matches) > 1 and when_matched in ("update", "delete"):
+                raise MergeMultipleMatchesError(str(k))
+            srow = matches[0]
+            fires = when_matched in ("update", "delete") and (
+                matched_condition is None or matched_condition(trow, srow)
+            )
+            if fires:
+                if when_matched == "update":
+                    out.append(srow)
+                # delete: drop
+            else:
+                out.append(trow)
+        else:
+            drops = when_not_matched_by_source == "delete" and (
+                not_matched_by_source_condition is None
+                or not_matched_by_source_condition(trow)
+            )
+            if not drops:
+                out.append(trow)
+    for srow in source:
+        k = key(srow)
+        if matchable(k) and k in matched_keys:
+            continue
+        if when_not_matched == "insert" and (
+            not_matched_condition is None or not_matched_condition(srow)
+        ):
+            out.append(srow)
+    return sorted(out, key=str)
+
+
+def run_spark(spark, **kw):
+    t = spark.createDataFrame(TARGET, SCHEMA)
+    s = spark.createDataFrame(SOURCE, SCHEMA)
+    got = merge_apply(t, s, ["k"], **kw).collect()
+    return sorted((tuple(r) for r in got), key=str)
+
+
+NEWER_T = lambda t, s: s["ver"] > t["ver"]          # noqa: E731
+NEWER_PY = lambda tr, sr: sr[1] > tr[1]             # noqa: E731
+VAL_S6_T = lambda s: s["val"] == F.lit("s6")        # noqa: E731
+VAL_S6_PY = lambda sr: sr[2] == "s6"                # noqa: E731
+VER5_T = lambda t: t["ver"] == F.lit(5)             # noqa: E731
+VER5_PY = lambda tr: tr[1] == 5                     # noqa: E731
+
+MATRIX = [
+    # (name, spark kwargs, reference kwargs)
+    ("upsert_all", {}, {}),
+    (
+        "insert_only",
+        dict(when_matched=None),
+        dict(when_matched=None),
+    ),
+    (
+        "update_only_no_insert",
+        dict(when_not_matched=None),
+        dict(when_not_matched=None),
+    ),
+    (
+        "matched_delete",
+        dict(when_matched="delete"),
+        dict(when_matched="delete"),
+    ),
+    (
+        "conditional_update",
+        dict(matched_condition=NEWER_T),
+        dict(matched_condition=NEWER_PY),
+    ),
+    (
+        "conditional_delete",
+        dict(when_matched="delete", matched_condition=NEWER_T),
+        dict(when_matched="delete", matched_condition=NEWER_PY),
+    ),
+    (
+        "conditional_insert",
+        dict(when_matched=None, not_matched_condition=VAL_S6_T),
+        dict(when_matched=None, not_matched_condition=VAL_S6_PY),
+    ),
+    (
+        "sync_delete_by_source",
+        dict(when_not_matched_by_source="delete"),
+        dict(when_not_matched_by_source="delete"),
+    ),
+    (
+        "conditional_delete_by_source",
+        dict(
+            when_not_matched_by_source="delete",
+            not_matched_by_source_condition=VER5_T,
+        ),
+        dict(
+            when_not_matched_by_source="delete",
+            not_matched_by_source_condition=VER5_PY,
+        ),
+    ),
+    (
+        "full_sync",
+        dict(
+            matched_condition=NEWER_T,
+            when_not_matched_by_source="delete",
+        ),
+        dict(
+            matched_condition=NEWER_PY,
+            when_not_matched_by_source="delete",
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,skw,rkw", MATRIX, ids=[m[0] for m in MATRIX])
+def test_merge_matrix_matches_reference(spark, name, skw, rkw):
+    assert run_spark(spark, **skw) == ref_merge(TARGET, SOURCE, [0], **rkw)
+
+
+def test_multiple_source_match_errors_like_delta(spark):
+    t = spark.createDataFrame(TARGET, SCHEMA)
+    dup = spark.createDataFrame(
+        SOURCE + [(3, 9, "s3b")], SCHEMA  # second source row for key 3
+    )
+    with pytest.raises(MergeMultipleMatchesError):
+        merge_apply(t, dup, ["k"])
+    with pytest.raises(MergeMultipleMatchesError):
+        merge_apply(t, dup, ["k"], when_matched="delete")
+    # insert-only: duplicates on a MATCHED key are irrelevant (no
+    # update/delete fires) — Delta does not error here
+    got = merge_apply(t, dup, ["k"], when_matched=None).collect()
+    assert len(got) == len(TARGET) + 3  # 5,6 and source NULL row insert
+    # duplicates on an UNMATCHED key all insert, no error
+    dup_new = spark.createDataFrame(
+        [(7, 1, "a"), (7, 2, "b")], SCHEMA
+    )
+    got = merge_apply(t, dup_new, ["k"]).collect()
+    assert sorted(r["val"] for r in got if r["k"] == 7) == ["a", "b"]
+
+
+def test_specialized_forms_agree_with_general(spark):
+    """merge_insert_if_absent == insert-only matrix cell;
+    upsert_replace == unconditional update+insert cell."""
+    t = spark.createDataFrame(TARGET, SCHEMA)
+    s = spark.createDataFrame(SOURCE, SCHEMA)
+    gen_ins = sorted(
+        (tuple(r) for r in merge_apply(t, s, ["k"], when_matched=None).collect()),
+        key=str,
+    )
+    spec_ins = sorted(
+        (tuple(r) for r in merge_insert_if_absent(t, s, ["k"]).collect()),
+        key=str,
+    )
+    assert gen_ins == spec_ins
+    gen_up = run_spark(spark)
+    spec_up = sorted(
+        (tuple(r) for r in upsert_replace(t, s, ["k"]).collect()), key=str
+    )
+    assert gen_up == spec_up
