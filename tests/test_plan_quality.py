@@ -7,6 +7,7 @@ here is a silent 100×-at-scale problem even when results stay correct.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -517,6 +518,118 @@ def test_pure_query_builds_run_no_jobs(registry_audit):
         if n > 0 and name not in SIDE_EFFECT_QUERIES
     }
     assert not offenders, offenders
+
+
+def _live_scan_counts(plan_str: str) -> dict[str, int]:
+    """Per-table FileScan occurrences that could EXECUTE — skipping
+    subtrees that are printed lineage, not work: cached relations
+    (InMemoryRelation / InMemoryTableScan render their build plan on
+    every reference), already-seen AQE query stages (a reused
+    ShuffleQueryStage N prints its whole subtree at each reuse site),
+    and explicit ReusedExchange/ReusedSubquery nodes.  Depth comes from
+    the tree-drawing prefix (spaces, ``:``, ``+``, ``-``) — codegen
+    ``*(n)`` markers are part of the node name, not indentation."""
+    counts: dict[str, int] = {}
+    skip_depth = None
+    seen_stages: set[tuple[str, str]] = set()
+    for ln in plan_str.splitlines():
+        depth = len(re.match(r"^[ :+\-]*", ln).group(0))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in ln or "InMemoryTableScan" in ln:
+            skip_depth = depth
+            continue
+        sm = re.search(r"(\w+QueryStage) (\d+)", ln)
+        if sm:
+            key = (sm.group(1), sm.group(2))
+            if key in seen_stages:
+                skip_depth = depth
+                continue
+            seen_stages.add(key)
+        if "ReusedExchange" in ln or "ReusedSubquery" in ln:
+            skip_depth = depth
+            continue
+        if "FileScan" in ln:
+            pm = re.search(r"([a-z_0-9]+)\.parquet", ln)
+            counts[pm.group(1) if pm else "unknown"] = (
+                counts.get(pm.group(1) if pm else "unknown", 0) + 1
+            )
+    return counts
+
+
+# Queries whose plan legitimately references one table more than
+# REPEATED_SCAN_LIMIT times. Add a name ONLY with the justification.
+# Two legitimate shapes exist (and one illegitimate one this fence
+# hunts): (a) multi-branch analyses where each scan does DIFFERENT
+# work — per-arm metrics, set-operation cohorts, query-vs-corpus ANN
+# sides; (b) static fan-out of an identical subtree that AQE's
+# exchange reuse collapses to one execution at runtime (the count here
+# is pre-execution and cannot see that). The illegitimate shape is the
+# round-6 MMR class — an iteratively-grown lazy plan re-EXECUTING a
+# data-sized subtree per reference — which shows up here as a count
+# that grows with the iteration/branch count on a table whose scan is
+# expensive. Anything new above the limit: measure lazy vs
+# localCheckpoint before allowlisting (scripts in SCALE.md §audits).
+REPEATED_SCAN_ALLOWLIST: dict[str, str] = {
+    "kl_corpus_divergence": "5 branches: two corpus-arm token counts + vocab union + smoothing totals, each a different aggregate",
+    "hybrid_rrf_search": "5: BM25 arm + embedding arm + doc-length stats, different columns each",
+    "class_separability": "5: per-class centroid/scatter branches over embeddings",
+    "set_ops_cohorts": "6: INTERSECT/EXCEPT cohort pairs, each branch a different year filter",
+    "semantic_dedup": "6: centroid build + assignment + intra-cluster pair sides",
+    "ivf_pq_search": "6: codebook/coarse/fine stages each touch embeddings once",
+    "matryoshka_recall": "6: full-dim vs truncated-dim retrieval arms + ground truth",
+    "association_rules": "6: basket pairs + per-item supports + totals over lineitem",
+    "trigram_backoff_score": "7: trigram/bigram/unigram model tables + score pass",
+    "ann_sign_lsh_topk": "8: query side + corpus side per band family; identical sides runtime-reuse",
+    "kmeans_parallel_init": "8: k-means|| rounds (fixed, small k) each re-reference embeddings; candidate set is checkpointed, scans are the narrow vector column",
+    "ann_recall_at_k": "8: approximate arm + exact-baseline arm + recall join",
+    "sketch_kmv_jaccard": "12: per-sketch-pair branches (KMV build per arm x pairs)",
+    "retrieval_mrr_ndcg": "12: per-metric @k branches over the ranked hits",
+    "split_leakage_audit": "72 static: csp (clusters x splits) referenced 3x atop cluster lineage; measured flat — lazy 2.2 s vs csp-checkpointed 1.6-1.9 s at sf0.1 (runtime exchange reuse collapses the fan-out), and csp is corpus-sized so a checkpoint costs more than it saves at scale",
+}
+
+#: A table referenced more often than this in one plan needs a
+#: justified allowlist entry.
+REPEATED_SCAN_LIMIT = 4
+
+
+def test_no_unjustified_repeated_scans(registry_plans):
+    # permanent fence for the round-6 MMR bug class (lazy iterative
+    # plans re-executing a data-sized subtree per reference): any
+    # registered query whose plan references one parquet table more
+    # than REPEATED_SCAN_LIMIT times — after discounting cached-plan
+    # lineage, reused AQE stages and ReusedExchange subtrees — must
+    # carry a justification above.
+    offenders = {}
+    for name, plan in registry_plans.items():
+        counts = _live_scan_counts(plan)
+        worst = max(counts.values(), default=0)
+        if worst > REPEATED_SCAN_LIMIT and name not in REPEATED_SCAN_ALLOWLIST:
+            offenders[name] = counts
+    assert not offenders, offenders
+
+
+def test_repeated_scan_fence_not_vacuous(spark):
+    # canary: the counter must SEE a genuine repeated scan (self-join
+    # fan-out of the same table five times, nothing cached)...
+    from air_quality_etl_pipeline_spark.workload import _t
+
+    d = _t(spark, SF, "nation").select("n_nationkey")
+    j = d
+    for _ in range(5):
+        j = j.unionByName(d)
+    counts = _live_scan_counts(_executed_plan_str(j))
+    assert max(counts.values()) >= 5, counts
+    # ...and must NOT count cached lineage: the same shape persisted
+    # collapses to zero live file scans at the reference sites
+    p = d.persist()
+    p.count()
+    j2 = p.unionByName(p).unionByName(p)
+    counts2 = _live_scan_counts(_executed_plan_str(j2))
+    assert counts2.get("nation", 0) == 0, counts2
+    p.unpersist()
 
 
 def test_no_row_at_a_time_python_eval_anywhere(registry_plans):
