@@ -1196,6 +1196,43 @@ REBUILD_PURE_QUERIES: set[str] = {
 }
 SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 
+#: Queries whose physical plan carries a Window ON a single-partition
+#: exchange over a relation that is provably BOUNDED (a fixed dimension
+#: or an aggregate at a grain that does NOT scale with the data). Add a
+#: name ONLY with the boundedness argument; "it's an aggregate" is not
+#: enough — customer/part/document grains scale with data and belong in
+#: operators/order_stats.py instead. Enforced registry-wide by
+#: tests/test_plan_quality.py; bench.py silences exactly these queries'
+#: (known, justified) WindowExec single-partition warnings so a NEW
+#: offender's warning stays visible in the bench tail.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    "argmax_with_ties": "market-segment aggregate (5 rows; WindowGroupLimit also pre-bounds per partition)",
+    "compaction_bin_packing": "file-manifest grain (month x priority, calendar-bounded ~420 rows/era)",
+    "auc_rank_sum": "distinct rounded-score relation (bounded score domain, documented in its docstring)",
+    "dim_date": "calendar-day dimension (~2.5k rows/decade, independent of fact volume)",
+    "display_labels": "region x nation aggregate (25 rows)",
+    "distinct_to_date": "month-grain aggregate (~84 rows/TPC-H era)",
+    "group_rank": "nation-grain aggregate (25 rows)",
+    "largest_remainder_alloc": "event-type aggregate (~5 rows)",
+    "mom_change": "month-grain aggregate",
+    "moving_avg_7d": "day-grain aggregate (calendar-bounded)",
+    "order_backlog_daily": "day-grain running backlog (calendar-bounded)",
+    "share_of_total": "nation-grain aggregate (25 rows)",
+    "sql_keyset_pagination": "rn reconstruction window over the LIMIT-20 page",
+    "skyline_pareto_parts": "distinct-price max-size relation (generator-bounded currency domain, 1000 values at sf0.01 and sf0.1 alike)",
+    "cusum_changepoint": "day-grain aggregate (calendar-bounded)",
+    "rolling_hll_distinct_7d": "day-grain HLL sketch relation (calendar-bounded; one 2.5kB register set per day)",
+    "yoy_change": "month-grain aggregate",
+    # top-k rank windows that Spark bounds with WindowGroupLimit /
+    # TakeOrderedAndProject before the final single-partition pass
+    # (verified in the round-6 verdict's plan audit): the WindowExec
+    # warning fires but the window input is <= k rows per upstream
+    # partition, never the data
+    "hybrid_rrf_search": "rank<=20 / fused<=10 top-k windows, WindowGroupLimit-bounded",
+    "boilerplate_gram_coverage": "vocabulary top-20 window, TakeOrderedAndProject-bounded",
+    "sketch_cm_heavy_hitters": "top-k candidate rank window, WindowGroupLimit-bounded",
+}
+
 #: Queries REGISTERED WITHOUT a DuckDB oracle, by design — the single
 #: definition site for the rows-only contract (round-4 verdict #7):
 #: ``__spark_entry__.oracle_sql()`` omits exactly these names, and

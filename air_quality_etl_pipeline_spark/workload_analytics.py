@@ -42,6 +42,7 @@ from air_quality_etl_pipeline_spark.functions.core import (
     round_portable,
     token_array,
 )
+from air_quality_etl_pipeline_spark.operators.buckets import aqi_category
 from air_quality_etl_pipeline_spark.functions.portable_math import (
     dec38_to_double_portable,
     sql_dec38_to_double,
@@ -5198,4 +5199,94 @@ def q_design_value_4th_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("fourth_max"), 6).alias("fourth_max"),
         round_portable(F.col("dv3"), 6).alias("design_value"),
         "n_years",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EPA annual summary: days in each AQI category per CBSA-year (cube)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aqi_category_days",
+    """
+    WITH daily AS (
+      SELECT user_id % 10 AS cbsa,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             max(value) AS day_aqi
+      FROM events GROUP BY 1, 2),
+    lab AS (
+      SELECT cbsa, year(d) AS yr,
+             CASE WHEN day_aqi <= 50 THEN 'Good'
+                  WHEN day_aqi <= 100 THEN 'Moderate'
+                  WHEN day_aqi <= 150 THEN 'Unhealthy for Sensitive Groups'
+                  WHEN day_aqi <= 200 THEN 'Unhealthy'
+                  WHEN day_aqi <= 300 THEN 'Very Unhealthy'
+                  ELSE 'Hazardous' END AS cat,
+             day_aqi
+      FROM daily)
+    SELECT cbsa, CAST(yr AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN cat = 'Good' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(sum(CASE WHEN cat = 'Moderate' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moderate,
+           CAST(sum(CASE WHEN cat = 'Unhealthy for Sensitive Groups'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_usg,
+           CAST(sum(CASE WHEN cat = 'Unhealthy' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unhealthy,
+           CAST(sum(CASE WHEN cat = 'Very Unhealthy' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_very_unhealthy,
+           CAST(sum(CASE WHEN cat = 'Hazardous' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hazardous,
+           floor(max(day_aqi) * 1000000.0 + 0.5) / 1000000.0 AS max_aqi
+    FROM lab GROUP BY CUBE (cbsa, yr)
+    """,
+)
+def q_aqi_category_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EPA annual air-quality summary table — "number of days in
+    each AQI category" per CBSA-year (the report the reference's
+    dashboards approximate; EPA publishes it as the Annual Summary
+    "AQI by CBSA" file): per geography and year, the day-count in each
+    of the six AQI categories (the reference's X7 bucket chain,
+    ``operators/buckets.aqi_category``) plus total days and the annual
+    max AQI, as a CUBE so per-CBSA all-years, per-year all-CBSA and
+    grand-total rows come from the same single aggregation.  The
+    daily AQI is the max across the day's measurements (EPA's daily
+    AQI = max over pollutant sub-indices); ``user_id % 10`` stands in
+    for the CBSA code of the reporting site.
+
+    Scale: one shuffle to the (cbsa, day) grain — calendar x geography
+    bounded — then the cube aggregates that bounded relation; category
+    day-counts are conditional sums riding the same pass (A5's
+    filtered-count pattern), so the fact stream is read once."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        (F.col("user_id") % 10).alias("cbsa"),
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.max("value").alias("day_aqi"))
+    cat = aqi_category(F.col("day_aqi"))
+    labeled = daily.select(
+        "cbsa",
+        F.year("d").cast("long").alias("yr"),
+        cat.alias("cat"),
+        "day_aqi",
+    )
+
+    def n_cat(label: str, out: str) -> Column:
+        return (
+            F.sum(F.when(F.col("cat") == label, 1).otherwise(0))
+            .cast("long")
+            .alias(out)
+        )
+
+    return labeled.cube("cbsa", "yr").agg(
+        F.count("*").cast("long").alias("n_days"),
+        n_cat("Good", "n_good"),
+        n_cat("Moderate", "n_moderate"),
+        n_cat("Unhealthy for Sensitive Groups", "n_usg"),
+        n_cat("Unhealthy", "n_unhealthy"),
+        n_cat("Very Unhealthy", "n_very_unhealthy"),
+        n_cat("Hazardous", "n_hazardous"),
+        round_portable(F.max("day_aqi"), 6).alias("max_aqi"),
     )

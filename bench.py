@@ -80,12 +80,31 @@ HEADLINE = [
 ]
 
 
+def _set_windowexec_level(spark, level_name: str) -> None:
+    """Toggle the log level of WindowExec's logger (log4j2). The
+    allowlisted bounded-grain windows each warn "No Partition Defined"
+    on every sample — 17 known-justified warnings that bury a NEW
+    single-partition regression's warning in the bench tail. Silencing
+    the logger ONLY while an allowlisted query runs keeps an
+    unexpected offender's warning visible (and the plan fence in
+    tests/test_plan_quality.py remains the mechanical catch)."""
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.toLevel(level_name),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from air_quality_etl_pipeline_spark.session import get_spark
-    from air_quality_etl_pipeline_spark.workload import QUERIES, prepared
+    from air_quality_etl_pipeline_spark.workload import (
+        GLOBAL_WINDOW_ALLOWLIST,
+        QUERIES,
+        prepared,
+    )
 
     spark = get_spark(app_name="bench")
     # Warm up JVM JIT + whole-stage codegen (Janino class compilation is
@@ -95,7 +114,14 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for warm_name in HEADLINE:
         if warm_name in QUERIES:
-            QUERIES[warm_name][0](spark, warm_dir).count()
+            silenced = warm_name in GLOBAL_WINDOW_ALLOWLIST
+            if silenced:
+                _set_windowexec_level(spark, "ERROR")
+            try:
+                QUERIES[warm_name][0](spark, warm_dir).count()
+            finally:
+                if silenced:
+                    _set_windowexec_level(spark, "WARN")
 
     names = [n for n in HEADLINE if n in QUERIES]
     missing = [n for n in HEADLINE if n not in QUERIES]
@@ -110,11 +136,18 @@ def main() -> None:
     # squeezed out by the min.
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            prepared(spark, sf_dir, name).count()
-            best = min(best, time.perf_counter() - t0)
+        silenced = name in GLOBAL_WINDOW_ALLOWLIST
+        if silenced:
+            _set_windowexec_level(spark, "ERROR")
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                prepared(spark, sf_dir, name).count()
+                best = min(best, time.perf_counter() - t0)
+        finally:
+            if silenced:
+                _set_windowexec_level(spark, "WARN")
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

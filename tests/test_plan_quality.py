@@ -367,31 +367,13 @@ def test_trigram_backoff_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-# Queries whose physical plan carries a Window ON a single-partition
-# exchange over a relation that is provably BOUNDED (a fixed dimension
-# or an aggregate at a grain that does NOT scale with the data). Add a
-# name ONLY with the boundedness argument; "it's an aggregate" is not
-# enough — customer/part/document grains scale with data and belong in
-# operators/order_stats.py instead.
-GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
-    "argmax_with_ties": "market-segment aggregate (5 rows; WindowGroupLimit also pre-bounds per partition)",
-    "compaction_bin_packing": "file-manifest grain (month x priority, calendar-bounded ~420 rows/era)",
-    "auc_rank_sum": "distinct rounded-score relation (bounded score domain, documented in its docstring)",
-    "dim_date": "calendar-day dimension (~2.5k rows/decade, independent of fact volume)",
-    "display_labels": "region x nation aggregate (25 rows)",
-    "distinct_to_date": "month-grain aggregate (~84 rows/TPC-H era)",
-    "group_rank": "nation-grain aggregate (25 rows)",
-    "largest_remainder_alloc": "event-type aggregate (~5 rows)",
-    "mom_change": "month-grain aggregate",
-    "moving_avg_7d": "day-grain aggregate (calendar-bounded)",
-    "order_backlog_daily": "day-grain running backlog (calendar-bounded)",
-    "share_of_total": "nation-grain aggregate (25 rows)",
-    "sql_keyset_pagination": "rn reconstruction window over the LIMIT-20 page",
-    "skyline_pareto_parts": "distinct-price max-size relation (generator-bounded currency domain, 1000 values at sf0.01 and sf0.1 alike)",
-    "cusum_changepoint": "day-grain aggregate (calendar-bounded)",
-    "rolling_hll_distinct_7d": "day-grain HLL sketch relation (calendar-bounded; one 2.5kB register set per day)",
-    "yoy_change": "month-grain aggregate",
-}
+# The single-partition-window allowlist lives in workload.py (one
+# canonical site: these fences enforce it, bench.py silences exactly
+# these queries' known-bounded WindowExec warnings so a NEW offender's
+# warning stays visible in the bench tail).
+from air_quality_etl_pipeline_spark.workload import (  # noqa: E402
+    GLOBAL_WINDOW_ALLOWLIST,
+)
 
 
 def _executed_plan_str(df) -> str:
