@@ -91,6 +91,8 @@ def merge_apply(
     not_matched_condition=None,
     when_not_matched_by_source: str | None = None,
     not_matched_by_source_condition=None,
+    matched_set: dict | None = None,
+    not_matched_by_source_set: dict | None = None,
     check_multiple_matches: bool = True,
 ) -> DataFrame:
     """Delta Lake's full MERGE clause matrix as ONE pure-Spark plan —
@@ -102,17 +104,19 @@ def merge_apply(
     Semantics per the documented matrix:
 
     * ``when_matched``: ``"update"`` (``WHEN MATCHED UPDATE SET *`` —
-      the source row wins wholesale), ``"delete"``, or ``None`` (keep
-      the target row). ``matched_condition(t, s)`` optionally gates the
-      clause per row — unmatched-by-condition rows keep the target row,
-      exactly Delta's fall-through.
+      the source row wins wholesale; pass ``matched_set`` for Delta's
+      explicit-``SET`` form, ``{col: lambda t, s: expr}``, where
+      UNLISTED columns keep their TARGET values), ``"delete"``, or
+      ``None`` (keep the target row). ``matched_condition(t, s)``
+      optionally gates the clause per row — unmatched-by-condition rows
+      keep the target row, exactly Delta's fall-through.
     * ``when_not_matched``: ``"insert"`` (``WHEN NOT MATCHED INSERT
       *``) or ``None`` (drop the source-only row), gated by
       ``not_matched_condition(s)``.
-    * ``when_not_matched_by_source``: ``"delete"`` or ``None`` (keep),
-      gated by ``not_matched_by_source_condition(t)`` — Delta's ``WHEN
-      NOT MATCHED BY SOURCE`` family (the update variant takes SET
-      expressions, out of scope for the star-schema call sites here).
+    * ``when_not_matched_by_source``: ``"delete"``, ``"update"`` (takes
+      ``not_matched_by_source_set`` — ``{col: lambda t: expr}``, only
+      target columns visible, per Delta), or ``None`` (keep), gated by
+      ``not_matched_by_source_condition(t)``.
     * Key equality is ``=`` (null keys never match either side), the
       join condition every reference MERGE uses.
     * ``check_multiple_matches``: when an update/delete clause is
@@ -172,16 +176,52 @@ def merge_apply(
     def cond(c, *args):
         return F.lit(True) if c is None else c(*args)
 
+    field_types = {
+        f.name: f.dataType for f in j.schema["_t"].dataType.fields
+    }
+
+    def with_sets(base, sets, *cond_args):
+        # Delta's explicit UPDATE SET form: listed columns take their
+        # expression (cast to the target column's type, as Delta's
+        # schema enforcement does), unlisted columns keep the base
+        # (target) row's value
+        return F.struct(
+            *[
+                (
+                    sets[c](*cond_args).cast(field_types[c]).alias(c)
+                    if c in sets
+                    else base[c].alias(c)
+                )
+                for c in tcols
+            ]
+        )
+
     null_row = F.lit(None).cast(j.schema["_t"].dataType)
+    if when_matched == "update":
+        matched_value = (
+            ss if matched_set is None else with_sets(ts, matched_set, ts, ss)
+        )
+    elif when_matched == "delete":
+        matched_value = null_row
+    else:
+        matched_value = ts
     chooser = F.when(
-        matched & cond(matched_condition, ts, ss),
-        ss if when_matched == "update" else (
-            null_row if when_matched == "delete" else ts
-        ),
+        matched & cond(matched_condition, ts, ss), matched_value
     ).when(matched, ts)
     if when_not_matched_by_source == "delete":
         chooser = chooser.when(
             cond(not_matched_by_source_condition, ts), null_row
+        ).otherwise(ts)
+    elif when_not_matched_by_source == "update":
+        if not_matched_by_source_set is None:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "not_matched_by_source_set (Delta's UPDATE SET form; "
+                "there is no source row for SET *)"
+            )
+        chooser = chooser.when(
+            cond(not_matched_by_source_condition, ts),
+            with_sets(ts, not_matched_by_source_set, ts),
         ).otherwise(ts)
     else:
         chooser = chooser.otherwise(ts)

@@ -66,15 +66,24 @@ def ref_merge(
     not_matched_condition=None,
     when_not_matched_by_source=None,
     not_matched_by_source_condition=None,
+    matched_set=None,
+    not_matched_by_source_set=None,
 ):
     """Independent implementation of the documented matrix over row
-    tuples (keys_idx = positions of the key columns)."""
+    tuples (keys_idx = positions of the key columns; set maps are
+    ``{col_index: fn(rows...) -> value}``, unlisted columns keep the
+    target row's value)."""
 
     def key(r):
         return tuple(r[i] for i in keys_idx)
 
     def matchable(k):
         return all(v is not None for v in k)
+
+    def apply_sets(trow, sets, *args):
+        return tuple(
+            sets[i](*args) if i in sets else v for i, v in enumerate(trow)
+        )
 
     src_by_key = {}
     for r in source:
@@ -93,16 +102,24 @@ def ref_merge(
             )
             if fires:
                 if when_matched == "update":
-                    out.append(srow)
+                    out.append(
+                        srow
+                        if matched_set is None
+                        else apply_sets(trow, matched_set, trow, srow)
+                    )
                 # delete: drop
             else:
                 out.append(trow)
         else:
-            drops = when_not_matched_by_source == "delete" and (
+            fires = when_not_matched_by_source in ("delete", "update") and (
                 not_matched_by_source_condition is None
                 or not_matched_by_source_condition(trow)
             )
-            if not drops:
+            if fires and when_not_matched_by_source == "update":
+                out.append(
+                    apply_sets(trow, not_matched_by_source_set, trow)
+                )
+            elif not fires:
                 out.append(trow)
     for srow in source:
         k = key(srow)
@@ -189,6 +206,44 @@ MATRIX = [
             when_not_matched_by_source="delete",
         ),
     ),
+    (
+        # explicit UPDATE SET: take the source version, keep target val
+        "matched_update_set",
+        dict(matched_set={"ver": lambda t, s: s["ver"]}),
+        dict(matched_set={1: lambda tr, sr: sr[1]}),
+    ),
+    (
+        # NOT MATCHED BY SOURCE UPDATE SET: tombstone the val column
+        "nmbs_update_set",
+        dict(
+            when_not_matched_by_source="update",
+            not_matched_by_source_set={
+                "val": lambda t: F.lit("stale"),
+                "ver": lambda t: t["ver"] + 100,
+            },
+        ),
+        dict(
+            when_not_matched_by_source="update",
+            not_matched_by_source_set={
+                2: lambda tr: "stale",
+                1: lambda tr: tr[1] + 100,
+            },
+        ),
+    ),
+    (
+        # conditional NMBS update: only ver=5 rows get tombstoned
+        "nmbs_update_set_conditional",
+        dict(
+            when_not_matched_by_source="update",
+            not_matched_by_source_condition=VER5_T,
+            not_matched_by_source_set={"val": lambda t: F.lit("stale")},
+        ),
+        dict(
+            when_not_matched_by_source="update",
+            not_matched_by_source_condition=VER5_PY,
+            not_matched_by_source_set={2: lambda tr: "stale"},
+        ),
+    ),
 ]
 
 
@@ -237,3 +292,76 @@ def test_specialized_forms_agree_with_general(spark):
         (tuple(r) for r in upsert_replace(t, s, ["k"]).collect()), key=str
     )
     assert gen_up == spec_up
+
+
+# ---------------------------------------------------------------------------
+# Property: random tables x random clause combination == reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.one_of(st.none(), st.integers(0, 6)),   # key (small domain → collisions)
+    st.integers(0, 9),                          # ver
+    st.sampled_from(["a", "b", "c"]),           # val
+)
+_clauses = st.fixed_dictionaries(
+    {
+        "when_matched": st.sampled_from(["update", "delete", None]),
+        "cond_matched": st.booleans(),
+        "when_not_matched": st.sampled_from(["insert", None]),
+        "cond_insert": st.booleans(),
+        "when_nmbs": st.sampled_from(["delete", "update", None]),
+        "cond_nmbs": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    target=st.lists(_row, max_size=8),
+    source=st.lists(_row, max_size=8),
+    clauses=_clauses,
+)
+def test_merge_property_matches_reference(spark, target, source, clauses):
+    skw = dict(
+        when_matched=clauses["when_matched"],
+        when_not_matched=clauses["when_not_matched"],
+        when_not_matched_by_source=clauses["when_nmbs"],
+    )
+    rkw = dict(skw)
+    if clauses["cond_matched"]:
+        skw["matched_condition"] = NEWER_T
+        rkw["matched_condition"] = NEWER_PY
+    if clauses["cond_insert"]:
+        skw["not_matched_condition"] = lambda s: s["ver"] >= 5
+        rkw["not_matched_condition"] = lambda sr: sr[1] >= 5
+    if clauses["cond_nmbs"]:
+        skw["not_matched_by_source_condition"] = lambda t: t["ver"] < 5
+        rkw["not_matched_by_source_condition"] = lambda tr: tr[1] < 5
+    if clauses["when_nmbs"] == "update":
+        skw["not_matched_by_source_set"] = {"val": lambda t: F.lit("x")}
+        rkw["not_matched_by_source_set"] = {2: lambda tr: "x"}
+
+    t = spark.createDataFrame(target, SCHEMA) if target else (
+        spark.createDataFrame([], SCHEMA)
+    )
+    s = spark.createDataFrame(source, SCHEMA) if source else (
+        spark.createDataFrame([], SCHEMA)
+    )
+    try:
+        want = ref_merge(target, source, [0], **rkw)
+    except MergeMultipleMatchesError:
+        with pytest.raises(MergeMultipleMatchesError):
+            merge_apply(t, s, ["k"], **skw)
+        return
+    got = sorted(
+        (tuple(r) for r in merge_apply(t, s, ["k"], **skw).collect()),
+        key=str,
+    )
+    assert got == want

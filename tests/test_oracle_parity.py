@@ -22,6 +22,7 @@ is green at sf0.1 (257 OK + 1 rows-only).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -38,9 +39,12 @@ TABLES = [
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the shape
+            # scripts/stress_sf1.py generates); DuckDB needs the glob
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
