@@ -89,8 +89,12 @@ def _generate(spark) -> None:
         .agg(F.max("o_orderkey"))
         .first()[0]
     )
-    rep("orders", {"o_orderkey": omax})
-    rep("lineitem", {"l_orderkey": omax})
+    # step is max+1: base keys span [0, omax] INCLUSIVE, so an omax
+    # step makes replica i's key omax collide with replica i+1's key 0
+    # (9 duplicate orderkeys — caught by merge_full_sync's Delta-parity
+    # multiple-match probe in the round-7 sf1 oracle sweep)
+    rep("orders", {"o_orderkey": omax + 1})
+    rep("lineitem", {"l_orderkey": omax + 1})
     rep("events", {"event_id": 10_000_000})
     rep("documents", {"doc_id": 1_000_000})
     rep("embeddings", {"vec_id": 1_000_000})
