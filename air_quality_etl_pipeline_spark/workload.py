@@ -142,7 +142,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dec_sum(col, alias: str, scale: int = 2):
-    """Order-independent sum: decimal accumulate, double at the end."""
+    """Order-independent sum: decimal accumulate, double at the end.
+
+    Cross-engine exactness bound: DuckDB double-rounds decimal→double
+    once the SCALED integer exceeds 2^53 (portable_math.py), i.e. sums
+    beyond ~9e13 currency units — four orders above anything the gate's
+    sf0.01/sf0.1/sf1 runs produce. Were the gate ever run at a scale
+    crossing it, route through
+    ``portable_math.dec38_to_double_portable`` / ``sql_dec38_to_double``
+    (the welch_t_test moments already do)."""
     return (
         F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
     )

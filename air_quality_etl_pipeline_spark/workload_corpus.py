@@ -2133,3 +2133,121 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return found.groupBy(band.alias("band")).agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram LLR)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = ("src1", "src2", "src3")
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             source IN ('src1', 'src2', 'src3') AS is_t,
+             (('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT
+              % {_DSIR_BUCKETS}) AS b
+      FROM (SELECT doc_id, source, unnest({LTOKS}) AS tok
+            FROM documents)),
+    bm AS (
+      SELECT b,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT)
+               AS nr
+      FROM toks GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS n_t_total,
+             CAST(sum(nr) AS BIGINT) AS n_r_total
+      FROM bm),
+    lam AS (
+      SELECT b,
+             {sql_quantize_micro9(sql_ln_ratio(
+                 f"((bm.nt + 1) * (tot.n_r_total + {_DSIR_BUCKETS}))",
+                 f"((bm.nr + 1) * (tot.n_t_total + {_DSIR_BUCKETS}))"))}
+               AS lam
+      FROM bm, tot),
+    doc AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(l.lam) AS BIGINT) AS weight_micro
+      FROM toks t JOIN lam l USING (b)
+      WHERE NOT t.is_t
+      GROUP BY 1)
+    SELECT doc_id, n_tokens, weight_micro
+    FROM doc ORDER BY weight_micro DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every RAW-pool document by the log-likelihood
+    ratio of a hashed-n-gram bag model between a TARGET domain and the
+    raw pool, then take the top of the raw pool — the modern
+    pretraining recipe for tilting a web crawl toward a quality domain
+    without training a classifier. Here sources src1-3 stand in for the
+    target domain, hashed lowercase unigrams (md5 mod 4096) for DSIR's
+    hashed n-gram features, and selection is the deterministic top-20
+    by weight (DSIR's Gumbel-noise resampling variant would add a
+    per-doc random key; the ranking weight is identical).
+
+    Bit-portability: per-bucket LLR terms ``ln((n_t(b)+1)(N_r+B)) −
+    ln((n_r(b)+1)(N_t+B))`` ride ``ln_ratio_portable`` (exact-int
+    arguments, correctly-rounded double ops in fixed order) and
+    quantize to int64 micro-units, so each document's weight is an
+    EXACT integer sum — order-independent across partitions and
+    engines. Argument bound: ``(n(b)+1)·(N+B) < 2^63`` holds to ~3e9
+    tokens per arm; shard the counts (or drop to per-bucket doubles)
+    beyond.
+
+    Scale: the bucket model is ≤ 4096 rows — one aggregation over the
+    token stream, then a BROADCAST join back onto it; the per-doc sum
+    shuffles once on doc_id; top-20 is TakeOrderedAndProject (no global
+    sort). The token stream is never shuffled with its text."""
+    d = _t(spark, sf_dir, "documents")
+    is_t = F.col("source").isin(*_DSIR_TARGET)
+    toks = d.select(
+        "doc_id",
+        is_t.alias("is_t"),
+        F.explode(token_array(F.col("text"))).alias("_raw"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (md5_long(F.lower(F.col("_raw")), salt="dsir") % _DSIR_BUCKETS).alias(
+            "b"
+        ),
+    )
+    bm = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("nr"),
+    )
+    tot = bm.agg(
+        F.sum("nt").alias("n_t_total"), F.sum("nr").alias("n_r_total")
+    )
+    lam = bm.crossJoin(F.broadcast(tot)).select(
+        "b",
+        quantize_micro9(
+            ln_ratio_portable(
+                (F.col("nt") + 1)
+                * (F.col("n_r_total") + F.lit(_DSIR_BUCKETS)),
+                (F.col("nr") + 1)
+                * (F.col("n_t_total") + F.lit(_DSIR_BUCKETS)),
+            )
+        ).alias("lam"),
+    )
+    doc = (
+        toks.filter(~F.col("is_t"))
+        .join(F.broadcast(lam), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("lam").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+    return doc.orderBy(
+        F.desc("weight_micro"), F.asc("doc_id")
+    ).limit(20)
