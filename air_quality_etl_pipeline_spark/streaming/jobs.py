@@ -22,6 +22,7 @@ Design notes for scale:
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,11 +41,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.7e18-scale values past double's 2^53)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     resolved = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(resolved)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # two physical shapes: the driver testdata is ONE FILE named
+    # events.parquet (a file can't be a stream basePath, so glob-filter
+    # it inside sf_dir), while Spark-written tables are a DIRECTORY of
+    # part files (where the same glob filter matches nothing and the
+    # stream silently reads ZERO rows — caught by the round-7 sf1
+    # oracle sweep, every streaming query empty).
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(resolved).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(resolved)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = {f.name: f.dataType.simpleString() for f in resolved}["ts"]
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -3554,7 +3554,7 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (SELECT user_id, ts,
                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS UNBOUNDED PRECEDING) AS sid
+                      RANGE UNBOUNDED PRECEDING) AS sid
              FROM marked),
     per_sess AS (SELECT user_id, sid,
                         strftime(date_trunc('day', min(ts)), '%Y-%m-%d')
@@ -3593,10 +3593,16 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("new_sess"),
     )
+    # RANGE frame, not ROWS: a ROWS running sum splits a duplicate-ts
+    # peer group across two sids whenever the boundary row isn't first
+    # among its peers (arbitrary tie order on both engines) — the
+    # round-7 sf1 sweep caught the session variant of this. RANGE gives
+    # every peer the group's full sum, matching session_window's
+    # same-instant-same-session semantics deterministically.
     sess = marked.withColumn(
         "sid",
         F.sum("new_sess").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     per_sess = sess.groupBy("user_id", "sid").agg(
@@ -3629,7 +3635,7 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (SELECT user_id, ts,
                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                      ROWS UNBOUNDED PRECEDING) AS sid
+                      RANGE UNBOUNDED PRECEDING) AS sid
              FROM marked),
     ivals AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e
               FROM sess GROUP BY 1, 2),
@@ -3677,10 +3683,16 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("new_sess"),
     )
+    # RANGE frame, not ROWS: a ROWS running sum splits a duplicate-ts
+    # peer group across two sids whenever the boundary row isn't first
+    # among its peers (arbitrary tie order on both engines) — the
+    # round-7 sf1 sweep caught the session variant of this. RANGE gives
+    # every peer the group's full sum, matching session_window's
+    # same-instant-same-session semantics deterministically.
     sess = marked.withColumn(
         "sid",
         F.sum("new_sess").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     ivals = sess.groupBy("user_id", "sid").agg(

@@ -355,7 +355,7 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (
       SELECT *, sum(new_sess) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        PARTITION BY user_id ORDER BY ts RANGE UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -385,7 +385,7 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (
       SELECT *, sum(new_sess) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        PARTITION BY user_id ORDER BY ts RANGE UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
