@@ -404,7 +404,7 @@ CARTESIAN_ALLOWLIST: dict[str, str] = {}
 
 
 @pytest.fixture(scope="module")
-def registry_audit(spark) -> tuple[dict[str, str], dict[str, int]]:
+def registry_audit(spark) -> tuple[dict[str, str], dict[str, int], dict]:
     # one plan-build pass over every registered pure query, shared by
     # the registry-wide sweeps below (building ~240 physical plans
     # costs ~1 min; do it once). Each build runs under its own Spark
@@ -429,6 +429,7 @@ def registry_audit(spark) -> tuple[dict[str, str], dict[str, int]]:
     sc = spark.sparkContext
     plans: dict[str, str] = {}
     build_jobs: dict[str, int] = {}
+    dfs: dict = {}
     for name, (fn, _) in QUERIES.items():
         if name in skip:
             continue
@@ -440,7 +441,8 @@ def registry_audit(spark) -> tuple[dict[str, str], dict[str, int]]:
             sc.statusTracker().getJobIdsForGroup(group)
         )
         plans[name] = _executed_plan_str(df)
-    return plans, build_jobs
+        dfs[name] = df
+    return plans, build_jobs, dfs
 
 
 @pytest.fixture(scope="module")
@@ -493,7 +495,7 @@ def test_pure_query_builds_run_no_jobs(registry_audit):
         SIDE_EFFECT_QUERIES,
     )
 
-    _, build_jobs = registry_audit
+    build_jobs = registry_audit[1]
     offenders = {
         name: n
         for name, n in build_jobs.items()
@@ -502,42 +504,55 @@ def test_pure_query_builds_run_no_jobs(registry_audit):
     assert not offenders, offenders
 
 
-def _live_scan_counts(plan_str: str) -> dict[str, int]:
-    """Per-table FileScan occurrences that could EXECUTE — skipping
-    subtrees that are printed lineage, not work: cached relations
-    (InMemoryRelation / InMemoryTableScan render their build plan on
-    every reference), already-seen AQE query stages (a reused
-    ShuffleQueryStage N prints its whole subtree at each reuse site),
-    and explicit ReusedExchange/ReusedSubquery nodes.  Depth comes from
-    the tree-drawing prefix (spaces, ``:``, ``+``, ``-``) — codegen
-    ``*(n)`` markers are part of the node name, not indentation."""
+def _live_scan_counts(plan) -> dict[str, int]:
+    """Per-table FileScan occurrences that could EXECUTE.
+
+    Walks the REAL SparkPlan tree (py4j), not the printed string: in
+    the tree, a cached relation is an ``InMemoryTableScanExec`` LEAF —
+    its build lineage is not a child — whereas ``toString`` re-prints
+    the whole cached plan at every reference, and once the cache has
+    executed, its embedded AQE ``== Final Plan ==`` section prints at
+    SHALLOWER indentation than the InMemoryRelation node itself, so no
+    indentation-based string skip can be correct (the session-history-
+    dependent false positive that flagged bfs_reach_3). AQE wrappers
+    unwrap to their current plan; already-seen query stages and
+    Reused* nodes count once; expression subqueries are walked too.
+
+    Accepts either a DataFrame or a java SparkPlan."""
+    if hasattr(plan, "_jdf"):
+        plan = plan._jdf.queryExecution().executedPlan()
     counts: dict[str, int] = {}
-    skip_depth = None
-    seen_stages: set[tuple[str, str]] = set()
-    for ln in plan_str.splitlines():
-        depth = len(re.match(r"^[ :+\-]*", ln).group(0))
-        if skip_depth is not None:
-            if depth > skip_depth:
-                continue
-            skip_depth = None
-        if "InMemoryRelation" in ln or "InMemoryTableScan" in ln:
-            skip_depth = depth
-            continue
-        sm = re.search(r"(\w+QueryStage) (\d+)", ln)
-        if sm:
-            key = (sm.group(1), sm.group(2))
-            if key in seen_stages:
-                skip_depth = depth
-                continue
-            seen_stages.add(key)
-        if "ReusedExchange" in ln or "ReusedSubquery" in ln:
-            skip_depth = depth
-            continue
-        if "FileScan" in ln:
-            pm = re.search(r"([a-z_0-9]+)\.parquet", ln)
-            counts[pm.group(1) if pm else "unknown"] = (
-                counts.get(pm.group(1) if pm else "unknown", 0) + 1
-            )
+    seen: set[tuple[str, int]] = set()
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls == "InMemoryTableScanExec":
+            return
+        if cls.endswith("QueryStageExec"):
+            key = (cls, node.id())
+            if key in seen:
+                return
+            seen.add(key)
+            walk(node.plan())
+            return
+        if cls in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            return
+        if cls == "FileSourceScanExec":
+            m = re.search(r"([a-z_0-9]+)\.parquet", node.toString())
+            key2 = m.group(1) if m else "unknown"
+            counts[key2] = counts.get(key2, 0) + 1
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+
+    walk(plan)
     return counts
 
 
@@ -577,7 +592,7 @@ REPEATED_SCAN_ALLOWLIST: dict[str, str] = {
 REPEATED_SCAN_LIMIT = 4
 
 
-def test_no_unjustified_repeated_scans(registry_plans):
+def test_no_unjustified_repeated_scans(registry_audit):
     # permanent fence for the round-6 MMR bug class (lazy iterative
     # plans re-executing a data-sized subtree per reference): any
     # registered query whose plan references one parquet table more
@@ -585,8 +600,8 @@ def test_no_unjustified_repeated_scans(registry_plans):
     # lineage, reused AQE stages and ReusedExchange subtrees — must
     # carry a justification above.
     offenders = {}
-    for name, plan in registry_plans.items():
-        counts = _live_scan_counts(plan)
+    for name, df in registry_audit[2].items():
+        counts = _live_scan_counts(df)
         worst = max(counts.values(), default=0)
         if worst > REPEATED_SCAN_LIMIT and name not in REPEATED_SCAN_ALLOWLIST:
             offenders[name] = counts
@@ -602,14 +617,17 @@ def test_repeated_scan_fence_not_vacuous(spark):
     j = d
     for _ in range(5):
         j = j.unionByName(d)
-    counts = _live_scan_counts(_executed_plan_str(j))
+    counts = _live_scan_counts(j)
     assert max(counts.values()) >= 5, counts
-    # ...and must NOT count cached lineage: the same shape persisted
-    # collapses to zero live file scans at the reference sites
+    # ...must NOT count cached lineage — even after the cache has
+    # EXECUTED, which is when toString embeds the cached plan's
+    # ``== Final Plan ==`` section at shallower indentation (the
+    # session-order-dependent false positive the tree walk fixed)
     p = d.persist()
     p.count()
     j2 = p.unionByName(p).unionByName(p)
-    counts2 = _live_scan_counts(_executed_plan_str(j2))
+    j2.count()  # force-execute so the cached AQE plan is final
+    counts2 = _live_scan_counts(j2)
     assert counts2.get("nation", 0) == 0, counts2
     p.unpersist()
 
