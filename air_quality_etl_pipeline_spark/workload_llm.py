@@ -1204,6 +1204,61 @@ def q_image_decode_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_decode_stats",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             256 + doc_id % 128 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents),
+    s AS (
+      SELECT doc_id, n, rate,
+             list_transform(range(0, n),
+                 j -> ((doc_id * 13 + j * 7) % 65536) - 32768) AS smp
+      FROM g)
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+             AS peak_abs
+    FROM s
+    """,
+)
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode: synthesize a real PCM WAV clip per
+    document (RIFF container with a metadata LIST chunk the parser has
+    to walk over, little-endian int16 data), byte-parse it back with
+    the pure-Python WAV reader in ``operators/multimodal.py``, and
+    aggregate per-clip sample stats from the DECODED tensor. The
+    oracle recomputes the stats from the synthesis closed form
+    ``s[j] = ((id·13 + j·7) mod 65536) − 32768`` — any chunk-walk,
+    endianness or sign bug in either codec hash-mismatches. Together
+    with ``image_decode_channel_stats`` this makes both multimodal
+    column families (image + audio) real, not stubs.
+
+    Scale: two Arrow-batched ``mapInPandas`` passes and a per-row JVM
+    array fold — no shuffle; compressed audio would swap the parser
+    body for the codec call with the plumbing unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    clips = multimodal.decode_audio(multimodal.synth_audio_payload(d))
+    smp = F.col("samples")
+    return clips.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        F.size(smp).cast("long").alias("n_samples"),
+        F.aggregate(
+            smp, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_samples"),
+        F.array_max(F.transform(smp, lambda x: F.abs(x))).alias(
+            "peak_abs"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy edit-distance dedup / repetition signals / int8 quantization
 # ---------------------------------------------------------------------------

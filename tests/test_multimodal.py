@@ -116,3 +116,98 @@ def test_decode_rejects_unknown_and_compressed(spark):
     )
     with pytest.raises(Exception):
         _decode_payloads(spark, {1: hdr + b"\x00" * 16})
+
+
+# ---------------------------------------------------------------------------
+# Audio (PCM WAV) decode
+# ---------------------------------------------------------------------------
+
+def ref_wav(samples, rate=8000, n_ch=1, extra_chunk=True, odd_meta=False):
+    """Independent WAV packer from the RIFF spec: optional metadata
+    chunk before data (with an ODD body size, exercising the spec's
+    pad byte), interleaved int16 LE data."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        meta = b"hello" if odd_meta else b"meta"
+        body += b"LIST" + struct.pack("<I", len(meta)) + meta
+        if len(meta) % 2:
+            body += b"\x00"  # RIFF pad byte (not counted in size)
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_audio_payloads(spark, payloads):
+    from air_quality_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    df = spark.createDataFrame(
+        list(payloads.items()), "doc_id long, payload binary"
+    )
+    return {
+        r["doc_id"]: (
+            r["sample_rate"],
+            r["n_channels"],
+            list(r["samples"]),
+        )
+        for r in decode_audio(df).collect()
+    }
+
+
+def test_decode_wav_known_samples(spark):
+    smp = [0, 1, -1, 32767, -32768, 12345, -12345]
+    got = _decode_audio_payloads(
+        spark,
+        {
+            1: ref_wav(smp),
+            2: ref_wav(smp, rate=44100, extra_chunk=False),
+            3: ref_wav(smp + [7], n_ch=2),       # stereo interleaved
+            4: ref_wav(smp, odd_meta=True),       # odd-size chunk pad
+        },
+    )
+    assert got[1] == (8000, 1, smp)
+    assert got[2] == (44100, 1, smp)
+    assert got[3] == (8000, 2, smp + [7])
+    assert got[4] == (8000, 1, smp)
+
+
+def test_synth_audio_decodes_to_closed_form(spark):
+    from air_quality_etl_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        synth_audio_payload,
+    )
+
+    ids = [0, 1, 2, 127, 128, 1001]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in decode_audio(synth_audio_payload(df)).collect()
+    }
+    for i in ids:
+        n = 256 + i % 128
+        r = out[i]
+        assert r["sample_rate"] == 8000 + (i % 3) * 4000
+        assert r["n_channels"] == 1
+        assert list(r["samples"]) == [
+            ((i * 13 + j * 7) % 65536) - 32768 for j in range(n)
+        ]
+
+
+def test_decode_audio_rejects_compressed_and_foreign(spark):
+    # mu-law (fmt 7) must raise, not silently misdecode
+    smp = [1, 2, 3]
+    data = b"".join(struct.pack("<h", s) for s in smp)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    bad = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(Exception):
+        _decode_audio_payloads(spark, {1: bad})
+    with pytest.raises(Exception):
+        _decode_audio_payloads(spark, {1: b"OggS" + b"\x00" * 32})
