@@ -294,18 +294,34 @@ def merge_into_table(
     keys: Sequence[str],
 ) -> None:
     """MERGE into a catalog table: Delta ``merge`` when available,
-    anti-join + append otherwise (identical insert-if-absent result)."""
+    anti-join + append otherwise (identical insert-if-absent result).
+
+    The fallback triggers ONLY when Delta is genuinely unusable —
+    ``delta-spark`` not importable, or the target not a Delta table
+    (``DeltaTable.forName`` raises ``AnalysisException``). A real
+    Delta MERGE failure (concurrent-write conflict, multiple source
+    matches, schema mismatch) propagates: silently degrading it to an
+    append would hide a data bug behind a duplicate insert."""
     try:
         from delta.tables import DeltaTable  # type: ignore
+    except ImportError:
+        DeltaTable = None
+    dt = None
+    if DeltaTable is not None:
+        from pyspark.errors import AnalysisException
 
+        try:
+            dt = DeltaTable.forName(spark, table)
+        except AnalysisException:
+            dt = None  # catalog table exists but is not Delta-backed
+    if dt is not None:
         cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
         (
-            DeltaTable.forName(spark, table)
-            .alias("t")
+            dt.alias("t")
             .merge(source.alias("s"), cond)
             .whenNotMatchedInsertAll()
             .execute()
         )
-    except Exception:
-        target = spark.table(table)
-        new_rows(source, target, keys).write.mode("append").saveAsTable(table)
+        return
+    target = spark.table(table)
+    new_rows(source, target, keys).write.mode("append").saveAsTable(table)

@@ -2251,3 +2251,91 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc.orderBy(
         F.desc("weight_micro"), F.asc("doc_id")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture plan (multilingual sampling, XLM-R style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_temperature_plan",
+    f"""
+    WITH toks AS (
+      SELECT source, len({LTOKS}) AS n
+      FROM documents),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1),
+    q AS (
+      SELECT source, n_docs, n_tokens,
+             {sql_quantize_micro9("sqrt(CAST(n_tokens AS DOUBLE))")}
+               AS sq_micro
+      FROM per_src),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+             CAST(sum(sq_micro) AS BIGINT) AS sq_total
+      FROM q)
+    SELECT source, n_docs, n_tokens,
+           floor(CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+           floor(CAST(sq_micro AS DOUBLE) / CAST(sq_total AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS temp_share,
+           floor(CAST(sq_micro AS DOUBLE) / CAST(sq_total AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS epochs_rel
+    FROM q, tot
+    """,
+)
+def q_mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture plan (Conneau et al., XLM-R §3.1; the
+    multilingual-pretraining sampling rule): per source, resample with
+    probability ∝ tokensᵗ (τ = 0.5) instead of raw token share, so
+    low-resource sources are up-sampled and head sources down-sampled.
+    Output per source: raw token share, the τ-tempered share, and
+    ``epochs_rel`` — the relative number of epochs over that source the
+    tempered mixture implies (> 1 = up-sampled), the number a data
+    loader actually consumes.
+
+    Portability: each √tokens is one correctly-rounded IEEE op over an
+    exactly-cast int; the MIXING DENOMINATOR Σ√tokensᵢ is where
+    engines could diverge (double summation is order-dependent), so
+    each term quantizes to int64 micro-units and the denominator is an
+    exact integer sum — the module's standard integer-lane trick. The
+    final shares are single double divisions of exact integers,
+    rounded in-query.
+
+    Scale: one aggregation to a sources-sized relation (~20 rows), a
+    broadcast scalar pair, and per-row arithmetic — nothing else."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", F.size(token_array(F.col("text"))).alias("n")
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    q = per_src.withColumn(
+        "sq_micro",
+        quantize_micro9(F.sqrt(F.col("n_tokens").cast("double"))),
+    )
+    tot = q.agg(
+        F.sum("n_tokens").cast("long").alias("tok_total"),
+        F.sum("sq_micro").cast("long").alias("sq_total"),
+    )
+    j = q.crossJoin(F.broadcast(tot))
+    token_share = F.col("n_tokens").cast("double") / F.col(
+        "tok_total"
+    ).cast("double")
+    temp_share = F.col("sq_micro").cast("double") / F.col(
+        "sq_total"
+    ).cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        round_portable(token_share, 6).alias("token_share"),
+        round_portable(temp_share, 6).alias("temp_share"),
+        round_portable(temp_share / token_share, 6).alias("epochs_rel"),
+    )

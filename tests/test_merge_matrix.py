@@ -365,3 +365,25 @@ def test_merge_property_matches_reference(spark, target, source, clauses):
         key=str,
     )
     assert got == want
+
+
+def test_merge_into_table_fallback_insert_if_absent(spark, tmp_path):
+    """Catalog-table MERGE on the non-Delta path: insert-if-absent
+    semantics, idempotent on re-run (the fallback must never
+    double-insert), and new keys append."""
+    from air_quality_etl_pipeline_spark.plans.merge import merge_into_table
+
+    table = f"merge_tgt_{abs(hash(str(tmp_path))) % 10**8}"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.mode("overwrite").saveAsTable(table)
+    src = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"
+    )
+    merge_into_table(spark, table, src, ["k"])
+    got = sorted(tuple(r) for r in spark.table(table).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]  # 2 kept, 3 inserted
+    merge_into_table(spark, table, src, ["k"])  # idempotent
+    got2 = sorted(tuple(r) for r in spark.table(table).collect())
+    assert got2 == got
+    spark.sql(f"DROP TABLE {table}")
