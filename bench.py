@@ -77,6 +77,14 @@ HEADLINE = [
     # distinct and the Morton-code projection staying codegen-only)
     "bitmap_distinct_rollup",
     "zorder_layout_audit",
+    # round-7: real multimodal codecs (Arrow mapInPandas hot path),
+    # DSIR selection, the full-matrix MERGE (pays its duplicate probe
+    # per sample via SIDE_EFFECT_QUERIES), and the AQI summary cube
+    "image_decode_channel_stats",
+    "audio_decode_stats",
+    "dsir_importance_weights",
+    "merge_full_sync",
+    "aqi_category_days",
 ]
 
 
