@@ -222,16 +222,29 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # Netpbm header: ASCII tokens (w, h, maxval) split on
                 # whitespace, '#' comments allowed, one whitespace
                 # byte before the raw top-down RGB data.
+                # Both scan loops bound pos: past-the-end slices are
+                # empty (never whitespace), so an unbounded loop on a
+                # truncated header (b"P6", b"P6\n100") would spin the
+                # executor task forever instead of raising.
                 pos, tokens = 2, []
                 while len(tokens) < 3:
                     while payload[pos : pos + 1].isspace():
                         pos += 1
+                    if pos >= len(payload):
+                        raise ValueError("truncated PPM header")
                     if payload[pos : pos + 1] == b"#":
-                        pos = payload.index(b"\n", pos) + 1
+                        nl = payload.find(b"\n", pos)
+                        if nl < 0:
+                            raise ValueError("truncated PPM header")
+                        pos = nl + 1
                         continue
                     start = pos
-                    while not payload[pos : pos + 1].isspace():
+                    while pos < len(payload) and not payload[
+                        pos : pos + 1
+                    ].isspace():
                         pos += 1
+                    if pos >= len(payload):
+                        raise ValueError("truncated PPM header")
                     tokens.append(int(payload[start:pos]))
                 pos += 1
                 w, h, maxval = tokens

@@ -30,6 +30,41 @@ from pyspark.sql import functions as F
 _sink_ids = itertools.count()
 
 
+def stream_table_path(
+    spark: SparkSession, sf_dir: str, table: str
+) -> tuple[str, str | None]:
+    """Resolve how to point a file-source stream at
+    ``{sf_dir}/{table}.parquet``, which exists in two physical shapes:
+    the driver testdata is ONE FILE of that name (a file can't be a
+    stream basePath, so stream ``sf_dir`` with a ``pathGlobFilter``),
+    while Spark-written tables are a DIRECTORY of part files — where
+    the same glob matches nothing and the stream silently reads ZERO
+    rows (caught by the round-7 sf1 oracle sweep; round 8 factored the
+    fix here so every stream call site shares it).
+
+    Returns ``(base_path, glob_or_None)``. The directory check goes
+    through the Hadoop FileSystem API so it answers correctly for any
+    filesystem the session can read (HDFS/S3/local), not just the
+    driver's local disk; if the path scheme can't be resolved at all
+    (no such file yet), the caller's downstream read raises the real
+    error.
+    """
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        is_dir = fs.getFileStatus(jpath).isDirectory()
+    except Exception:
+        # unresolvable via Hadoop (e.g. path missing): fall back to a
+        # plain local check so local callers still get the right shape
+        is_dir = os.path.isdir(path)
+    if is_dir:
+        return path, None
+    return sf_dir, f"{table}.parquet"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, robust to the physical
     ``ts`` encoding (TIMESTAMP(NANOS)-as-INT64 under the legacy conf in
@@ -41,21 +76,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.7e18-scale values past double's 2^53)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     resolved = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # two physical shapes: the driver testdata is ONE FILE named
-    # events.parquet (a file can't be a stream basePath, so glob-filter
-    # it inside sf_dir), while Spark-written tables are a DIRECTORY of
-    # part files (where the same glob filter matches nothing and the
-    # stream silently reads ZERO rows — caught by the round-7 sf1
-    # oracle sweep, every streaming query empty).
-    path = f"{sf_dir}/events.parquet"
-    if os.path.isdir(path):
-        raw = spark.readStream.schema(resolved).parquet(path)
-    else:
-        raw = (
-            spark.readStream.schema(resolved)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    base, glob = stream_table_path(spark, sf_dir, "events")
+    reader = spark.readStream.schema(resolved)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(base)
     ts_type = {f.name: f.dataType.simpleString() for f in resolved}["ts"]
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

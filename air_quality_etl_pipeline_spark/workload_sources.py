@@ -36,6 +36,7 @@ from air_quality_etl_pipeline_spark.streaming.jobs import (
     sessionize,
     sliding_counts,
     stateful_user_counts,
+    stream_table_path,
 )
 from air_quality_etl_pipeline_spark.workload import _t, register
 
@@ -945,13 +946,16 @@ def _register_streaming_dedup_incremental() -> None:
                 .parquet(out_dir)
             )
 
-        # file streams take a DIRECTORY; the glob narrows it to the one
-        # documents file (same pattern as streaming.jobs.read_events_stream)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-            .filter(sample_bucket(F.col("doc_id")) >= 80)
+        # file streams take a DIRECTORY; stream_table_path resolves
+        # the file-vs-directory shape of documents.parquet (shared
+        # with streaming.jobs.read_events_stream — a dir-shaped table
+        # behind the old bare glob silently streamed ZERO rows)
+        base, glob = stream_table_path(spark, sf_dir, "documents")
+        reader = spark.readStream.schema(docs.schema)
+        if glob is not None:
+            reader = reader.option("pathGlobFilter", glob)
+        stream = reader.parquet(base).filter(
+            sample_bucket(F.col("doc_id")) >= 80
         )
         q = (
             stream.writeStream.foreachBatch(screen)

@@ -118,6 +118,27 @@ def test_decode_rejects_unknown_and_compressed(spark):
         _decode_payloads(spark, {1: hdr + b"\x00" * 16})
 
 
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"P6",  # magic only
+        b"P6\n100",  # dies mid-first-token
+        b"P6\n100 100\n",  # trailing whitespace, maxval missing
+        b"P6\n# comment with no newline",  # comment runs off the end
+        b"P6\n100 100 ",  # token loop ends exactly at EOF
+    ],
+)
+def test_decode_truncated_ppm_header_raises_not_hangs(spark, payload):
+    """Regression (round-8 advisor): the header token loops scanned
+    with 'while not payload[pos:pos+1].isspace()' — past the end the
+    slice is EMPTY (never whitespace) so a truncated header spun the
+    executor task forever instead of raising like every other
+    malformed-input path."""
+    with pytest.raises(Exception) as ei:
+        _decode_payloads(spark, {1: payload})
+    assert "truncated PPM header" in str(ei.value)
+
+
 # ---------------------------------------------------------------------------
 # Audio (PCM WAV) decode
 # ---------------------------------------------------------------------------

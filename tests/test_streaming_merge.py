@@ -209,3 +209,52 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # phase 2 appended ONLY b's rows: totals match a+b with no dups
     assert sunk.count() == n_a + b.count()
     assert sunk.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_table_path_resolves_file_and_dir_shapes(spark, tmp_path):
+    """Regression (round-8 advisor): streaming_dedup_incremental kept
+    a bare pathGlobFilter='documents.parquet' after the events fix —
+    a DIRECTORY-shaped documents.parquet (what stress_sf1 writes)
+    matched nothing and the stream silently read zero rows. The check
+    is now factored into stream_table_path, resolved via the Hadoop
+    FileSystem API so it also answers for non-local filesystems."""
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        stream_table_path,
+    )
+
+    sf = str(tmp_path)
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    # dir-shaped: Spark-written table of part files
+    df.write.parquet(f"{sf}/documents.parquet")
+    base, glob = stream_table_path(spark, sf, "documents")
+    assert base == f"{sf}/documents.parquet" and glob is None
+    # file-shaped: the driver testdata layout (one bare file)
+    import shutil as _sh
+
+    df.coalesce(1).write.parquet(f"{sf}/_one")
+    part = [
+        p
+        for p in __import__("os").listdir(f"{sf}/_one")
+        if p.endswith(".parquet")
+    ][0]
+    _sh.copy(f"{sf}/_one/{part}", f"{sf}/events.parquet")
+    _sh.rmtree(f"{sf}/_one")
+    base, glob = stream_table_path(spark, sf, "events")
+    assert base == sf and glob == "events.parquet"
+    # both shapes actually stream the same rows end-to-end
+    for table in ("documents", "events"):
+        b, g = stream_table_path(spark, sf, table)
+        reader = spark.readStream.schema(df.schema)
+        if g is not None:
+            reader = reader.option("pathGlobFilter", g)
+        out = str(tmp_path / f"out_{table}")
+        q = (
+            reader.parquet(b)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{table}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.read.parquet(out).count() == 5
