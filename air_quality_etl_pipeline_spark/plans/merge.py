@@ -94,6 +94,7 @@ def merge_apply(
     matched_set: dict | None = None,
     not_matched_by_source_set: dict | None = None,
     check_multiple_matches: bool = True,
+    matched_clauses: Sequence[dict] | None = None,
 ) -> DataFrame:
     """Delta Lake's full MERGE clause matrix as ONE pure-Spark plan —
     the general form of :func:`merge_insert_if_absent` (insert-only)
@@ -119,12 +120,24 @@ def merge_apply(
       ``not_matched_by_source_condition(t)``.
     * Key equality is ``=`` (null keys never match either side), the
       join condition every reference MERGE uses.
-    * ``check_multiple_matches``: when an update/delete clause is
-      active, a target row matching >1 source rows is nondeterministic
-      and Delta errors — so do we, with one bounded aggregate over the
-      source's matched keys (``first()`` of a count, not a data-sized
-      collect). Multiple source rows on an UNMATCHED key are fine and
-      all insert, as in Delta.
+    * ``matched_clauses``: Delta allows SEVERAL ordered conditional
+      ``whenMatched`` clauses, first match wins. Pass a list of
+      ``{"action": "update"|"delete", "condition": fn|None,
+      "set": dict|None}`` to get that form; it overrides the
+      single-clause ``when_matched``/``matched_condition``/
+      ``matched_set`` trio (which normalizes to a one-element list).
+      Per Delta's rule, every clause but the last must carry a
+      condition (an unconditional clause makes later ones dead).
+    * ``check_multiple_matches``: Delta errors when the same target
+      row would ACTUALLY be modified by more than one source row
+      (``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``) — matched
+      source rows that no clause condition qualifies don't count
+      (round-8 advisor fix; the previous probe was stricter, erroring
+      on any duplicate matched key). The probe is ONE eager bounded
+      action (``first()`` of a count, not a data-sized collect) inside
+      an otherwise lazy builder — the price of failing fast like
+      Delta does, billed to the caller's first action. Multiple source
+      rows on an UNMATCHED key are fine and all insert, as in Delta.
 
     Condition callables receive struct columns (``t``, ``s``) so one
     expression can reference both sides, e.g.
@@ -140,8 +153,73 @@ def merge_apply(
     """
     tcols = list(target.columns)
     key_list = list(keys)
-    if check_multiple_matches and when_matched in ("update", "delete"):
-        dup = (
+    if matched_clauses is None:
+        matched_clauses = (
+            []
+            if when_matched is None
+            else [
+                {
+                    "action": when_matched,
+                    "condition": matched_condition,
+                    "set": matched_set,
+                }
+            ]
+        )
+    clauses = [
+        {
+            "action": c["action"],
+            "condition": c.get("condition"),
+            "set": c.get("set"),
+        }
+        for c in matched_clauses
+    ]
+    for i, c in enumerate(clauses):
+        if c["action"] not in ("update", "delete"):
+            raise ValueError(f"unknown matched action {c['action']!r}")
+        if c["condition"] is None and i < len(clauses) - 1:
+            raise ValueError(
+                "only the LAST whenMatched clause may be unconditional "
+                "(Delta's rule; later clauses would be dead)"
+            )
+    if when_not_matched_by_source == "update" and (
+        not_matched_by_source_set is None
+    ):
+        raise ValueError(
+            "when_not_matched_by_source='update' requires "
+            "not_matched_by_source_set (Delta's UPDATE SET form; "
+            "there is no source row for SET *)"
+        )
+
+    def cond(c, *args):
+        return F.lit(True) if c is None else c(*args)
+
+    t_struct = F.struct(*[F.col(c) for c in tcols])
+
+    def make_with_sets(field_types):
+        def with_sets(base, sets, *cond_args):
+            # Delta's explicit UPDATE SET form: listed columns take
+            # their expression (cast to the target column's type, as
+            # Delta's schema enforcement does), unlisted columns keep
+            # the base (target) row's value
+            return F.struct(
+                *[
+                    (
+                        sets[c](*cond_args).cast(field_types[c]).alias(c)
+                        if c in sets
+                        else base[c].alias(c)
+                    )
+                    for c in tcols
+                ]
+            )
+
+        return with_sets
+
+    conditional = any(c["condition"] is not None for c in clauses)
+
+    def dup_matched_keys() -> int:
+        # cheap probe: matched keys carrying >1 source rows — a
+        # source-side aggregate + key join, NO target fan-out
+        return (
             source.groupBy(*key_list)
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > 1)
@@ -149,76 +227,140 @@ def merge_apply(
             .agg(F.count(F.lit(1)))
             .first()[0]
         )
+
+    # Route: the general (fan-out) path is needed ONLY when duplicate
+    # matched keys can coexist with conditions — i.e. a disqualified
+    # duplicate must neither error nor win. With no duplicates the
+    # cheap pre-agg path is exact for any clause list; with duplicates
+    # and NO conditions every duplicate modifies, which IS Delta's
+    # error, caught by the same cheap probe.
+    use_general = False
+    if clauses and conditional:
+        if check_multiple_matches:
+            use_general = dup_matched_keys() > 0
+        else:
+            use_general = True  # min-winner tie-break must see pairs
+    elif clauses and check_multiple_matches:
+        dup = dup_matched_keys()
         if dup:
             raise MergeMultipleMatchesError(
-                f"{dup} target key(s) match multiple source rows while a "
-                f"when_matched={when_matched!r} clause is active"
+                f"{dup} target key(s) would be modified by multiple "
+                f"source rows (action {clauses[0]['action']!r})"
             )
-    # Target pass: LEFT join against ONE source row per key, so a
-    # matched target row can never fan out — when update/delete is
-    # active the duplicate probe above already guaranteed uniqueness
-    # on matched keys (min(struct) is then exact, not a choice); with
-    # no matched clause only key EXISTENCE matters.
-    t = target.select(
-        *key_list, F.struct(*[F.col(c) for c in tcols]).alias("_t")
-    )
-    s1 = (
-        source.select(
-            *key_list, F.struct(*[F.col(c) for c in tcols]).alias("_s")
+    if not use_general:
+        # FAST PATH — at most one source row per matched key (probed,
+        # or no update/delete clause so only key EXISTENCE matters).
+        # LEFT join against ONE source row per key (min(struct) is
+        # exact, not a choice); the first-match-wins clause chain
+        # evaluates directly on that single (t, s) pair.
+        t = target.select(*key_list, t_struct.alias("_t"))
+        s1 = (
+            source.select(*key_list, t_struct.alias("_s"))
+            .groupBy(*key_list)
+            .agg(F.min("_s").alias("_s"))
         )
-        .groupBy(*key_list)
-        .agg(F.min("_s").alias("_s"))
-    )
-    j = t.join(s1, on=key_list, how="left")
-    ts, ss = F.col("_t"), F.col("_s")
-    matched = ss.isNotNull()
-
-    def cond(c, *args):
-        return F.lit(True) if c is None else c(*args)
-
-    field_types = {
-        f.name: f.dataType for f in j.schema["_t"].dataType.fields
-    }
-
-    def with_sets(base, sets, *cond_args):
-        # Delta's explicit UPDATE SET form: listed columns take their
-        # expression (cast to the target column's type, as Delta's
-        # schema enforcement does), unlisted columns keep the base
-        # (target) row's value
-        return F.struct(
-            *[
-                (
-                    sets[c](*cond_args).cast(field_types[c]).alias(c)
-                    if c in sets
-                    else base[c].alias(c)
-                )
-                for c in tcols
-            ]
+        j = t.join(s1, on=key_list, how="left")
+        ts, ss = F.col("_t"), F.col("_s")
+        matched = ss.isNotNull()
+        with_sets = make_with_sets(
+            {f.name: f.dataType for f in j.schema["_t"].dataType.fields}
         )
-
-    null_row = F.lit(None).cast(j.schema["_t"].dataType)
-    if when_matched == "update":
-        matched_value = (
-            ss if matched_set is None else with_sets(ts, matched_set, ts, ss)
+        null_row = F.lit(None).cast(j.schema["_t"].dataType)
+        chooser = None
+        for c in clauses:
+            fires = matched & cond(c["condition"], ts, ss)
+            if c["action"] == "update":
+                val = ss if c["set"] is None else with_sets(ts, c["set"], ts, ss)
+            else:
+                val = null_row
+            chooser = (
+                F.when(fires, val)
+                if chooser is None
+                else chooser.when(fires, val)
+            )
+        # matched but no clause qualified (or no clauses) → keep
+        keep_matched = F.when(matched, ts)
+        chooser = (
+            keep_matched if chooser is None else chooser.when(matched, ts)
         )
-    elif when_matched == "delete":
-        matched_value = null_row
+        base = j
     else:
-        matched_value = ts
-    chooser = F.when(
-        matched & cond(matched_condition, ts, ss), matched_value
-    ).when(matched, ts)
+        # GENERAL PATH — conditional and/or multiple ordered matched
+        # clauses. The join may fan a target row out across several
+        # source rows; per target row we pick the FIRST clause any
+        # source row qualifies (min over (clause_idx, source)), and
+        # the Delta probe counts QUALIFYING source rows per target row
+        # (>1 → error), not raw key duplicates — a matched source row
+        # that no condition qualifies never modifies, so it never
+        # errors (Delta-exact, round-8 advisor fix).
+        t = target.select(*key_list, t_struct.alias("_t")).withColumn(
+            "_tid", F.monotonically_increasing_id()
+        )
+        s2 = source.select(*key_list, t_struct.alias("_s"))
+        j = t.join(s2, on=key_list, how="left")
+        ts, ss = F.col("_t"), F.col("_s")
+        matched = ss.isNotNull()
+        ci = None
+        for i, c in enumerate(clauses):
+            fires = matched & cond(c["condition"], ts, ss)
+            ci = (
+                F.when(fires, F.lit(i))
+                if ci is None
+                else ci.when(fires, F.lit(i))
+            )
+        winner = F.when(
+            ci.isNotNull(), F.struct(ci.alias("ci"), ss.alias("s"))
+        )
+        per_t = j.groupBy("_tid").agg(
+            F.min("_t").alias("_t"),
+            F.max(matched.cast("int")).alias("_m"),
+            F.min(winner).alias("_w"),
+            F.sum(F.when(ci.isNotNull(), 1).otherwise(0)).alias("_nq"),
+        )
+        if check_multiple_matches:
+            dup = (
+                per_t.filter(F.col("_nq") > 1)
+                .agg(F.count(F.lit(1)))
+                .first()[0]
+            )
+            if dup:
+                raise MergeMultipleMatchesError(
+                    f"{dup} target row(s) would be modified by multiple "
+                    "qualifying source rows"
+                )
+        with_sets = make_with_sets(
+            {
+                f.name: f.dataType
+                for f in per_t.schema["_t"].dataType.fields
+            }
+        )
+        null_row = F.lit(None).cast(per_t.schema["_t"].dataType)
+        tt, win = F.col("_t"), F.col("_w")
+        ts = tt
+        chooser = None
+        for i, c in enumerate(clauses):
+            hits = win.isNotNull() & (win["ci"] == i)
+            if c["action"] == "update":
+                val = (
+                    win["s"]
+                    if c["set"] is None
+                    else with_sets(tt, c["set"], tt, win["s"])
+                )
+            else:
+                val = null_row
+            chooser = (
+                F.when(hits, val)
+                if chooser is None
+                else chooser.when(hits, val)
+            )
+        # matched but no clause qualified → Delta fall-through: keep
+        chooser = chooser.when(F.col("_m") == 1, tt)
+        base = per_t
     if when_not_matched_by_source == "delete":
         chooser = chooser.when(
             cond(not_matched_by_source_condition, ts), null_row
         ).otherwise(ts)
     elif when_not_matched_by_source == "update":
-        if not_matched_by_source_set is None:
-            raise ValueError(
-                "when_not_matched_by_source='update' requires "
-                "not_matched_by_source_set (Delta's UPDATE SET form; "
-                "there is no source row for SET *)"
-            )
         chooser = chooser.when(
             cond(not_matched_by_source_condition, ts),
             with_sets(ts, not_matched_by_source_set, ts),
@@ -226,7 +368,7 @@ def merge_apply(
     else:
         chooser = chooser.otherwise(ts)
     kept = (
-        j.select(chooser.alias("_r"))
+        base.select(chooser.alias("_r"))
         .filter(F.col("_r").isNotNull())
         .select(*[F.col("_r")[c].alias(c) for c in tcols])
     )

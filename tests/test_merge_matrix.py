@@ -19,8 +19,13 @@ Reference semantics (Delta Lake MERGE docs):
   insert.
 * not-matched-by-source target rows delete iff that clause exists and
   its condition passes, else survive.
-* >1 source rows matching one target row with an update/delete clause
-  active is an error (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW).
+* >1 source rows that would ACTUALLY modify one target row (i.e.
+  qualify some update/delete clause's condition) is an error
+  (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW); matched source
+  rows disqualified by every condition never error (round-8 fix —
+  the earlier formulation was stricter than Delta).
+* several ordered WHEN MATCHED clauses: FIRST match wins per source
+  row; only the last clause may be unconditional.
 * key equality is ``=``: NULL keys never match either side.
 """
 
@@ -68,11 +73,14 @@ def ref_merge(
     not_matched_by_source_condition=None,
     matched_set=None,
     not_matched_by_source_set=None,
+    matched_clauses=None,
 ):
     """Independent implementation of the documented matrix over row
     tuples (keys_idx = positions of the key columns; set maps are
     ``{col_index: fn(rows...) -> value}``, unlisted columns keep the
-    target row's value)."""
+    target row's value). ``matched_clauses`` is the ordered
+    first-match-wins clause list; the legacy single-clause kwargs
+    normalize into a one-element list."""
 
     def key(r):
         return tuple(r[i] for i in keys_idx)
@@ -85,6 +93,18 @@ def ref_merge(
             sets[i](*args) if i in sets else v for i, v in enumerate(trow)
         )
 
+    if matched_clauses is None:
+        matched_clauses = (
+            []
+            if when_matched is None
+            else [
+                {
+                    "action": when_matched,
+                    "condition": matched_condition,
+                    "set": matched_set,
+                }
+            ]
+        )
     src_by_key = {}
     for r in source:
         src_by_key.setdefault(key(r), []).append(r)
@@ -94,18 +114,26 @@ def ref_merge(
         matches = src_by_key.get(k, []) if matchable(k) else []
         if matches:
             matched_keys.add(k)
-            if len(matches) > 1 and when_matched in ("update", "delete"):
+            # per source row: FIRST clause whose condition holds; a
+            # target row actually modified by >1 qualifying source
+            # rows is Delta's error — disqualified matches are not
+            qual = []
+            for srow in matches:
+                for i, c in enumerate(matched_clauses):
+                    if c.get("condition") is None or c["condition"](
+                        trow, srow
+                    ):
+                        qual.append((i, c, srow))
+                        break
+            if len(qual) > 1:
                 raise MergeMultipleMatchesError(str(k))
-            srow = matches[0]
-            fires = when_matched in ("update", "delete") and (
-                matched_condition is None or matched_condition(trow, srow)
-            )
-            if fires:
-                if when_matched == "update":
+            if qual:
+                _, c, srow = qual[0]
+                if c["action"] == "update":
                     out.append(
                         srow
-                        if matched_set is None
-                        else apply_sets(trow, matched_set, trow, srow)
+                        if c.get("set") is None
+                        else apply_sets(trow, c["set"], trow, srow)
                     )
                 # delete: drop
             else:
@@ -244,6 +272,64 @@ MATRIX = [
             not_matched_by_source_set={2: lambda tr: "stale"},
         ),
     ),
+    (
+        # TWO ordered clauses, first match wins per source row:
+        # newer source → update; anything else matched → delete
+        "two_clause_update_then_delete",
+        dict(
+            matched_clauses=[
+                {"action": "update", "condition": NEWER_T},
+                {"action": "delete"},
+            ]
+        ),
+        dict(
+            matched_clauses=[
+                {"action": "update", "condition": NEWER_PY},
+                {"action": "delete"},
+            ]
+        ),
+    ),
+    (
+        # delete first, explicit-SET update as the fall-through clause
+        "two_clause_delete_then_set",
+        dict(
+            matched_clauses=[
+                {"action": "delete", "condition": NEWER_T},
+                {
+                    "action": "update",
+                    "set": {"val": lambda t, s: F.lit("kept")},
+                },
+            ]
+        ),
+        dict(
+            matched_clauses=[
+                {"action": "delete", "condition": NEWER_PY},
+                {"action": "update", "set": {2: lambda tr, sr: "kept"}},
+            ]
+        ),
+    ),
+    (
+        # both conditional: key 3 fires clause 1, key 4 clause 2,
+        # unqualified matches keep the target row
+        "two_clause_both_conditional",
+        dict(
+            matched_clauses=[
+                {"action": "update", "condition": NEWER_T},
+                {
+                    "action": "delete",
+                    "condition": lambda t, s: t["ver"] == F.lit(5),
+                },
+            ],
+            when_not_matched_by_source="delete",
+        ),
+        dict(
+            matched_clauses=[
+                {"action": "update", "condition": NEWER_PY},
+                {"action": "delete", "condition": lambda tr, sr: tr[1] == 5},
+            ],
+            when_not_matched_by_source="delete",
+        ),
+    ),
 ]
 
 
@@ -271,6 +357,62 @@ def test_multiple_source_match_errors_like_delta(spark):
     )
     got = merge_apply(t, dup_new, ["k"]).collect()
     assert sorted(r["val"] for r in got if r["k"] == 7) == ["a", "b"]
+
+
+def test_multiple_match_errors_only_when_actually_modified(spark):
+    """Round-8 advisor fix: Delta errors only when the same target row
+    would ACTUALLY be modified by >1 source rows. Two source rows on a
+    matched key where the clause condition qualifies just one must NOT
+    error — the qualifying row fires; both qualifying must error."""
+    t = spark.createDataFrame(TARGET, SCHEMA)
+    one_qual = SOURCE + [(3, 0, "s3b")]  # ver0 < t3's ver1: disqualified
+    s1 = spark.createDataFrame(one_qual, SCHEMA)
+    got = sorted(
+        (
+            tuple(r)
+            for r in merge_apply(
+                t, s1, ["k"], matched_condition=NEWER_T
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == ref_merge(TARGET, one_qual, [0], matched_condition=NEWER_PY)
+    assert (3, 2, "s3") in got and (3, 1, "t3") not in got
+    both_qual = SOURCE + [(3, 9, "s3b")]
+    s2 = spark.createDataFrame(both_qual, SCHEMA)
+    with pytest.raises(MergeMultipleMatchesError):
+        merge_apply(t, s2, ["k"], matched_condition=NEWER_T)
+    with pytest.raises(MergeMultipleMatchesError):
+        ref_merge(TARGET, both_qual, [0], matched_condition=NEWER_PY)
+    # across TWO clauses: one source row qualifying each still means
+    # two modifications of the same target row → error
+    with pytest.raises(MergeMultipleMatchesError):
+        merge_apply(
+            t,
+            s1,  # s3 ver2 (newer → clause 1), s3b ver0 (clause 2)
+            ["k"],
+            matched_clauses=[
+                {"action": "update", "condition": NEWER_T},
+                {"action": "delete"},
+            ],
+        )
+
+
+def test_non_last_unconditional_clause_rejected(spark):
+    """Delta's rule: an unconditional whenMatched clause anywhere but
+    last makes later clauses dead — reject at build time."""
+    t = spark.createDataFrame(TARGET, SCHEMA)
+    s = spark.createDataFrame(SOURCE, SCHEMA)
+    with pytest.raises(ValueError, match="unconditional"):
+        merge_apply(
+            t,
+            s,
+            ["k"],
+            matched_clauses=[
+                {"action": "update"},
+                {"action": "delete", "condition": NEWER_T},
+            ],
+        )
 
 
 def test_specialized_forms_agree_with_general(spark):
