@@ -1,16 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Training-data pipelines carry image/audio/video as ``binary`` columns
-with typed metadata alongside. The Spark-side contract implemented here
-is real — schema, Arrow-batched ``mapInPandas`` decode, partition-size
-control. ``decode_meta`` ships a clearly-marked deterministic fake of a
-container-header parse, while ``decode_image`` is a REAL end-to-end
-pixel decode: pure-Python parsers for the two uncompressed truecolor
-formats a codec-library-free container can honestly support (Netpbm P6
-PPM and 24-bit BMP, including BMP's bottom-up rows / BGR order / 4-byte
-row stride). Compressed formats (JPEG/PNG/video) would swap the parser
-body for a PIL/ffmpeg call — not available here — with every other
-line unchanged.
+with typed metadata alongside. All three families here are REAL
+end-to-end codecs, pure Python from the wire formats' specs (the
+container has no PIL/ffmpeg): Netpbm P6 PPM and 24-bit BMP pixel
+decode (bottom-up rows, BGR order, 4-byte row stride), PCM WAV via a
+RIFF chunk walk, and uncompressed RIFF/AVI video — nested LIST chunk
+tree, real ``avih``/``strh``/``strf`` headers, JUNK padding, ``movi``
+DIB frames, ``idx1`` index. Compressed formats (JPEG/PNG/H.264) would
+swap the parser body for the codec call with every other line — the
+Arrow batching, schema, tensor shape — unchanged.
 
 Why ``mapInPandas``: decode is per-row Python work on bytes — the one
 place a built-in can't express the semantics — and Arrow batching
@@ -36,13 +35,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Output schema of the metadata decode pass.
+#: Output schema of the video header decode pass.
 DECODE_META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("byte_len", LongType(), False),
-        StructField("fake_width", LongType(), False),
-        StructField("fake_height", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
         StructField("n_frames", LongType(), False),
     ]
 )
@@ -54,39 +53,239 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.col(text_col).cast("binary"))
 
 
+# The AVI parser/packer below share these closed forms with the DuckDB
+# oracle (workload_llm video queries): per document id,
+#   width     = 8 + id % 5          (8..12 — odd widths exercise the
+#   height    = 6 + id % 4           DIB 4-byte row stride for real)
+#   n_frames  = 2 + id % 9          (2..10)
+#   rgb[f][j] = (id*7 + f*11 + j) % 256   over the flat TOP-DOWN
+#               RGB-interleaved tensor of frame f (j in [0, 3wh))
+# and the container length is exactly 244 + n_frames*(24 + stride*h)
+# (fixed RIFF/hdrl/strl/JUNK/movi/idx1 overhead, pinned by a test).
+
+
+def synth_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL uncompressed RIFF/AVI container per document:
+    ``hdrl`` LIST with real ``avih``/``strh``/``strf`` headers, a
+    ``JUNK`` chunk (alignment padding every real muxer emits — the
+    parser must skip it), a ``movi`` LIST of ``00db`` frames, each a
+    BMP-style DIB (bottom-up rows, BGR order, 4-byte row stride), and
+    a trailing ``idx1`` index. The pixel tensor follows the closed
+    form above, so DuckDB can verify the decode arithmetically.
+    Arrow-batched ``mapInPandas``; self-contained closure."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as _pd
+
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def avi(doc_id: int) -> bytes:
+            w = 8 + doc_id % 5
+            h = 6 + doc_id % 4
+            n = 2 + doc_id % 9
+            stride = (w * 3 + 3) // 4 * 4
+            frames = []
+            for f in range(n):
+                # logical top-down RGB tensor -> DIB wire layout:
+                # bottom-up rows, BGR byte order, stride padding
+                rgb = [
+                    (doc_id * 7 + f * 11 + j) % 256
+                    for j in range(3 * w * h)
+                ]
+                rows = []
+                for y in range(h - 1, -1, -1):
+                    row = bytearray()
+                    for x in range(w):
+                        r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
+                        row += bytes((b, g, r))
+                    row += b"\x00" * (stride - 3 * w)
+                    rows.append(bytes(row))
+                frames.append(b"".join(rows))
+            avih = struct.pack(
+                "<IIIIIIIIIIIIII",
+                33333, 0, 0, 0x10, n, 0, 1, stride * h, w, h, 0, 0, 0, 0,
+            )
+            strh = (
+                b"vidsDIB "
+                + struct.pack(
+                    "<IHHIIIIIIIi", 0, 0, 0, 0, 1, 30, 0, n,
+                    stride * h, 0, 0,
+                )
+                + struct.pack("<HHHH", 0, 0, w, h)
+            )
+            strf = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                0, 0, 0, 0,
+            )
+            strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+            hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+            junk = chunk(b"JUNK", b"\x00" * 4)
+            movi_body = b"movi" + b"".join(
+                chunk(b"00db", fr) for fr in frames
+            )
+            movi = chunk(b"LIST", movi_body)
+            # idx1: one 16-byte entry per frame (ckid, flags, offset
+            # into movi, length) — real AVIs carry it for seeking
+            off, entries = 4, []
+            for fr in frames:
+                entries.append(
+                    b"00db" + struct.pack("<III", 0x10, off, len(fr))
+                )
+                off += 8 + len(fr) + (len(fr) % 2)
+            idx1 = chunk(b"idx1", b"".join(entries))
+            body = b"AVI " + hdrl + junk + movi + idx1
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col].astype("int64")]
+            yield _pd.DataFrame(
+                {"doc_id": ids, "payload": [avi(i) for i in ids]}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    return df.select(id_col).mapInPandas(synth, schema)
+
+
+def _avi_parser_source() -> str:
+    """Shared pure-Python AVI chunk-walker, returned as source so each
+    mapInPandas closure stays SELF-CONTAINED (executors can't import
+    this package from a neutral cwd — exec'ing the source inside the
+    closure keeps one canonical parser without a module reference)."""
+    return '''
+import struct as _struct
+
+
+def _u32(b, p):
+    return _struct.unpack_from("<I", b, p)[0]
+
+
+def parse_avi(payload, want_frames):
+    """Walk the RIFF/AVI chunk tree. Returns (width, height, n_frames,
+    {frame_idx: top-down RGB flat list}) decoding ONLY the wanted
+    frame indices (a real pipeline seeks, it does not decode every
+    frame to sample a few). ``want_frames`` is None (headers only), a
+    set, or a callable n_frames -> set — resolved lazily when the
+    first movi frame is reached, by which point the avih header has
+    been read (hdrl precedes movi in the container), so one walk
+    suffices."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload: %r" % payload[:4])
+    end = 8 + _u32(payload, 4)
+    if end > len(payload):
+        raise ValueError("truncated AVI: RIFF size past payload end")
+    meta = {"w": None, "h": None, "n": None, "bpp": None}
+    frames = {}
+    seen = [0]  # movi frame counter across nested walks
+    want = [want_frames]  # resolved callable -> set on first frame
+
+    def walk(pos, stop):
+        while pos + 8 <= stop:
+            cid = payload[pos : pos + 4]
+            size = _u32(payload, pos + 4)
+            body = pos + 8
+            if body + size > stop:
+                raise ValueError("truncated AVI chunk %r" % cid)
+            if cid == b"LIST":
+                walk(body + 4, body + size)
+            elif cid == b"avih":
+                meta["n"] = _u32(payload, body + 16)
+                meta["w"] = _u32(payload, body + 32)
+                meta["h"] = _u32(payload, body + 36)
+            elif cid == b"strf":
+                bpp = _struct.unpack_from("<H", payload, body + 14)[0]
+                comp = _u32(payload, body + 16)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        "unsupported AVI stream: bpp=%d comp=%d"
+                        % (bpp, comp)
+                    )
+                meta["bpp"] = bpp
+            elif cid in (b"00db", b"00dc"):
+                f = seen[0]
+                seen[0] += 1
+                if callable(want[0]):
+                    if meta["n"] is None:
+                        raise ValueError("movi before avih header")
+                    want[0] = want[0](meta["n"])
+                if want[0] is not None and f in want[0]:
+                    frames[f] = payload[body : body + size]
+            # strh, JUNK, idx1, LIST types we don't care about: skip
+            pos = body + size + (size % 2)
+
+    walk(12, end)
+    w, h, n = meta["w"], meta["h"], meta["n"]
+    if w is None or meta["bpp"] is None:
+        raise ValueError("missing avih/strf headers")
+    if seen[0] != n:
+        raise ValueError(
+            "frame count mismatch: avih says %d, movi has %d"
+            % (n, seen[0])
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    decoded = {}
+    for f, dib in frames.items():
+        if len(dib) != stride * h:
+            raise ValueError("bad DIB frame size")
+        out = []
+        for y in range(h):
+            row = dib[(h - 1 - y) * stride :][: 3 * w]
+            for x in range(w):
+                b_, g_, r_ = row[3 * x : 3 * x + 3]
+                out.extend((r_, g_, b_))
+        decoded[f] = out
+    return w, h, n, decoded
+'''
+
+
 def decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched metadata decode over the binary payload column.
+    """REAL video-container header decode over the binary payload
+    column: walks the RIFF/AVI chunk tree (nested LISTs, JUNK padding,
+    idx1), reads width/height/frame-count from the actual ``avih``
+    header, validates the ``strf`` stream format, and cross-checks the
+    declared frame count against the ``movi`` frames actually present.
+    Replaced the round-≤7 STUB formulas (``fake_width``,
+    ``n_frames = 1 + len % 30``) — the last fake in the codebase.
 
     ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame;
-    we emit one metadata row per input row. This is the real plumbing a
-    production image/audio decode would use — replace the STUB header
-    parse below with the actual codec call.
-
-    The closure is deliberately SELF-CONTAINED (imports inside, no
-    references to this module's globals): Python workers unpickle the
-    function on executors where this package may not be on ``sys.path``
-    — a module-level helper reference would fail with
-    ``ModuleNotFoundError`` on any cluster that didn't ship the package
-    via ``--py-files``.
-    """
+    we emit one metadata row per input row. The closure is
+    deliberately SELF-CONTAINED (imports inside, parser source exec'd
+    locally): Python workers unpickle the function on executors where
+    this package may not be on ``sys.path``."""
+    parser_src = _avi_parser_source()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        env: dict = {}
+        exec(parser_src, env)
+        parse_avi = env["parse_avi"]
+
         for pdf in batches:
-            lens = pdf["payload"].map(len).astype("int64")
-            # STUB: deterministic fake of a media-header parse (magic
-            # bytes / container headers). Formulas are arbitrary but
-            # fixed so the oracle can check the plumbing end to end.
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].astype("int64"),
-                    "byte_len": lens,
-                    "fake_width": 64 + lens % 577,
-                    "fake_height": 64 + (lens * 7) % 417,
-                    "n_frames": 1 + lens % 30,
-                }
-            )
+            out = {
+                "doc_id": [],
+                "byte_len": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                payload = bytes(payload)
+                w, h, n, _ = parse_avi(payload, None)
+                out["doc_id"].append(int(doc_id))
+                out["byte_len"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+            yield _pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(decode, DECODE_META_SCHEMA)
 
@@ -95,30 +294,43 @@ FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("frame_idx", LongType(), False),
+        StructField("pixels", ArrayType(LongType(), False), False),
     ]
 )
 
 
 def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = 7) -> DataFrame:
-    """Frame sampling over the (stubbed) video payload: one output row
-    per sampled frame — the one-to-MANY ``mapInPandas`` shape (decode
-    emits a row per input; this explodes). Frames are every *stride*-th
-    index of the fake ``n_frames`` count; a real implementation would
-    seek keyframes in the container instead.
+    """REAL frame sampling over the AVI payload: one output row per
+    sampled frame — the one-to-MANY ``mapInPandas`` shape — carrying
+    the DECODED flat top-down RGB tensor of every *stride*-th frame.
+    Only the sampled frames' DIB bytes are converted (bottom-up row
+    flip, BGR→RGB, stride un-padding); the rest of the ``movi`` list
+    is walked but not decoded, as a real keyframe sampler would.
 
     Self-contained closure (see decode_meta)."""
+    parser_src = _avi_parser_source()
 
     def sample(batches):
         import pandas as _pd
 
+        env: dict = {}
+        exec(parser_src, env)
+        parse_avi = env["parse_avi"]
+
         for pdf in batches:
-            ids, frames = [], []
+            ids, frames, tensors = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                n_frames = 1 + len(payload) % 30  # matches decode_meta STUB
-                for idx in range(0, n_frames, stride):
-                    ids.append(doc_id)
+                payload = bytes(payload)
+                _, _, _, decoded = parse_avi(
+                    payload, lambda n: set(range(0, n, stride))
+                )
+                for idx in sorted(decoded):
+                    ids.append(int(doc_id))
                     frames.append(idx)
-            yield _pd.DataFrame({"doc_id": ids, "frame_idx": frames})
+                    tensors.append(decoded[idx])
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": frames, "pixels": tensors}
+            )
 
     return df.select(id_col, "payload").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
 

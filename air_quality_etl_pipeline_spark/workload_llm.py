@@ -1104,38 +1104,121 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_meta",
     """
-    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents)
-    SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
-           CAST(64 + byte_len % 577 AS BIGINT) AS fake_width,
-           CAST(64 + (byte_len * 7) % 417 AS BIGINT) AS fake_height,
-           CAST(1 + byte_len % 30 AS BIGINT) AS n_frames
-    FROM b
+    WITH g AS (SELECT doc_id,
+                      8 + doc_id % 5 AS w,
+                      6 + doc_id % 4 AS h,
+                      2 + doc_id % 9 AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(244 + n * (24 + (w * 3 + 3) // 4 * 4 * h) AS BIGINT)
+             AS byte_len,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(n AS BIGINT) AS n_frames
+    FROM g
     """,
 )
 def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload metadata decode via Arrow-batched mapInPandas —
-    the codec is a deterministic stub (container has no media libs), the
-    Spark plumbing (binary column, batch iterator, typed schema) is real."""
+    """REAL video-container header decode: synthesize an uncompressed
+    RIFF/AVI per document (real avih/strh/strf headers, JUNK padding,
+    movi DIB frames, idx1 index), walk it back with the pure-Python
+    chunk-tree parser in ``operators/multimodal.py``, and report the
+    PARSED width/height/frame-count plus the container byte length.
+    The oracle recomputes all four from the synthesis closed forms —
+    including the exact container size ``244 + n·(24 + stride·h)`` —
+    so any header-layout, LIST-nesting or chunk-size bug mismatches.
+    Replaced the round-≤7 stub formulas (the last fake in the repo).
+
+    Scale: two Arrow-batched ``mapInPandas`` passes, zero shuffles."""
     d = _t(spark, sf_dir, "documents")
-    return multimodal.decode_meta(multimodal.attach_payload(d))
+    return multimodal.decode_meta(multimodal.synth_video_payload(d))
 
 
 @register(
     "multimodal_frame_sample",
     """
-    WITH b AS (SELECT doc_id,
-                      1 + octet_length(encode(text)) % 30 AS n_frames
-               FROM documents)
+    WITH g AS (SELECT doc_id, 2 + doc_id % 9 AS n FROM documents)
     SELECT doc_id, CAST(i.i AS BIGINT) AS frame_idx
-    FROM b, (SELECT unnest(range(0, 30)) AS i) i
-    WHERE i.i < n_frames AND i.i % 7 = 0
+    FROM g, (SELECT unnest(range(0, 10)) AS i) i
+    WHERE i.i < n AND i.i % 3 = 0
     """,
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: the one-to-many mapInPandas shape (each input
-    row yields a row per sampled frame index of the stubbed video)."""
+    """REAL frame sampling: one output row per every-3rd frame of each
+    AVI payload — the one-to-many mapInPandas shape. The sampler walks
+    the real movi chunk list and cross-checks the avih frame count, so
+    the sampled indices come from the container, not a formula."""
     d = _t(spark, sf_dir, "documents")
-    return multimodal.sample_frames(multimodal.attach_payload(d), stride=7)
+    return multimodal.sample_frames(
+        multimodal.synth_video_payload(d), stride=3
+    ).select("doc_id", "frame_idx")
+
+
+@register(
+    "video_frame_stats",
+    """
+    WITH g AS (SELECT doc_id,
+                      8 + doc_id % 5 AS w,
+                      6 + doc_id % 4 AS h,
+                      2 + doc_id % 9 AS n
+               FROM documents),
+    f AS (SELECT doc_id, w, h, CAST(i.i AS BIGINT) AS frame_idx
+          FROM g, (SELECT unnest(range(0, 10)) AS i) i
+          WHERE i.i < n AND i.i % 3 = 0)
+    SELECT doc_id, frame_idx,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + frame_idx * 11 + 3 * p) % 256))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + frame_idx * 11 + 3 * p + 1) % 256))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + frame_idx * 11 + 3 * p + 2) % 256))
+             AS BIGINT) AS sum_b
+    FROM f
+    """,
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video decode: synthesize a real uncompressed
+    RIFF/AVI per document, sample every 3rd frame, byte-decode ONLY
+    the sampled frames' DIB data (bottom-up row flip, BGR→RGB, 4-byte
+    stride un-padding), and aggregate per-frame channel sums from the
+    DECODED tensors. The oracle recomputes the sums from the synthesis
+    closed form ``rgb[f][j] = (id·7 + f·11 + j) mod 256`` — any
+    chunk-walk, frame-ordering, row-flip, channel-swap or stride bug
+    in packer or parser hash-mismatches. Same adversarial design as
+    ``image_decode_channel_stats``/``audio_decode_stats``; with this
+    the video family joins image and audio as real, not stubs.
+
+    Scale: two Arrow-batched ``mapInPandas`` passes and a per-frame
+    JVM array fold — zero shuffles; a compressed container would swap
+    the parser body for the codec call with the plumbing unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.synth_video_payload(d), stride=3
+    )
+    px = F.col("pixels")
+    idx = F.sequence(F.lit(0), F.size(px) - 1)
+
+    def ch_sum(c: int) -> Column:
+        masked = F.zip_with(
+            px,
+            idx,
+            lambda v, i: F.when(i % 3 == F.lit(c), v).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        return F.aggregate(
+            masked, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        ch_sum(0).alias("sum_r"),
+        ch_sum(1).alias("sum_g"),
+        ch_sum(2).alias("sum_b"),
+    )
 
 
 @register(

@@ -232,3 +232,150 @@ def test_decode_audio_rejects_compressed_and_foreign(spark):
         _decode_audio_payloads(spark, {1: bad})
     with pytest.raises(Exception):
         _decode_audio_payloads(spark, {1: b"OggS" + b"\x00" * 32})
+
+
+# ---------------------------------------------------------------------------
+# Video (RIFF/AVI) decode
+# ---------------------------------------------------------------------------
+
+def ref_avi(frames_rgb, w, h, declared_frames=None, compression=0):
+    """Independent RIFF/AVI packer from the spec: hdrl LIST with
+    avih/strh/strf, a JUNK chunk, movi LIST of bottom-up BGR padded
+    DIB frames, idx1 index. frames_rgb = list of flat top-down RGB
+    tensors. declared_frames lets a test lie in avih to exercise the
+    parser's frame-count cross-check."""
+    stride = (w * 3 + 3) // 4 * 4
+    dibs = []
+    for rgb in frames_rgb:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = rgb[3 * (y * w + x): 3 * (y * w + x) + 3]
+                row += bytes((b, g, r))
+            row += b"\x00" * (stride - 3 * w)
+            rows.append(bytes(row))
+        dibs.append(b"".join(rows))
+    n = len(dibs) if declared_frames is None else declared_frames
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII", 40000, 0, 0, 0x10, n, 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, 25, 0, n,
+                      stride * h, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h,
+        0, 0, 0, 0,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", d) for d in dibs))
+    idx1 = chunk(b"idx1", b"".join(
+        b"00db" + struct.pack("<III", 0x10, 4, len(d)) for d in dibs
+    ))
+    body = b"AVI " + hdrl + chunk(b"JUNK", b"\x00" * 6) + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _video_frames(spark, payloads, stride=1):
+    from air_quality_etl_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        list(payloads.items()), "doc_id long, payload binary"
+    )
+    out = {}
+    for r in sample_frames(df, stride=stride).collect():
+        out.setdefault(r["doc_id"], {})[r["frame_idx"]] = list(r["pixels"])
+    return out
+
+
+def test_avi_decode_known_tensor_from_independent_packer(spark):
+    """Hand-built AVI (independent packer, odd width -> real stride
+    padding, odd JUNK size -> pad byte) decodes to the exact tensors."""
+    w, h = 5, 3
+    f0 = list(range(3 * w * h))  # 0..44: distinct per position
+    f1 = [(200 + j) % 256 for j in range(3 * w * h)]
+    got = _video_frames(spark, {7: ref_avi([f0, f1], w, h)})
+    assert got == {7: {0: f0, 1: f1}}
+
+
+def test_avi_meta_reports_parsed_headers(spark):
+    from air_quality_etl_pipeline_spark.operators.multimodal import (
+        decode_meta,
+    )
+
+    w, h = 6, 4
+    payload = ref_avi([[0] * (3 * w * h)] * 5, w, h)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    r = decode_meta(df).collect()[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (w, h, 5)
+    assert r["byte_len"] == len(payload)
+
+
+def test_avi_frame_sampling_stride(spark):
+    w, h = 4, 2
+    frames = [[(f * 10 + j) % 256 for j in range(3 * w * h)] for f in range(7)]
+    got = _video_frames(spark, {1: ref_avi(frames, w, h)}, stride=3)
+    assert sorted(got[1]) == [0, 3, 6]
+    assert got[1][3] == frames[3]
+
+
+def test_avi_rejects_malformed(spark):
+    w, h = 4, 2
+    f = [[0] * (3 * w * h)]
+    good = ref_avi(f, w, h)
+    bad = {
+        "magic": b"RIFX" + good[4:],
+        "not_avi": good[:8] + b"WAVE" + good[12:],
+        # avih declares 3 frames, movi carries 1
+        "count": ref_avi(f, w, h, declared_frames=3),
+        # compressed stream (biCompression != 0)
+        "compressed": ref_avi(f, w, h, compression=1),
+        # RIFF size runs past the payload end
+        "truncated": good[:4] + struct.pack("<I", len(good) + 50) + good[8:],
+    }
+    for name, payload in bad.items():
+        df = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        from air_quality_etl_pipeline_spark.operators.multimodal import (
+            decode_meta,
+        )
+
+        with pytest.raises(Exception):
+            decode_meta(df).collect()
+
+
+def test_avi_synth_decodes_to_closed_form(spark):
+    """The synth path itself decodes back to the documented closed
+    form — packer and parser cannot share a hidden convention bug."""
+    from air_quality_etl_pipeline_spark.operators.multimodal import (
+        synth_video_payload,
+    )
+
+    ids = [0, 1, 2, 3, 4, 11, 123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in synth_video_payload(df).collect()
+    }
+    got = _video_frames(spark, payloads, stride=1)
+    for i in ids:
+        w, h, n = 8 + i % 5, 6 + i % 4, 2 + i % 9
+        stride = (w * 3 + 3) // 4 * 4
+        assert len(payloads[i]) == 244 + n * (24 + stride * h)
+        assert sorted(got[i]) == list(range(n))
+        for fidx in range(n):
+            want = [(i * 7 + fidx * 11 + j) % 256 for j in range(3 * w * h)]
+            assert got[i][fidx] == want
