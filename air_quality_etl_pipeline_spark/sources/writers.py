@@ -62,6 +62,22 @@ def save_table_append(df: DataFrame, name: str) -> None:
     df.write.mode("append").saveAsTable(name)
 
 
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — availability-gated on the external ``spark-avro``
+    module exactly like :func:`sources.readers.read_avro` (see there
+    for the classpath probe rationale)."""
+    from air_quality_etl_pipeline_spark.sources.readers import (
+        avro_available,
+    )
+
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; launch with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
 def copy_tables(
     spark: SparkSession, tables: dict[str, str]
 ) -> None:

@@ -243,3 +243,36 @@ def test_rest_param_grid_datasource(spark):
         for i in range(10)
     )
     assert total == expected
+
+
+# ---------------------------------------------------------------------------
+# Avro (availability-gated: spark-avro is an external module this
+# distribution doesn't ship — same gating pattern as the protobuf-less
+# transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+def test_avro_roundtrip_or_documented_gate(spark, tmp_path):
+    from air_quality_etl_pipeline_spark.sources.readers import (
+        avro_available,
+        read_avro,
+    )
+    from air_quality_etl_pipeline_spark.sources.writers import write_avro
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "avro_rt")
+    if not avro_available(spark):
+        # the gate must fail LOUDLY with the remediation, not with
+        # Spark's generic 'Failed to find data source'
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_avro(df, path)
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_avro(spark, path)
+        pytest.skip("spark-avro jar not in this distribution (documented)")
+    write_avro(df, path)
+    back = read_avro(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    assert back.schema == df.schema
