@@ -3669,7 +3669,23 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_running_sum,
     )
 
-    e = _events(spark, sf_dir)
+    # Collapse duplicate-(user, ts) peers BEFORE the window: session
+    # intervals are functions of the DISTINCT timestamps (sid
+    # boundaries, min/max ts per session are unchanged under peer
+    # dedup), and with peers gone the deterministic ROWS frame is
+    # safe again — the round-7 RANGE-frame fix solved the duplicate-ts
+    # nondeterminism but cost +30% (round-8 probe, SCALE.md
+    # "peak_concurrent_sessions adjudication"); this reformulation
+    # keeps the determinism and returns the cost. The dedup aggregate
+    # rides the window's own user_id exchange (HashPartitioning on
+    # user_id satisfies the (user_id, ts) clustering requirement), so
+    # it adds no shuffle.
+    e = (
+        _events(spark, sf_dir)
+        .select("user_id", "ts")
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "ts"])
+    )
     w = Window.partitionBy("user_id").orderBy("ts")
     marked = e.select(
         "user_id",
@@ -3683,16 +3699,10 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("new_sess"),
     )
-    # RANGE frame, not ROWS: a ROWS running sum splits a duplicate-ts
-    # peer group across two sids whenever the boundary row isn't first
-    # among its peers (arbitrary tie order on both engines) — the
-    # round-7 sf1 sweep caught the session variant of this. RANGE gives
-    # every peer the group's full sum, matching session_window's
-    # same-instant-same-session semantics deterministically.
     sess = marked.withColumn(
         "sid",
         F.sum("new_sess").over(
-            w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     ivals = sess.groupBy("user_id", "sid").agg(
