@@ -821,3 +821,75 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_component_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_cols: Sequence[str] = (),
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Connectivity-equivalent edge set for near-dup CLUSTERING — the
+    exact→near cascade with LINEAR star edges (round-8 measurement:
+    at 50 clones/doc the clique plan takes 4.67 s vs 1.46 s for this,
+    SCALE.md "clusters-family star-edge decision").
+
+    Exact clones are collapsed first, keyed by ``(block_cols, raw
+    md5(text))`` — the block columns MUST join the key, else identical
+    texts in different blocks would merge when :func:`simhash_pairs`
+    keeps them apart. The banded SimHash search then runs over
+    REPRESENTATIVES only, and each clone group contributes ``g − 1``
+    rep→member star edges instead of its ``g(g−1)/2`` clique: cliques
+    and stars connect the same vertex sets, and rep↔rep candidacy
+    transfers member↔member for byte-identical texts, so connected
+    components — and their min labels — are IDENTICAL to running
+    :func:`simhash_pairs` over the full corpus.
+
+    Returns ``(id_a, id_b)`` edges, NOT the verified pair relation:
+    pair COUNTS and per-pair scores differ from the clique form, so
+    consumers that report pairs themselves (``split_leakage_audit``'s
+    leaked-pair tallies, jaccard reports) must keep
+    :func:`simhash_pairs`; consumers that only need components
+    (``dedup_clusters``, ``dedup_canonical_docs``) should use this.
+
+    Scale: the collapse groupBy is one shuffle on the content key and
+    every downstream near-dup stage is distinct-text-sized — at web
+    corpus dup rates (30-60% exact clones, heavy-tailed group sizes)
+    the star rewrite is what keeps the edge RELATION linear in clone
+    count rather than quadratic.
+    """
+    key = [*(F.col(c) for c in block_cols), F.col(text_col)]
+    fpf = df.select(
+        id_col,
+        text_col,
+        *block_cols,
+        F.md5(F.concat_ws("\x1f", *key)).alias("_fp"),
+    )
+    groups = fpf.groupBy("_fp").agg(
+        F.min(
+            F.struct(
+                F.col(id_col),
+                F.col(text_col),
+                *[F.col(c) for c in block_cols],
+            )
+        ).alias("_r")
+    )
+    members = fpf.select(id_col, "_fp").join(
+        groups.select("_fp", F.col(f"_r.{id_col}").alias("_rep")), on="_fp"
+    )
+    reps = groups.select(
+        F.col(f"_r.{id_col}").alias(id_col),
+        F.col(f"_r.{text_col}").alias(text_col),
+        *[F.col(f"_r.{c}").alias(c) for c in block_cols],
+    )
+    rep_pairs = simhash_pairs(
+        reps, id_col, text_col, bits, max_hamming, block_cols, hash_family
+    ).select("id_a", "id_b")
+    star = members.filter(F.col(id_col) != F.col("_rep")).select(
+        F.least("_rep", F.col(id_col)).alias("id_a"),
+        F.greatest("_rep", F.col(id_col)).alias("id_b"),
+    )
+    return rep_pairs.unionByName(star)

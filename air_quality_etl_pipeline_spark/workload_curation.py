@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.functions.core import round_portable
-from air_quality_etl_pipeline_spark.operators.dedup import simhash_pairs
+from air_quality_etl_pipeline_spark.operators.dedup import (
+    simhash_component_edges,
+    simhash_pairs,
+)
 from air_quality_etl_pipeline_spark.operators.graph import dedup_clusters
 from air_quality_etl_pipeline_spark.operators.sampling import (
     hash_sample,
@@ -177,10 +180,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph iterates, and near-dup graphs are tiny relative to the
     corpus."""
     d = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(
+    # star-edge cascade (round 8): connectivity-equivalent edges with
+    # the clone cliques replaced by linear rep->member stars — 3.2x
+    # at 50 clones/doc, identical components/labels (SCALE.md
+    # "clusters-family star-edge decision"); split_leakage_audit keeps
+    # simhash_pairs because it reports the PAIR relation itself
+    edges = simhash_component_edges(
         d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
     )
-    return dedup_clusters(d, pairs, "doc_id")
+    return dedup_clusters(d, edges, "doc_id")
 
 
 #: the 80/10/10 split CASE over the salted doc-id hash — the SQL twin

@@ -25,7 +25,7 @@ from air_quality_etl_pipeline_spark.functions.core import round_portable
 from air_quality_etl_pipeline_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_pairs,
+    simhash_component_edges,
 )
 from air_quality_etl_pipeline_spark.operators.graph import connected_components
 from air_quality_etl_pipeline_spark.workload import _t, register
@@ -275,10 +275,12 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; the corpus relation is touched once for the join and once
     for the per-cluster window."""
     d = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(
+    # star-edge cascade (round 8): connectivity-equivalent, clone
+    # cliques -> linear stars; components and min labels identical
+    edges = simhash_component_edges(
         d, "doc_id", "text", bits=48, max_hamming=3, block_cols=["lang"]
     )
-    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+    comp = connected_components(edges, "id_a", "id_b").withColumnRenamed(
         "node", "doc_id"
     )
     decided = (

@@ -182,3 +182,60 @@ def test_bfs_matches_bruteforce(spark):
         for r in QUERIES["bfs_reach_3"][0](spark, sf).collect()
     }
     assert got == dist
+
+
+def test_star_edges_clustering_identical_to_clique_pairs(spark):
+    """simhash_component_edges (exact->near cascade, clone cliques
+    replaced by linear rep->member stars) must produce IDENTICAL
+    dedup_clusters output to the clique-pair plan — including across
+    the two subtleties the SCALE.md cautions record: identical texts
+    in DIFFERENT lang blocks must not merge, and near-dup (non-equal)
+    texts must still cluster through their representatives."""
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        simhash_component_edges,
+        simhash_pairs,
+    )
+    from air_quality_etl_pipeline_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # clone-heavy corpus: every doc x 6 verbatim clones, plus the
+    # cross-block trap — one doc's exact text under a different lang
+    clones = [
+        base.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(i * 100_000)).cast("bigint")
+        )
+        for i in range(6)
+    ]
+    corpus = clones[0]
+    for c in clones[1:]:
+        corpus = corpus.unionByName(c)
+    trap = base.limit(3).select(
+        (F.col("doc_id") + 900_000).cast("bigint").alias("doc_id"),
+        *[
+            F.lit("zz").alias(c) if c == "lang" else F.col(c)
+            for c in base.columns
+            if c != "doc_id"
+        ],
+    ).select(*corpus.columns)
+    corpus = corpus.unionByName(trap)
+
+    kw = dict(bits=48, max_hamming=3, block_cols=["lang"])
+    clique = dedup_clusters(
+        corpus,
+        simhash_pairs(corpus, "doc_id", "text", **kw),
+        "doc_id",
+    )
+    star = dedup_clusters(
+        corpus,
+        simhash_component_edges(corpus, "doc_id", "text", **kw),
+        "doc_id",
+    )
+    a = sorted(tuple(r) for r in clique.collect())
+    b = sorted(tuple(r) for r in star.collect())
+    assert a == b
+    # sanity: clones actually formed multi-member clusters
+    assert any(r[3] >= 6 for r in a)
