@@ -85,6 +85,8 @@ HEADLINE = [
     "dsir_importance_weights",
     "merge_full_sync",
     "aqi_category_days",
+    # round-8: real RIFF/AVI video decode (per-sampled-frame tensors)
+    "video_frame_stats",
 ]
 
 
