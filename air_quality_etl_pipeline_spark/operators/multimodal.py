@@ -77,6 +77,7 @@ def synth_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        import numpy as _np
         import pandas as _pd
 
         def chunk(cid: bytes, body: bytes) -> bytes:
@@ -89,22 +90,18 @@ def synth_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             n = 2 + doc_id % 9
             stride = (w * 3 + 3) // 4 * 4
             frames = []
+            j = _np.arange(3 * w * h, dtype=_np.int64)
             for f in range(n):
                 # logical top-down RGB tensor -> DIB wire layout:
                 # bottom-up rows, BGR byte order, stride padding
-                rgb = [
-                    (doc_id * 7 + f * 11 + j) % 256
-                    for j in range(3 * w * h)
-                ]
-                rows = []
-                for y in range(h - 1, -1, -1):
-                    row = bytearray()
-                    for x in range(w):
-                        r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
-                        row += bytes((b, g, r))
-                    row += b"\x00" * (stride - 3 * w)
-                    rows.append(bytes(row))
-                frames.append(b"".join(rows))
+                rgb = (
+                    ((doc_id * 7 + f * 11 + j) % 256)
+                    .astype(_np.uint8)
+                    .reshape(h, w, 3)
+                )
+                dib = _np.zeros((h, stride), dtype=_np.uint8)
+                dib[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)
+                frames.append(dib.tobytes())
             avih = struct.pack(
                 "<IIIIIIIIIIIIII",
                 33333, 0, 0, 0x10, n, 0, 1, stride * h, w, h, 0, 0, 0, 0,
@@ -162,6 +159,8 @@ def _avi_parser_source() -> str:
     closure keeps one canonical parser without a module reference)."""
     return '''
 import struct as _struct
+
+import numpy as _np
 
 
 def _u32(b, p):
@@ -235,13 +234,11 @@ def parse_avi(payload, want_frames):
     for f, dib in frames.items():
         if len(dib) != stride * h:
             raise ValueError("bad DIB frame size")
-        out = []
-        for y in range(h):
-            row = dib[(h - 1 - y) * stride :][: 3 * w]
-            for x in range(w):
-                b_, g_, r_ = row[3 * x : 3 * x + 3]
-                out.extend((r_, g_, b_))
-        decoded[f] = out
+        # DIB wire layout -> flat top-down RGB, vectorized: drop the
+        # stride padding, flip the bottom-up rows, swap BGR -> RGB
+        arr = _np.frombuffer(dib, dtype=_np.uint8).reshape(h, stride)
+        rgb = arr[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+        decoded[f] = rgb.reshape(-1).astype(_np.int64).tolist()
     return w, h, n, decoded
 '''
 
@@ -364,36 +361,39 @@ def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        import numpy as _np
         import pandas as _pd
 
         def ppm(pix: bytes, w: int, h: int) -> bytes:
             return b"P6\n%d %d\n255\n" % (w, h) + pix
 
         def bmp(pix: bytes, w: int, h: int) -> bytes:
+            # real wire format, built vectorized: bottom-up rows, BGR
+            # order, 4-byte stride padding
             stride = (w * 3 + 3) // 4 * 4
-            pad = b"\x00" * (stride - w * 3)
-            data = bytearray()
-            for y in range(h - 1, -1, -1):
-                row = pix[y * w * 3 : (y + 1) * w * 3]
-                for x in range(w):
-                    r, g, b = row[x * 3 : x * 3 + 3]
-                    data += bytes((b, g, r))
-                data += pad
+            rgb = _np.frombuffer(pix, dtype=_np.uint8).reshape(h, w, 3)
+            data = _np.zeros((h, stride), dtype=_np.uint8)
+            data[:, : 3 * w] = rgb[::-1, :, ::-1].reshape(h, 3 * w)
             header = struct.pack(
                 "<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54
             ) + struct.pack(
                 "<IiiHHIIiiII",
                 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
             )
-            return header + bytes(data)
+            return header + data.tobytes()
 
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf[id_col].astype("int64"):
                 doc_id = int(doc_id)
                 w, h = 8 + doc_id % 9, 8 + doc_id % 7
-                pix = bytes(
-                    (doc_id * 7 + j) % 256 for j in range(3 * w * h)
+                pix = (
+                    (
+                        (doc_id * 7 + _np.arange(3 * w * h, dtype=_np.int64))
+                        % 256
+                    )
+                    .astype(_np.uint8)
+                    .tobytes()
                 )
                 ids.append(doc_id)
                 payloads.append(
@@ -427,6 +427,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        import numpy as _np
         import pandas as _pd
 
         def parse(payload: bytes):
@@ -476,14 +477,25 @@ def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 top_down = h < 0
                 h = abs(h)
                 stride = (w * 3 + 3) // 4 * 4
-                out = []
-                for y in range(h):
-                    src_y = y if top_down else h - 1 - y
-                    row = payload[offset + src_y * stride :][: w * 3]
-                    for x in range(w):
-                        b, g, r = row[x * 3 : x * 3 + 3]
-                        out.extend((r, g, b))
-                return "bmp", w, h, out
+                if offset + stride * h > len(payload):
+                    raise ValueError("truncated BMP payload")
+                # vectorized DIB undo: drop stride padding, flip rows
+                # when bottom-up, swap BGR -> RGB
+                arr = _np.frombuffer(
+                    payload, dtype=_np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)
+                rgb = arr[:, : 3 * w].reshape(h, w, 3)
+                if not top_down:
+                    rgb = rgb[::-1]
+                return (
+                    "bmp",
+                    w,
+                    h,
+                    rgb[:, :, ::-1]
+                    .reshape(-1)
+                    .astype(_np.int64)
+                    .tolist(),
+                )
             raise ValueError(f"unknown image magic {payload[:2]!r}")
 
         for pdf in batches:
@@ -532,10 +544,11 @@ def synth_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
+        import numpy as _np
         import pandas as _pd
 
         def wav(samples, rate: int) -> bytes:
-            data = b"".join(struct.pack("<h", s) for s in samples)
+            data = samples.astype("<i2").tobytes()
             fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
             meta = b"INFOICMT" + struct.pack("<I", 4) + b"synt"
             chunks = (
@@ -552,10 +565,10 @@ def synth_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 doc_id = int(doc_id)
                 n = 256 + doc_id % 128
                 rate = 8000 + (doc_id % 3) * 4000
-                samples = [
-                    ((doc_id * 13 + j * 7) % 65536) - 32768
-                    for j in range(n)
-                ]
+                samples = (
+                    (doc_id * 13 + _np.arange(n, dtype=_np.int64) * 7)
+                    % 65536
+                ) - 32768
                 ids.append(doc_id)
                 payloads.append(wav(samples, rate))
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
