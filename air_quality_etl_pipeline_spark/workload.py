@@ -1201,6 +1201,9 @@ REBUILD_PURE_QUERIES: set[str] = {
     # aggregate asserting no target key matches >1 source rows) is
     # MERGE's own validation work — samples must pay it
     "merge_full_sync",
+    # same, plus the general-path qualifying-count probe over the
+    # fan-out join (duplicate source keys by design)
+    "merge_multi_clause",
 }
 SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 

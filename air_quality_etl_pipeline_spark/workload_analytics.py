@@ -521,6 +521,99 @@ def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_multi_clause",
+    """
+    WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderkey % 7 <> 0),
+    s0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 3 = 0),
+    src AS (SELECT * FROM s0
+            UNION ALL
+            SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice FROM s0),
+    merged AS (
+      SELECT s.* FROM s0 s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      WHERE s.o_orderstatus = 'O'
+      UNION ALL
+      SELECT t.* FROM tgt t JOIN s0 s ON s.o_orderkey = t.o_orderkey
+      WHERE s.o_orderstatus NOT IN ('O', 'F')
+      UNION ALL
+      SELECT t.* FROM tgt t
+      WHERE NOT EXISTS (SELECT 1 FROM s0 s
+                        WHERE s.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT s.* FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM tgt t
+                        WHERE t.o_orderkey = s.o_orderkey))
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's ORDERED multi-clause WHEN MATCHED form, driven through
+    the GENERAL (fan-out) path of ``plans/merge.merge_apply``: the
+    source deliberately carries TWO rows per key (the real correction
+    plus a disqualified 'X' shadow copy), so duplicate matched keys
+    coexist with clause conditions — the exact shape where the
+    round-8 Delta-exact probe must count QUALIFYING rows per target
+    row (the shadow never qualifies, so no error) and first-match-wins
+    must pick the right clause per source row. Clause 1 updates open
+    orders ('O'), clause 2 deletes finished ones ('F'), anything else
+    matched falls through to keep; unmatched source rows — BOTH copies
+    — insert, per Delta. The oracle spells the same matrix as UNION
+    ALL branches over the qualifying relation.
+
+    Scale: one key shuffle for the fan-out join + one for the
+    per-target-row reduction; the duplicate probe is a scalar
+    aggregate on the same join (billed per sample via
+    REBUILD_PURE_QUERIES, like merge_full_sync's)."""
+    o = _t(spark, sf_dir, "orders")
+    tgt = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    s0 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    # both copies from ONE scan (explode, not union — a union would
+    # double every downstream source scan and trip the repeated-scan
+    # fence: merge_apply legitimately reads the source twice, fan-out
+    # join + insert anti-join, so the input must stay single-scan)
+    src = s0.select(
+        F.explode(
+            F.array(
+                F.struct("o_orderkey", "o_orderstatus", "o_totalprice"),
+                F.struct(
+                    F.col("o_orderkey"),
+                    F.lit("X").alias("o_orderstatus"),
+                    F.col("o_totalprice"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    merged = merge_apply(
+        tgt,
+        src,
+        ["o_orderkey"],
+        matched_clauses=[
+            {
+                "action": "update",
+                "condition": lambda t, s: s["o_orderstatus"] == "O",
+            },
+            {
+                "action": "delete",
+                "condition": lambda t, s: s["o_orderstatus"] == "F",
+            },
+        ],
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
     "set_ops_cohorts",
     """
     WITH a AS (SELECT DISTINCT o_custkey FROM orders
