@@ -95,6 +95,8 @@ def merge_apply(
     not_matched_by_source_set: dict | None = None,
     check_multiple_matches: bool = True,
     matched_clauses: Sequence[dict] | None = None,
+    not_matched_clauses: Sequence[dict] | None = None,
+    not_matched_by_source_clauses: Sequence[dict] | None = None,
 ) -> DataFrame:
     """Delta Lake's full MERGE clause matrix as ONE pure-Spark plan —
     the general form of :func:`merge_insert_if_absent` (insert-only)
@@ -128,6 +130,18 @@ def merge_apply(
       ``matched_set`` trio (which normalizes to a one-element list).
       Per Delta's rule, every clause but the last must carry a
       condition (an unconditional clause makes later ones dead).
+    * ``not_matched_clauses``: Delta's ordered conditional
+      ``whenNotMatchedInsert`` list — ``{"condition": fn|None,
+      "values": dict|None}`` per clause, first match wins per
+      source-only row, no matching clause drops the row. ``values``
+      is Delta's explicit ``INSERT (col) VALUES (expr)`` form,
+      ``{col: lambda s: expr}`` with UNLISTED columns NULL (unlike
+      UPDATE SET, there is no target row to inherit from); ``None``
+      means ``INSERT *``. Overrides the legacy ``when_not_matched``/
+      ``not_matched_condition`` pair.
+    * ``not_matched_by_source_clauses``: same ordered form for the
+      by-source side — ``{"action": "update"|"delete", "condition":
+      fn|None, "set": dict|None}``; overrides the legacy trio.
     * ``check_multiple_matches``: Delta errors when the same target
       row would ACTUALLY be modified by more than one source row
       (``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``) — matched
@@ -181,14 +195,57 @@ def merge_apply(
                 "only the LAST whenMatched clause may be unconditional "
                 "(Delta's rule; later clauses would be dead)"
             )
-    if when_not_matched_by_source == "update" and (
-        not_matched_by_source_set is None
-    ):
-        raise ValueError(
-            "when_not_matched_by_source='update' requires "
-            "not_matched_by_source_set (Delta's UPDATE SET form; "
-            "there is no source row for SET *)"
+    if not_matched_clauses is None:
+        not_matched_clauses = (
+            []
+            if when_not_matched is None
+            else [{"condition": not_matched_condition, "values": None}]
         )
+    nm_clauses = [
+        {"condition": c.get("condition"), "values": c.get("values")}
+        for c in not_matched_clauses
+    ]
+    if not_matched_by_source_clauses is None:
+        not_matched_by_source_clauses = (
+            []
+            if when_not_matched_by_source is None
+            else [
+                {
+                    "action": when_not_matched_by_source,
+                    "condition": not_matched_by_source_condition,
+                    "set": not_matched_by_source_set,
+                }
+            ]
+        )
+    nmbs_clauses = [
+        {
+            "action": c["action"],
+            "condition": c.get("condition"),
+            "set": c.get("set"),
+        }
+        for c in not_matched_by_source_clauses
+    ]
+    for label, lst in (
+        ("whenNotMatched", nm_clauses),
+        ("whenNotMatchedBySource", nmbs_clauses),
+    ):
+        for i, c in enumerate(lst):
+            if c["condition"] is None and i < len(lst) - 1:
+                raise ValueError(
+                    f"only the LAST {label} clause may be unconditional "
+                    "(Delta's rule; later clauses would be dead)"
+                )
+    for c in nmbs_clauses:
+        if c["action"] not in ("update", "delete"):
+            raise ValueError(
+                f"unknown not-matched-by-source action {c['action']!r}"
+            )
+        if c["action"] == "update" and c["set"] is None:
+            raise ValueError(
+                "not-matched-by-source 'update' requires a set map "
+                "(Delta's UPDATE SET form; there is no source row for "
+                "SET *)"
+            )
 
     def cond(c, *args):
         return F.lit(True) if c is None else c(*args)
@@ -356,33 +413,58 @@ def merge_apply(
         # matched but no clause qualified → Delta fall-through: keep
         chooser = chooser.when(F.col("_m") == 1, tt)
         base = per_t
-    if when_not_matched_by_source == "delete":
-        chooser = chooser.when(
-            cond(not_matched_by_source_condition, ts), null_row
-        ).otherwise(ts)
-    elif when_not_matched_by_source == "update":
-        chooser = chooser.when(
-            cond(not_matched_by_source_condition, ts),
-            with_sets(ts, not_matched_by_source_set, ts),
-        ).otherwise(ts)
-    else:
-        chooser = chooser.otherwise(ts)
+    # NOT MATCHED BY SOURCE: ordered first-match-wins clause chain over
+    # the target-only rows (the earlier matched whens already captured
+    # matched rows, so these whens only ever see unmatched ones)
+    for c in nmbs_clauses:
+        val = (
+            null_row
+            if c["action"] == "delete"
+            else with_sets(ts, c["set"], ts)
+        )
+        chooser = chooser.when(cond(c["condition"], ts), val)
+    chooser = chooser.otherwise(ts)
     kept = (
         base.select(chooser.alias("_r"))
         .filter(F.col("_r").isNotNull())
         .select(*[F.col("_r")[c].alias(c) for c in tcols])
     )
     # Insert pass: ALL source rows on unmatched keys (duplicates all
-    # insert, per Delta), straight from the raw source via anti-join.
-    if when_not_matched == "insert":
+    # insert, per Delta), straight from the raw source via anti-join;
+    # ordered first-match-wins over the insert clauses, no matching
+    # clause drops the row. Explicit VALUES maps leave unlisted
+    # columns NULL (Delta's INSERT (cols) VALUES form).
+    if nm_clauses:
         fresh = source.join(
             target.select(*key_list), on=key_list, how="left_anti"
         )
-        if not_matched_condition is not None:
-            fresh = fresh.filter(
-                not_matched_condition(F.struct(*[F.col(c) for c in tcols]))
-            )
-        kept = kept.unionByName(fresh.select(*tcols))
+        s_struct = F.struct(*[F.col(c) for c in tcols])
+        tgt_types = {f.name: f.dataType for f in target.schema.fields}
+        ins = None
+        for c in nm_clauses:
+            if c["values"] is None:
+                val = s_struct
+            else:
+                val = F.struct(
+                    *[
+                        (
+                            c["values"][col](s_struct)
+                            .cast(tgt_types[col])
+                            .alias(col)
+                            if col in c["values"]
+                            else F.lit(None).cast(tgt_types[col]).alias(col)
+                        )
+                        for col in tcols
+                    ]
+                )
+            w = cond(c["condition"], s_struct)
+            ins = F.when(w, val) if ins is None else ins.when(w, val)
+        inserted = (
+            fresh.select(ins.alias("_i"))
+            .filter(F.col("_i").isNotNull())
+            .select(*[F.col("_i")[c].alias(c) for c in tcols])
+        )
+        kept = kept.unionByName(inserted)
     return kept
 
 

@@ -74,6 +74,8 @@ def ref_merge(
     matched_set=None,
     not_matched_by_source_set=None,
     matched_clauses=None,
+    not_matched_clauses=None,
+    not_matched_by_source_clauses=None,
 ):
     """Independent implementation of the documented matrix over row
     tuples (keys_idx = positions of the key columns; set maps are
@@ -102,6 +104,24 @@ def ref_merge(
                     "action": when_matched,
                     "condition": matched_condition,
                     "set": matched_set,
+                }
+            ]
+        )
+    if not_matched_clauses is None:
+        not_matched_clauses = (
+            []
+            if when_not_matched is None
+            else [{"condition": not_matched_condition, "values": None}]
+        )
+    if not_matched_by_source_clauses is None:
+        not_matched_by_source_clauses = (
+            []
+            if when_not_matched_by_source is None
+            else [
+                {
+                    "action": when_not_matched_by_source,
+                    "condition": not_matched_by_source_condition,
+                    "set": not_matched_by_source_set,
                 }
             ]
         )
@@ -139,24 +159,32 @@ def ref_merge(
             else:
                 out.append(trow)
         else:
-            fires = when_not_matched_by_source in ("delete", "update") and (
-                not_matched_by_source_condition is None
-                or not_matched_by_source_condition(trow)
-            )
-            if fires and when_not_matched_by_source == "update":
-                out.append(
-                    apply_sets(trow, not_matched_by_source_set, trow)
-                )
-            elif not fires:
+            fired = False
+            for c in not_matched_by_source_clauses:
+                if c.get("condition") is None or c["condition"](trow):
+                    fired = True
+                    if c["action"] == "update":
+                        out.append(apply_sets(trow, c["set"], trow))
+                    # delete: drop
+                    break
+            if not fired:
                 out.append(trow)
     for srow in source:
         k = key(srow)
         if matchable(k) and k in matched_keys:
             continue
-        if when_not_matched == "insert" and (
-            not_matched_condition is None or not_matched_condition(srow)
-        ):
-            out.append(srow)
+        for c in not_matched_clauses:
+            if c.get("condition") is None or c["condition"](srow):
+                if c.get("values") is None:
+                    out.append(srow)
+                else:
+                    out.append(
+                        tuple(
+                            c["values"][i](srow) if i in c["values"] else None
+                            for i in range(len(srow))
+                        )
+                    )
+                break
     return sorted(out, key=str)
 
 
@@ -330,6 +358,67 @@ MATRIX = [
             when_not_matched_by_source="delete",
         ),
     ),
+    (
+        # ordered INSERT clauses: s6 gets an explicit VALUES map
+        # (unlisted target columns -> NULL), everything else INSERT *
+        "two_clause_insert_values_then_all",
+        dict(
+            when_matched=None,
+            not_matched_clauses=[
+                {
+                    "condition": VAL_S6_T,
+                    "values": {
+                        "k": lambda s: s["k"],
+                        "ver": lambda s: s["ver"] + 90,
+                    },
+                },
+                {"condition": None},
+            ],
+        ),
+        dict(
+            when_matched=None,
+            not_matched_clauses=[
+                {
+                    "condition": VAL_S6_PY,
+                    "values": {0: lambda sr: sr[0], 1: lambda sr: sr[1] + 90},
+                },
+                {"condition": None},
+            ],
+        ),
+    ),
+    (
+        # conditional insert list with NO unconditional tail: rows
+        # matching no clause are dropped, per Delta
+        "insert_clause_list_drops_unmatched",
+        dict(
+            when_matched=None,
+            not_matched_clauses=[{"condition": VAL_S6_T}],
+        ),
+        dict(
+            when_matched=None,
+            not_matched_clauses=[{"condition": VAL_S6_PY}],
+        ),
+    ),
+    (
+        # ordered NOT MATCHED BY SOURCE clauses: ver=5 rows delete,
+        # the rest tombstone via UPDATE SET
+        "two_clause_nmbs_delete_then_set",
+        dict(
+            not_matched_by_source_clauses=[
+                {"action": "delete", "condition": VER5_T},
+                {
+                    "action": "update",
+                    "set": {"val": lambda t: F.lit("stale")},
+                },
+            ],
+        ),
+        dict(
+            not_matched_by_source_clauses=[
+                {"action": "delete", "condition": VER5_PY},
+                {"action": "update", "set": {2: lambda tr: "stale"}},
+            ],
+        ),
+    ),
 ]
 
 
@@ -411,6 +500,26 @@ def test_non_last_unconditional_clause_rejected(spark):
             matched_clauses=[
                 {"action": "update"},
                 {"action": "delete", "condition": NEWER_T},
+            ],
+        )
+    with pytest.raises(ValueError, match="unconditional"):
+        merge_apply(
+            t,
+            s,
+            ["k"],
+            not_matched_clauses=[
+                {"condition": None},
+                {"condition": VAL_S6_T},
+            ],
+        )
+    with pytest.raises(ValueError, match="unconditional"):
+        merge_apply(
+            t,
+            s,
+            ["k"],
+            not_matched_by_source_clauses=[
+                {"action": "delete"},
+                {"action": "delete", "condition": VER5_T},
             ],
         )
 
