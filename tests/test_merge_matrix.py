@@ -618,6 +618,146 @@ def test_merge_property_matches_reference(spark, target, source, clauses):
     assert got == want
 
 
+_cl_matched = st.lists(
+    st.fixed_dictionaries(
+        {
+            "action": st.sampled_from(["update", "delete"]),
+            "cond": st.sampled_from(["newer", "ver5", None]),
+        }
+    ),
+    max_size=3,
+)
+_cl_insert = st.lists(
+    st.fixed_dictionaries(
+        {
+            "cond": st.sampled_from(["s6", "ver5s", None]),
+            "values": st.booleans(),
+        }
+    ),
+    max_size=2,
+)
+_cl_nmbs = st.lists(
+    st.fixed_dictionaries(
+        {
+            "action": st.sampled_from(["update", "delete"]),
+            "cond": st.sampled_from(["ver5t", None]),
+        }
+    ),
+    max_size=2,
+)
+
+_MC_T = {"newer": NEWER_T, "ver5": lambda t, s: t["ver"] == F.lit(5)}
+_MC_PY = {"newer": NEWER_PY, "ver5": lambda tr, sr: tr[1] == 5}
+_IC_T = {"s6": VAL_S6_T, "ver5s": lambda s: s["ver"] >= 5}
+_IC_PY = {"s6": VAL_S6_PY, "ver5s": lambda sr: sr[1] >= 5}
+_NC_T = {"ver5t": VER5_T}
+_NC_PY = {"ver5t": VER5_PY}
+
+
+def _legalize(clauses):
+    """Delta's rule: drop everything after the first unconditional
+    clause so generated lists are always legal."""
+    out = []
+    for c in clauses:
+        out.append(c)
+        if c["cond"] is None:
+            break
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    target=st.lists(_row, max_size=8),
+    source=st.lists(_row, max_size=8),
+    mc=_cl_matched,
+    ic=_cl_insert,
+    nc=_cl_nmbs,
+)
+def test_merge_clause_lists_property_matches_reference(
+    spark, target, source, mc, ic, nc
+):
+    """Random ordered clause lists on all three sides == reference
+    (first-match-wins, qualifying-row probe, VALUES-map inserts)."""
+    mc, ic, nc = _legalize(mc), _legalize(ic), _legalize(nc)
+    skw = dict(
+        matched_clauses=[
+            {"action": c["action"], "condition": _MC_T.get(c["cond"])}
+            for c in mc
+        ],
+        not_matched_clauses=[
+            {
+                "condition": _IC_T.get(c["cond"]),
+                "values": (
+                    {"k": lambda s: s["k"], "ver": lambda s: s["ver"] + 50}
+                    if c["values"]
+                    else None
+                ),
+            }
+            for c in ic
+        ],
+        not_matched_by_source_clauses=[
+            {
+                "action": c["action"],
+                "condition": _NC_T.get(c["cond"]),
+                "set": (
+                    {"val": lambda t: F.lit("x")}
+                    if c["action"] == "update"
+                    else None
+                ),
+            }
+            for c in nc
+        ],
+    )
+    rkw = dict(
+        matched_clauses=[
+            {"action": c["action"], "condition": _MC_PY.get(c["cond"])}
+            for c in mc
+        ],
+        not_matched_clauses=[
+            {
+                "condition": _IC_PY.get(c["cond"]),
+                "values": (
+                    {0: lambda sr: sr[0], 1: lambda sr: sr[1] + 50}
+                    if c["values"]
+                    else None
+                ),
+            }
+            for c in ic
+        ],
+        not_matched_by_source_clauses=[
+            {
+                "action": c["action"],
+                "condition": _NC_PY.get(c["cond"]),
+                "set": (
+                    {2: lambda tr: "x"} if c["action"] == "update" else None
+                ),
+            }
+            for c in nc
+        ],
+    )
+    t = spark.createDataFrame(target, SCHEMA) if target else (
+        spark.createDataFrame([], SCHEMA)
+    )
+    s = spark.createDataFrame(source, SCHEMA) if source else (
+        spark.createDataFrame([], SCHEMA)
+    )
+    try:
+        want = ref_merge(target, source, [0], **rkw)
+    except MergeMultipleMatchesError:
+        with pytest.raises(MergeMultipleMatchesError):
+            merge_apply(t, s, ["k"], **skw).collect()
+        return
+    got = sorted(
+        (tuple(r) for r in merge_apply(t, s, ["k"], **skw).collect()),
+        key=str,
+    )
+    assert got == want
+
+
 def test_merge_into_table_fallback_insert_if_absent(spark, tmp_path):
     """Catalog-table MERGE on the non-Delta path: insert-if-absent
     semantics, idempotent on re-run (the fallback must never
