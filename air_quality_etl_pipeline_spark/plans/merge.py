@@ -97,6 +97,7 @@ def merge_apply(
     matched_clauses: Sequence[dict] | None = None,
     not_matched_clauses: Sequence[dict] | None = None,
     not_matched_by_source_clauses: Sequence[dict] | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Delta Lake's full MERGE clause matrix as ONE pure-Spark plan —
     the general form of :func:`merge_insert_if_absent` (insert-only)
@@ -153,6 +154,15 @@ def merge_apply(
       Delta does, billed to the caller's first action. Multiple source
       rows on an UNMATCHED key are fine and all insert, as in Delta.
 
+    * ``schema_evolution``: Delta's ``withSchemaEvolution()`` —
+      source columns ABSENT from the target are appended to the
+      output schema (in source order, after the target's columns);
+      pre-existing target rows, fall-through keeps, and
+      by-source updates carry NULL there, while ``UPDATE SET *`` /
+      ``INSERT *`` rows carry the source values. Target-only columns
+      are untouched (source rows insert NULL there, as without
+      evolution). Key columns must exist on both sides regardless.
+
     Condition callables receive struct columns (``t``, ``s``) so one
     expression can reference both sides, e.g.
     ``lambda t, s: s["updated_at"] > t["updated_at"]``.
@@ -165,6 +175,25 @@ def merge_apply(
     MERGE's own join phase. At 100 TB both sides would be bucketed by
     the key so the joins run exchange-free.
     """
+    if schema_evolution:
+        # Delta withSchemaEvolution(): widen the TARGET with the
+        # source-only columns (as NULL of the source's type, appended
+        # in source order); everything downstream — SET-* structs,
+        # insert structs, NULL rows — then flows through the widened
+        # schema unchanged. Source-side alignment to the widened
+        # column set happens in the existing t_struct/insert logic,
+        # which selects by target column name (source rows without a
+        # target-only column get NULL there via the select below).
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        extra = [c for c in source.columns if c not in target.columns]
+        for c in extra:
+            target = target.withColumn(c, F.lit(None).cast(src_types[c]))
+        missing_in_src = [c for c in target.columns if c not in source.columns]
+        for c in missing_in_src:
+            tgt_type = dict(
+                (f.name, f.dataType) for f in target.schema.fields
+            )[c]
+            source = source.withColumn(c, F.lit(None).cast(tgt_type))
     tcols = list(target.columns)
     key_list = list(keys)
     if matched_clauses is None:

@@ -778,3 +778,44 @@ def test_merge_into_table_fallback_insert_if_absent(spark, tmp_path):
     got2 = sorted(tuple(r) for r in spark.table(table).collect())
     assert got2 == got
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_merge_schema_evolution(spark):
+    """Delta withSchemaEvolution(): source-only columns append to the
+    output schema; pre-existing target rows carry NULL there, updated
+    and inserted rows carry the source values; a source missing a
+    target column inserts NULL there (Delta's evolved INSERT *)."""
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    s = spark.createDataFrame(
+        [(2, "B", 9), (3, "c", 7)], "k long, v string, extra long"
+    )
+    out = merge_apply(t, s, ["k"], schema_evolution=True)
+    assert out.columns == ["k", "v", "extra"]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9), 3: ("c", 7)}
+    # without evolution the extra source column is simply ignored
+    out2 = merge_apply(t, s, ["k"])
+    assert out2.columns == ["k", "v"]
+    # source missing a target column: evolved INSERT * fills NULL
+    s2 = spark.createDataFrame([(3, 5), (2, 6)], "k long, extra long")
+    out3 = merge_apply(
+        t, s2, ["k"], when_matched=None, schema_evolution=True
+    )
+    rows3 = {r["k"]: (r["v"], r["extra"]) for r in out3.collect()}
+    assert rows3 == {1: ("a", None), 2: ("b", None), 3: (None, 5)}
+    # conditional matched clause + evolution rides the general path
+    # when source keys duplicate: the qualifying row's evolved value
+    # wins, the disqualified shadow neither errors nor wins
+    s3 = spark.createDataFrame(
+        [(2, "B", 9), (2, "shadow", 1)], "k long, v string, extra long"
+    )
+    out4 = merge_apply(
+        t,
+        s3,
+        ["k"],
+        matched_condition=lambda tt, ss: ss["v"] == "B",
+        when_not_matched=None,
+        schema_evolution=True,
+    )
+    rows4 = {r["k"]: (r["v"], r["extra"]) for r in out4.collect()}
+    assert rows4 == {1: ("a", None), 2: ("B", 9)}
