@@ -46,6 +46,12 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES:
+            # a silent overwrite detaches the name from its driver
+            # receipts and drops the old query's coverage on the floor
+            # (round 8 nearly shipped exactly that: a new
+            # 'cdc_apply_latest' shadowing the round-5 one)
+            raise ValueError(f"query {name!r} is already registered")
         QUERIES[name] = (fn, oracle)
         return fn
 

@@ -48,6 +48,7 @@ from air_quality_etl_pipeline_spark.functions.portable_math import (
     sql_dec38_to_double,
 )
 from air_quality_etl_pipeline_spark.plans.merge import (
+    apply_cdc,
     merge_apply,
     table_diff,
     upsert_replace,
@@ -610,6 +611,76 @@ def q_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "cdc_apply_snapshot",
+    """
+    WITH tgt AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 7 <> 0),
+    ch AS (SELECT l_orderkey AS o_orderkey, l_linenumber AS seq,
+                  CASE WHEN l_returnflag = 'R' THEN 'delete'
+                       ELSE 'upsert' END AS op,
+                  l_extendedprice AS o_totalprice
+           FROM lineitem),
+    latest AS (SELECT o_orderkey, op, o_totalprice FROM (
+        SELECT o_orderkey, op, o_totalprice,
+               -- apply_cdc's winner is max(struct(seq, op, payload)),
+               -- a TOTAL order; the testdata's seq is NOT unique per
+               -- key, so the tie-break columns must be spelled out
+               -- here too or the engines pick different winners
+               row_number() OVER (PARTITION BY o_orderkey
+                 ORDER BY seq DESC, op DESC, o_totalprice DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    applied AS (
+      SELECT t.o_orderkey, t.o_totalprice FROM tgt t
+      WHERE NOT EXISTS (SELECT 1 FROM latest l
+                        WHERE l.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM latest WHERE op <> 'delete')
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM applied GROUP BY 1
+    """,
+)
+def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply, latest-wins (Delta Live Tables ``APPLY CHANGES
+    INTO``, SCD-1): the lineitem table plays a change feed — each line
+    of an order is a change keyed by ``l_orderkey``, sequenced by
+    ``l_linenumber``, with returned lines ('R') as tombstones — and
+    ``plans/merge.apply_cdc`` replays it against an orders snapshot:
+    the highest-sequence change per key decides (delete drops the key,
+    anything else upserts its payload). The oracle resolves the same
+    winners with a row_number window and applies them as UNION ALL
+    branches.
+
+    Scale: one key shuffle for the winner aggregate (map-side partial
+    max — no window over the feed), anti-join on the same key; the
+    feed collapses to key cardinality before it meets the target."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    tgt = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    changes = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_returnflag") == "R", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("l_extendedprice").alias("o_totalprice"),
+    )
+    applied = apply_cdc(
+        tgt, changes, ["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return applied.groupBy(
+        (F.col("o_orderkey") % 10).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum("o_totalprice", "sum_price"),
     )
 
 

@@ -819,3 +819,35 @@ def test_merge_schema_evolution(spark):
     )
     rows4 = {r["k"]: (r["v"], r["extra"]) for r in out4.collect()}
     assert rows4 == {1: ("a", None), 2: ("B", 9)}
+
+
+def test_apply_cdc_latest_wins(spark):
+    """DLT APPLY CHANGES INTO semantics: highest-sequence change per
+    key decides; delete drops, upsert updates/inserts; superseded and
+    out-of-order changes are absorbed; duplicate sequence numbers
+    resolve by the documented total order (max over the full change
+    struct), deterministically."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "A1"),
+            (1, 2, "delete", None),   # latest for key 1: delete
+            (2, 5, "upsert", "B5"),
+            (2, 3, "delete", None),   # superseded delete: absorbed
+            (4, 1, "upsert", "D1"),   # unseen key: insert
+            (5, 1, "delete", None),   # delete of unseen key: no-op
+            (6, 7, "upsert", "Xa"),  # duplicate seq: the total order
+            (6, 7, "upsert", "Xb"),  # over (seq, op, v) picks 'Xb'
+        ],
+        "k long, seq long, op string, v string",
+    )
+    out = apply_cdc(t, ch, ["k"], seq_col="seq", op_col="op")
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {2: "B5", 3: "c", 4: "D1", 6: "Xb"}
+    # idempotent: replaying the same feed changes nothing
+    again = apply_cdc(out, ch, ["k"], seq_col="seq", op_col="op")
+    assert {r["k"]: r["v"] for r in again.collect()} == rows
