@@ -851,3 +851,15 @@ def test_apply_cdc_latest_wins(spark):
     # idempotent: replaying the same feed changes nothing
     again = apply_cdc(out, ch, ["k"], seq_col="seq", op_col="op")
     assert {r["k"]: r["v"] for r in again.collect()} == rows
+
+
+def test_duplicate_query_registration_raises():
+    """register() must refuse a name that is already registered — a
+    silent overwrite detaches the name from its driver receipts
+    (round 8: a new 'cdc_apply_latest' nearly shadowed the round-5
+    log-replay query of the same name)."""
+    from air_quality_etl_pipeline_spark.workload import QUERIES, register
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="already registered"):
+        register(existing, None)(lambda spark, sf: None)
