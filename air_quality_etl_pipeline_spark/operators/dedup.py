@@ -861,14 +861,29 @@ def simhash_component_edges(
     the star rewrite is what keeps the edge RELATION linear in clone
     count rather than quadratic.
     """
-    key = [*(F.col(c) for c in block_cols), F.col(text_col)]
-    fpf = df.select(
-        id_col,
-        text_col,
-        *block_cols,
-        F.md5(F.concat_ws("\x1f", *key)).alias("_fp"),
+    # Injective, null-safe clone fingerprint (round-8 advisor fix):
+    # each key component is LENGTH-PREFIXED before hashing, so a text
+    # containing a would-be separator can never collide across blocks
+    # (concat_ws's '\x1f' form was ambiguous), and F.concat (not
+    # concat_ws) makes the fingerprint NULL when ANY component is NULL
+    # — those rows pass through ungrouped, matching simhash_pairs'
+    # equi-join blocking, where NULL block values never match anything.
+    def _len_prefixed(c):
+        col = F.col(c).cast("string")
+        return F.concat(F.lpad(F.length(col).cast("string"), 10, "0"), col)
+
+    fp = F.md5(
+        F.concat(*[_len_prefixed(c) for c in [*block_cols, text_col]])
     )
-    groups = fpf.groupBy("_fp").agg(
+    fpf = df.select(id_col, text_col, *block_cols, fp.alias("_fp"))
+    clonable = fpf.filter(F.col("_fp").isNotNull())
+    # NULL-keyed rows can never pair (simhash_pairs drops them in the
+    # block equi-join) — they stay their own representatives and
+    # contribute no star edges
+    singletons = fpf.filter(F.col("_fp").isNull()).select(
+        id_col, text_col, *block_cols
+    )
+    groups = clonable.groupBy("_fp").agg(
         F.min(
             F.struct(
                 F.col(id_col),
@@ -877,14 +892,14 @@ def simhash_component_edges(
             )
         ).alias("_r")
     )
-    members = fpf.select(id_col, "_fp").join(
+    members = clonable.select(id_col, "_fp").join(
         groups.select("_fp", F.col(f"_r.{id_col}").alias("_rep")), on="_fp"
     )
     reps = groups.select(
         F.col(f"_r.{id_col}").alias(id_col),
         F.col(f"_r.{text_col}").alias(text_col),
         *[F.col(f"_r.{c}").alias(c) for c in block_cols],
-    )
+    ).unionByName(singletons)
     rep_pairs = simhash_pairs(
         reps, id_col, text_col, bits, max_hamming, block_cols, hash_family
     ).select("id_a", "id_b")

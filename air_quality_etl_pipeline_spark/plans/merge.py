@@ -175,6 +175,7 @@ def merge_apply(
     MERGE's own join phase. At 100 TB both sides would be bucketed by
     the key so the joins run exchange-free.
     """
+    src_orig_cols = list(source.columns)
     if schema_evolution:
         # Delta withSchemaEvolution(): widen the TARGET with the
         # source-only columns (as NULL of the source's type, appended
@@ -216,6 +217,21 @@ def merge_apply(
         }
         for c in matched_clauses
     ]
+    if schema_evolution:
+        # Delta's updateAll under withSchemaEvolution(): UPDATE SET *
+        # expands over the source's ORIGINAL columns only — target
+        # columns the source never had keep the TARGET value (only
+        # insertAll fills NULL there). Without this, the NULL padding
+        # above would leak into matched rows (round-8 advisor fix):
+        # rewrite set=None as the equivalent explicit set map.
+        set_star = {
+            c: (lambda t, s, _c=c: s[_c])
+            for c in src_orig_cols
+            if c not in key_list
+        }
+        for c in clauses:
+            if c["action"] == "update" and c["set"] is None:
+                c["set"] = set_star
     for i, c in enumerate(clauses):
         if c["action"] not in ("update", "delete"):
             raise ValueError(f"unknown matched action {c['action']!r}")

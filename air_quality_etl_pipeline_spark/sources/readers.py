@@ -100,8 +100,20 @@ def avro_available(spark: SparkSession) -> bool:
             "avro", jvm.org.apache.spark.sql.internal.SQLConf()
         )
         return True
-    except Exception:
-        return False
+    except Exception as exc:  # noqa: BLE001 — discriminated below
+        # Only a FAILED LOOKUP means "jar absent" — Spark raises
+        # AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE / 'Failed to find
+        # data source' with the '--packages' remediation. Any other
+        # exception (transient JVM/py4j failure) must propagate, not
+        # masquerade as a missing jar (round-8 advisor fix).
+        msg = str(exc)
+        if (
+            "Failed to find data source" in msg
+            or "FAILED_TO_LOAD_DATA_SOURCE" in msg
+            or "AVRO_NOT_LOADED" in msg
+        ):
+            return False
+        raise
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

@@ -144,21 +144,49 @@ def main() -> None:
     # best-of-3 therefore measures steady-state execution, not py4j
     # plan-construction chatter, and scheduler noise (shared CPUs) is
     # squeezed out by the min.
-    timings: dict[str, float] = {}
-    for name in names:
+    def time_query(name: str) -> tuple[float, list[float]]:
         silenced = name in GLOBAL_WINDOW_ALLOWLIST
         if silenced:
             _set_windowexec_level(spark, "ERROR")
         try:
-            best = float("inf")
+            samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
                 prepared(spark, sf_dir, name).count()
-                best = min(best, time.perf_counter() - t0)
+                samples.append(round(time.perf_counter() - t0, 3))
         finally:
             if silenced:
                 _set_windowexec_level(spark, "WARN")
-        timings[name] = round(best, 3)
+        return round(min(samples), 3), samples
+
+    timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
+    for name in names:
+        timings[name], all_samples[name] = time_query(name)
+
+    # Intra-suite drift guard (round-8 verdict #6): re-time the anchor
+    # AFTER the whole suite so session aging across ~50 queries is
+    # visible inside every BENCH_r*.json, not only by diffing rounds.
+    # anchor_first is the anchor's in-suite timing (it runs first in
+    # HEADLINE); anchor_last is a fresh best-of-3 of the same prepared
+    # plan at suite end. Neither re-run is added to "value".
+    anchor = "silver_filter_dedup"
+    anchor_first = timings.get(anchor)
+    anchor_last, anchor_last_samples = (
+        time_query(anchor) if anchor in timings else (None, [])
+    )
+
+    samples_out = os.environ.get("SPARK_GRAFT_BENCH_SAMPLES_OUT", "")
+    if samples_out:
+        with open(samples_out, "w") as f:
+            json.dump(
+                {
+                    "samples": all_samples,
+                    "anchor_last_samples": anchor_last_samples,
+                },
+                f,
+                indent=1,
+            )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -169,6 +197,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "anchor": anchor,
+                "anchor_first": anchor_first,
+                "anchor_last": anchor_last,
             }
         )
     )

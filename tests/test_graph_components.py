@@ -239,3 +239,34 @@ def test_star_edges_clustering_identical_to_clique_pairs(spark):
     assert a == b
     # sanity: clones actually formed multi-member clusters
     assert any(r[3] >= 6 for r in a)
+
+
+def test_star_edges_fingerprint_null_safe_and_injective(spark):
+    """Round-8 advisor edge cases for the exact-clone fingerprint:
+    (1) a separator-bearing text must not collide across blocks
+    (block='a', text='x' vs block=NULL, text='a\\x1fx' hashed
+    identically under the old concat_ws form), and (2) NULL block
+    values never group — simhash_pairs' equi-join blocking never
+    matches NULL blocks, so the star cascade must not merge what the
+    clique relation keeps apart."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        simhash_component_edges,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, None, "a\x1fx"),   # old fingerprint == row 1's
+            (3, None, "same"),     # NULL block: must NOT pair with 4
+            (4, None, "same"),
+            (5, "b", "same"),      # real clones within one block
+            (6, "b", "same"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    edges = simhash_component_edges(
+        corpus, "doc_id", "text", bits=32, max_hamming=0,
+        block_cols=["lang"],
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in edges.collect())
+    assert got == [(5, 6)]

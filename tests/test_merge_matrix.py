@@ -803,6 +803,26 @@ def test_merge_schema_evolution(spark):
     )
     rows3 = {r["k"]: (r["v"], r["extra"]) for r in out3.collect()}
     assert rows3 == {1: ("a", None), 2: ("b", None), 3: (None, 5)}
+    # Delta's updateAll under evolution: UPDATE SET * on a source
+    # MISSING a target column keeps the target's value there (only
+    # insertAll fills NULL) — round-8 advisor fix; the NULL padding
+    # must not leak into matched rows
+    out3u = merge_apply(
+        t, s2, ["k"], when_matched="update", schema_evolution=True
+    )
+    rows3u = {r["k"]: (r["v"], r["extra"]) for r in out3u.collect()}
+    assert rows3u == {1: ("a", None), 2: ("b", 6), 3: (None, 5)}
+    # same via an explicit clause list with set=None (SET * form)
+    out3c = merge_apply(
+        t,
+        s2,
+        ["k"],
+        matched_clauses=[{"action": "update", "set": None, "condition": None}],
+        schema_evolution=True,
+    )
+    assert {
+        r["k"]: (r["v"], r["extra"]) for r in out3c.collect()
+    } == rows3u
     # conditional matched clause + evolution rides the general path
     # when source keys duplicate: the qualifying row's evolved value
     # wins, the disqualified shadow neither errors nor wins
