@@ -682,6 +682,7 @@ def simhash_bits(
     bits: int = 32,
     hash_family: str = "md5",
     carry_cols: Sequence[str] = (),
+    keep_empty: bool = False,
 ) -> DataFrame:
     """SimHash in relational form → ``(id, simhash)``.
 
@@ -707,16 +708,24 @@ def simhash_bits(
     # vote groupBy's map-side partials collapse the rows anyway.
     carry = list(carry_cols)
     qcarry = [f"`{c}`" for c in carry]
+    # keep_empty (the component-edges cascade needs every row to
+    # survive): explode_outer carries tokenless docs (NULL/empty text)
+    # as one NULL-token row, whose NULL-guarded hash makes every bit
+    # sum NULL → simhash NULL — such docs can never band-match, which
+    # is exactly simhash_pairs' behavior of dropping them.
+    explode_fn = "explode_outer" if keep_empty else "explode"
     toks = df.selectExpr(
         f"`{id_col}` AS _id",
         *qcarry,
-        f"explode(CASE WHEN trim(`{text_col}`) = '' THEN array() "
+        f"{explode_fn}(CASE WHEN trim(`{text_col}`) = '' THEN array() "
         f"ELSE split(trim(`{text_col}`), '\\\\s+') END) AS _tok",
     )
     if hash_family == "md5":
         h_expr = "CAST(conv(substring(md5(_tok), 1, 15), 16, 10) AS LONG)"
     elif hash_family == "xxhash64":
-        h_expr = "xxhash64(_tok)"
+        # xxhash64 maps a NULL arg to the seed, not NULL — guard so
+        # tokenless rows stay NULL under keep_empty
+        h_expr = "CASE WHEN _tok IS NULL THEN NULL ELSE xxhash64(_tok) END"
     else:
         raise ValueError(f"unknown hash family: {hash_family!r}")
     hashed = toks.selectExpr("_id", *qcarry, f"{h_expr} AS _h")
@@ -758,8 +767,6 @@ def simhash_pairs(
     exact bits. Within-block all-pairs is quadratic in block size; the
     band join is near-linear until bands saturate.
     """
-    n_bands = max_hamming + 1
-    width = bits // n_bands
     # block cols ride through the vote aggregation (functionally
     # dependent on the id) — no second scan of df to re-attach them
     sh = simhash_bits(
@@ -770,6 +777,27 @@ def simhash_pairs(
         hash_family,
         carry_cols=block_cols,
     ).persist()
+    return _banded_pairs_from_simhash(
+        sh, id_col, bits, max_hamming, block_cols
+    )
+
+
+def _banded_pairs_from_simhash(
+    sh: DataFrame,
+    id_col: str,
+    bits: int,
+    max_hamming: int,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Manku banded-LSH candidate join + Hamming verify over a frame
+    of PRECOMPUTED fingerprints ``(id_col, *block_cols, simhash)`` —
+    the tail of :func:`simhash_pairs`, shared with
+    :func:`simhash_component_edges` so the cascade never recomputes
+    votes. NULL simhash (tokenless docs under ``keep_empty``) and NULL
+    block values never equi-join, so such rows produce no pairs."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+
     # band b = bits [b*width, (b+1)*width) — last band absorbs remainder
     def band_val(b: int) -> Column:
         w = width + (bits % n_bands if b == n_bands - 1 else 0)
@@ -833,20 +861,34 @@ def simhash_component_edges(
     hash_family: str = "md5",
 ) -> DataFrame:
     """Connectivity-equivalent edge set for near-dup CLUSTERING — the
-    exact→near cascade with LINEAR star edges (round-8 measurement:
-    at 50 clones/doc the clique plan takes 4.67 s vs 1.46 s for this,
-    SCALE.md "clusters-family star-edge decision").
+    exact→near cascade with LINEAR star edges.
 
-    Exact clones are collapsed first, keyed by ``(block_cols, raw
-    md5(text))`` — the block columns MUST join the key, else identical
-    texts in different blocks would merge when :func:`simhash_pairs`
-    keeps them apart. The banded SimHash search then runs over
-    REPRESENTATIVES only, and each clone group contributes ``g − 1``
-    rep→member star edges instead of its ``g(g−1)/2`` clique: cliques
-    and stars connect the same vertex sets, and rep↔rep candidacy
-    transfers member↔member for byte-identical texts, so connected
-    components — and their min labels — are IDENTICAL to running
-    :func:`simhash_pairs` over the full corpus.
+    Exact clones are collapsed on an injective null-safe fingerprint
+    of ``(block_cols, text)`` (each component length-prefixed before
+    hashing — a text containing a would-be separator can never collide
+    across blocks — and NULL when any component is NULL, matching
+    :func:`simhash_pairs`' equi-join blocking where NULL never
+    matches). Each clone group contributes ``g − 1`` rep→member star
+    edges instead of its ``g(g−1)/2`` clique — cliques and stars
+    connect the same vertex sets, and rep↔rep candidacy transfers
+    member↔member for byte-identical texts, so connected components
+    and their min labels are IDENTICAL to :func:`simhash_pairs` over
+    the full corpus. The banded near-dup search runs over
+    REPRESENTATIVES only.
+
+    Plan shape (round-9 rework): the round-8 formulation fed raw text
+    through the collapse groupBy and joined text back for the rep
+    search — at LOW clone rates that was a full extra text shuffle for
+    zero edge savings (driver bench: dedup_clusters 1.2 s → 2.3 s at
+    sf0.1, adjudicated in SCALE.md). Now the vote aggregation runs
+    ONCE over all rows with the fingerprint riding as a carry column
+    (``keep_empty=True`` so tokenless docs survive with NULL simhash),
+    and everything after it — the collapse groupBy, the rep semi-join,
+    the star edges, the band join — touches only ``(id, blocks, 16-
+    byte fp, simhash)``. Text never enters ANY exchange, so the
+    cascade costs two narrow shuffles over the clique plan at any
+    clone rate, while keeping the star win where it matters: clone-
+    heavy buckets no longer explode the band self-join quadratically.
 
     Returns ``(id_a, id_b)`` edges, NOT the verified pair relation:
     pair COUNTS and per-pair scores differ from the clique form, so
@@ -855,19 +897,13 @@ def simhash_component_edges(
     :func:`simhash_pairs`; consumers that only need components
     (``dedup_clusters``, ``dedup_canonical_docs``) should use this.
 
-    Scale: the collapse groupBy is one shuffle on the content key and
-    every downstream near-dup stage is distinct-text-sized — at web
-    corpus dup rates (30-60% exact clones, heavy-tailed group sizes)
-    the star rewrite is what keeps the edge RELATION linear in clone
-    count rather than quadratic.
+    One documented asymmetry, unchanged from round 8: byte-identical
+    TOKENLESS texts (e.g. empty strings) in one block still collapse
+    into a clone group and gain star edges, while simhash_pairs can
+    never pair them (no tokens → no bands) — exact dedup semantics for
+    exact duplicates, pinned by the oracle.
     """
-    # Injective, null-safe clone fingerprint (round-8 advisor fix):
-    # each key component is LENGTH-PREFIXED before hashing, so a text
-    # containing a would-be separator can never collide across blocks
-    # (concat_ws's '\x1f' form was ambiguous), and F.concat (not
-    # concat_ws) makes the fingerprint NULL when ANY component is NULL
-    # — those rows pass through ungrouped, matching simhash_pairs'
-    # equi-join blocking, where NULL block values never match anything.
+
     def _len_prefixed(c):
         col = F.col(c).cast("string")
         return F.concat(F.lpad(F.length(col).cast("string"), 10, "0"), col)
@@ -875,36 +911,67 @@ def simhash_component_edges(
     fp = F.md5(
         F.concat(*[_len_prefixed(c) for c in [*block_cols, text_col]])
     )
-    fpf = df.select(id_col, text_col, *block_cols, fp.alias("_fp"))
-    clonable = fpf.filter(F.col("_fp").isNotNull())
-    # NULL-keyed rows can never pair (simhash_pairs drops them in the
-    # block equi-join) — they stay their own representatives and
-    # contribute no star edges
-    singletons = fpf.filter(F.col("_fp").isNull()).select(
-        id_col, text_col, *block_cols
+    base = df.select(
+        id_col, text_col, *block_cols, fp.alias("_fp")
     )
+    # one vote aggregation for ALL rows; fp + blocks ride as carries
+    # (functionally dependent on the id). Persisted because the star
+    # branch and the band branch both consume it — narrow columns
+    # only, the same pattern simhash_pairs uses.
+    sh = simhash_bits(
+        base,
+        id_col,
+        text_col,
+        bits,
+        hash_family,
+        carry_cols=[*block_cols, "_fp"],
+        keep_empty=True,
+    ).persist()
+    clonable = sh.filter(F.col("_fp").isNotNull())
+    # ONE collapse aggregate delivers both the rep id and the rep's
+    # fingerprint row: ids are unique and lead the struct, so
+    # min(struct) IS min-by-id, and the simhash/blocks ride along —
+    # no semi-join back to sh needed
     groups = clonable.groupBy("_fp").agg(
         F.min(
             F.struct(
                 F.col(id_col),
-                F.col(text_col),
+                F.col("simhash"),
                 *[F.col(c) for c in block_cols],
             )
         ).alias("_r")
     )
-    members = clonable.select(id_col, "_fp").join(
-        groups.select("_fp", F.col(f"_r.{id_col}").alias("_rep")), on="_fp"
+    star = (
+        clonable.select(id_col, "_fp")
+        .join(
+            groups.select("_fp", F.col(f"_r.{id_col}").alias("_rep")),
+            on="_fp",
+        )
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.least("_rep", F.col(id_col)).alias("id_a"),
+            F.greatest("_rep", F.col(id_col)).alias("id_b"),
+        )
     )
-    reps = groups.select(
-        F.col(f"_r.{id_col}").alias(id_col),
-        F.col(f"_r.{text_col}").alias(text_col),
-        *[F.col(f"_r.{c}").alias(c) for c in block_cols],
-    ).unionByName(singletons)
-    rep_pairs = simhash_pairs(
-        reps, id_col, text_col, bits, max_hamming, block_cols, hash_family
+    # representatives: one per clone group, plus every NULL-keyed row
+    # (they can never pair — NULL block/simhash never equi-joins).
+    # Persisted: the band self-join reads it twice and the Hamming
+    # verify twice more — without the cache the whole collapse subtree
+    # would re-execute four times.
+    reps_sh = (
+        groups.select(
+            F.col(f"_r.{id_col}").alias(id_col),
+            *[F.col(f"_r.{c}").alias(c) for c in block_cols],
+            F.col("_r.simhash").alias("simhash"),
+        )
+        .unionByName(
+            sh.filter(F.col("_fp").isNull()).select(
+                id_col, *block_cols, "simhash"
+            )
+        )
+        .persist()
+    )
+    rep_pairs = _banded_pairs_from_simhash(
+        reps_sh, id_col, bits, max_hamming, block_cols
     ).select("id_a", "id_b")
-    star = members.filter(F.col(id_col) != F.col("_rep")).select(
-        F.least("_rep", F.col(id_col)).alias("id_a"),
-        F.greatest("_rep", F.col(id_col)).alias("id_b"),
-    )
     return rep_pairs.unionByName(star)

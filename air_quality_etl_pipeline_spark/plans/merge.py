@@ -560,6 +560,123 @@ def apply_cdc(
     return kept.unionByName(ups.select(*target.columns))
 
 
+def apply_cdc_scd2(
+    target_history: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "delete",
+    start_col: str = "__START_AT",
+    end_col: str = "__END_AT",
+) -> DataFrame:
+    """CDC apply with full history — Delta Live Tables' ``APPLY
+    CHANGES INTO ... STORED AS SCD TYPE 2``: every change opens a new
+    version row stamped ``[start_col, end_col)`` from the sequence
+    column; the next change (of any op) closes it; a *delete_op*
+    change closes the current version without opening one; the live
+    version has ``end_col`` NULL. Out-of-order changes slot into the
+    timeline retroactively (DLT re-orders on the sequence column).
+
+    *target_history* is a prior output of this function (payload
+    columns + the two stamp columns) or ``None`` for a first load.
+    Rather than patching intervals in place, the history is
+    RE-DERIVED: existing versions are turned back into upsert events
+    at their ``start_col`` (plus a tombstone at the tail ``end_col``
+    when a key's last version is closed — that closure can only have
+    come from a delete), unioned with the incoming changes, deduped
+    per ``(keys, seq)`` by a TOTAL order (max over the change struct
+    in *changes* column order — duplicate deliveries collapse, ties
+    resolve identically on every engine), and the intervals rebuilt
+    with one ``lead()`` window. Replaying any prefix of an already
+    applied feed is therefore a no-op by construction — the
+    idempotency DLT documents for APPLY CHANGES retries.
+
+    Scale: one explicit repartition on the key; the ``(keys, seq)``
+    dedup aggregate and the per-key ``lead`` window both ride that
+    exchange (hash partitioning on a subset satisfies both required
+    clusterings), so the rebuild is ONE shuffle end-to-end and every
+    partition holds whole keys. Versions per key are change-feed
+    bounded — no data-sized window. At 100 TB the feed and history
+    would be bucketed by the key, making even that shuffle free.
+    """
+    from pyspark.sql.window import Window
+
+    key_list = list(keys)
+    rest = [c for c in changes.columns if c not in {*key_list, seq_col}]
+    if op_col not in rest:
+        raise ValueError(f"op_col {op_col!r} must be a changes column")
+    payload = [c for c in rest if c != op_col]
+    events = changes.select(*key_list, seq_col, op_col, *payload)
+    if target_history is not None:
+        # versions → upsert events at their start stamp
+        reopened = target_history.select(
+            *key_list,
+            F.col(start_col).alias(seq_col),
+            F.lit("__upsert__").alias(op_col),
+            *payload,
+        )
+        # A closed version whose end stamp is NOT some same-key
+        # version's start was closed by a DELETE at that stamp (an
+        # upsert would have opened the next version right there) —
+        # regenerate the tombstone, or the gap would silently heal on
+        # rebuild. Covers both mid-history deletes (delete then later
+        # re-insert) and the closed tail.
+        tombstones = (
+            target_history.filter(F.col(end_col).isNotNull())
+            .select(*key_list, F.col(end_col).alias(seq_col))
+            .join(
+                target_history.select(
+                    *key_list, F.col(start_col).alias(seq_col)
+                ),
+                on=[*key_list, seq_col],
+                how="left_anti",
+            )
+            .select(
+                *key_list,
+                F.col(seq_col),
+                F.lit(delete_op).alias(op_col),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in target_history.schema.fields
+                    if f.name in payload
+                ],
+            )
+        )
+        events = events.unionByName(reopened).unionByName(tombstones)
+    # ONE exchange: the (keys, seq) dedup and the per-key window below
+    # are both satisfied by hash partitioning on the key alone
+    events = events.repartition(*[F.col(c) for c in key_list])
+    deduped = (
+        events.groupBy(*key_list, seq_col)
+        .agg(
+            F.max(
+                F.struct(F.col(op_col), *[F.col(c) for c in payload])
+            ).alias("_e")
+        )
+        .select(
+            *key_list,
+            seq_col,
+            F.col(f"_e.{op_col}").alias(op_col),
+            *[F.col(f"_e.{c}").alias(c) for c in payload],
+        )
+    )
+    w = Window.partitionBy(*key_list).orderBy(F.col(seq_col))
+    seq_type = dict(
+        (f.name, f.dataType) for f in changes.schema.fields
+    )[seq_col]
+    return (
+        deduped.withColumn(end_col, F.lead(seq_col).over(w))
+        .filter(F.col(op_col) != F.lit(delete_op))
+        .select(
+            *key_list,
+            *payload,
+            F.col(seq_col).cast(seq_type).alias(start_col),
+            F.col(end_col).cast(seq_type).alias(end_col),
+        )
+    )
+
+
 def table_diff(
     v1: DataFrame,
     v2: DataFrame,

@@ -391,3 +391,113 @@ def run_process_all(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def cdc_state_update(
+    prev: DataFrame | None,
+    batch: DataFrame,
+    keys,
+    seq_col: str,
+    op_col: str,
+) -> DataFrame:
+    """One micro-batch step of the streaming CDC twin: fold *batch*
+    (a slice of the change feed, same schema as the state — keys +
+    sequence + op + payload) into the running per-key winner state.
+
+    The state is the COMPACTED CHANGELOG — per key, ``max(struct(seq,
+    op, payload...))``, the identical total order ``plans/merge.
+    apply_cdc`` resolves winners with. ``max`` is associative,
+    commutative and idempotent, so ANY micro-batching of the feed —
+    including duplicate deliveries repeated across batch boundaries —
+    converges to the state of a single batch apply; that algebraic
+    fact, not checkpoint bookkeeping, is what makes the sink safe
+    under at-least-once redelivery.
+
+    Scale: one key shuffle per micro-batch with map-side partial max;
+    state stays key-cardinality-sized (tombstones included, so a
+    late-redelivered stale upsert can never resurrect a deleted key).
+    """
+    key_list = list(keys)
+    rest = [c for c in batch.columns if c not in {*key_list, seq_col}]
+    if op_col not in rest:
+        raise ValueError(f"op_col {op_col!r} must be a changes column")
+    ev = batch if prev is None else prev.unionByName(batch)
+    return (
+        ev.groupBy(*key_list)
+        .agg(
+            F.max(
+                F.struct(F.col(seq_col), *[F.col(c) for c in rest])
+            ).alias("_c")
+        )
+        .select(
+            *key_list,
+            F.col(f"_c.{seq_col}").alias(seq_col),
+            *[F.col(f"_c.{c}").alias(c) for c in rest if c != seq_col],
+        )
+    )
+
+
+def cdc_snapshot_from_state(
+    state: DataFrame,
+    baseline: DataFrame | None,
+    keys,
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Materialize the SCD-1 snapshot from the compacted changelog
+    state: live winners project their payload; *baseline* rows (the
+    pre-stream target) survive only where the feed never spoke —
+    exactly ``plans/merge.apply_cdc``'s kept ∪ upserts split, so the
+    streaming and batch paths converge to the same table."""
+    key_list = list(keys)
+    live = state.filter(F.col(op_col) != F.lit(delete_op)).drop(
+        seq_col, op_col
+    )
+    if baseline is None:
+        return live
+    kept = baseline.join(
+        state.select(*key_list), on=key_list, how="left_anti"
+    )
+    return kept.unionByName(live.select(*baseline.columns))
+
+
+def run_cdc_stream(
+    changes_stream: DataFrame,
+    state_path: str,
+    keys,
+    seq_col: str,
+    op_col: str,
+    checkpoint: str,
+) -> None:
+    """Wire :func:`cdc_state_update` into ``foreachBatch``: drain the
+    (availableNow) change-feed stream, maintaining the compacted
+    changelog at *state_path*. Each batch reads the prior state, folds
+    the batch in, and REPLACES the state dir via write-to-temp +
+    filesystem rename (the Hadoop FS API, so the swap is correct on
+    any filesystem the session can reach — a direct overwrite of a
+    path being read is not). DLT's APPLY CHANGES INTO runs this exact
+    shape with the state in a Delta table; swap the rename for a MERGE
+    on a Delta cluster."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        jvm = s._jvm
+        hconf = s._jsc.hadoopConfiguration()
+        jstate = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jstate.getFileSystem(hconf)
+        prev = s.read.parquet(state_path) if fs.exists(jstate) else None
+        new_state = cdc_state_update(prev, batch_df, keys, seq_col, op_col)
+        tmp = f"{state_path}.tmp-{batch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(jstate, True)
+        fs.rename(jtmp, jstate)
+
+    q = (
+        changes_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

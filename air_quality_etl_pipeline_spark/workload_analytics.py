@@ -49,6 +49,7 @@ from air_quality_etl_pipeline_spark.functions.portable_math import (
 )
 from air_quality_etl_pipeline_spark.plans.merge import (
     apply_cdc,
+    apply_cdc_scd2,
     merge_apply,
     table_diff,
     upsert_replace,
@@ -681,6 +682,78 @@ def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_rows"),
         _dec_sum("o_totalprice", "sum_price"),
+    )
+
+
+@register(
+    "cdc_apply_scd2",
+    """
+    WITH ch AS (SELECT l_orderkey AS o_orderkey, l_linenumber AS seq,
+                  CASE WHEN l_returnflag = 'R' THEN 'delete'
+                       ELSE 'upsert' END AS op,
+                  l_extendedprice AS price
+           FROM lineitem),
+    -- apply_cdc_scd2 dedupes per (key, seq) by max(struct(op, payload))
+    -- — the total order spelled out here (testdata seq is NOT unique
+    -- per key, same trap cdc_apply_snapshot documents)
+    dedup AS (SELECT o_orderkey, seq, op, price FROM (
+        SELECT o_orderkey, seq, op, price,
+               row_number() OVER (PARTITION BY o_orderkey, seq
+                 ORDER BY op DESC, price DESC) AS rn
+        FROM ch) WHERE rn = 1),
+    vers AS (SELECT o_orderkey, op, price, seq AS start_at,
+                    lead(seq) OVER (PARTITION BY o_orderkey
+                                    ORDER BY seq) AS end_at
+             FROM dedup)
+    SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+           count(*) AS n_versions,
+           CAST(sum(CASE WHEN end_at IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open,
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(start_at) AS BIGINT) AS sum_start,
+           CAST(sum(end_at) AS BIGINT) AS sum_end
+    FROM vers WHERE op <> 'delete' GROUP BY 1
+    """,
+)
+def q_cdc_apply_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with history (Delta Live Tables ``APPLY CHANGES INTO
+    ... STORED AS SCD TYPE 2``): the lineitem change feed of
+    ``cdc_apply_snapshot`` replayed into version intervals — each
+    upsert opens a ``[__START_AT, __END_AT)`` version, the next change
+    closes it, returned lines ('R') are tombstones that close without
+    opening, live versions carry NULL ``__END_AT``. The oracle builds
+    the same intervals with the (key, seq) dedup + lead() windows; the
+    aggregate fingerprints interval placement (sum of starts/ends,
+    open-version count) so a mis-stamped or unclosed version flips the
+    hash.
+
+    Scale: one key repartition feeds both the dedup aggregate and the
+    per-key lead window (hash partitioning on a key subset satisfies
+    both clusterings) — one shuffle end-to-end, versions-per-key
+    bounded by the feed, no data-sized window."""
+    li = _t(spark, sf_dir, "lineitem")
+    changes = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_returnflag") == "R", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    hist = apply_cdc_scd2(
+        None, changes, ["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return hist.groupBy(
+        (F.col("o_orderkey") % 10).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.col("__END_AT").isNull().cast("int"))
+        .cast("long")
+        .alias("n_open"),
+        _dec_sum("price", "sum_price"),
+        F.sum("__START_AT").cast("long").alias("sum_start"),
+        F.sum("__END_AT").cast("long").alias("sum_end"),
     )
 
 

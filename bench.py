@@ -87,6 +87,9 @@ HEADLINE = [
     "aqi_category_days",
     # round-8: real RIFF/AVI video decode (per-sampled-frame tensors)
     "video_frame_stats",
+    # round-9: SCD-2 CDC apply (interval rebuild over the 6M-change
+    # feed — one key repartition shared by the dedup agg + lead window)
+    "cdc_apply_scd2",
 ]
 
 

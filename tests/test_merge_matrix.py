@@ -758,6 +758,176 @@ def test_merge_clause_lists_property_matches_reference(
     assert got == want
 
 
+# --- schema evolution × clause lists (round-8 verdict #7) -----------
+# Evolution is modeled in the reference by pre-widening rows to the
+# unified (k, ver, val, extra) layout: target rows pad extra=None,
+# source rows pad the column they lack, and Delta's evolved UPDATE
+# SET * becomes an explicit set map over the source's ORIGINAL
+# columns — precisely what merge_apply now does internally, checked
+# here including evolved-column SET/VALUES in clauses >= 2 (the
+# Delta-documented corner).
+
+_evo_row = st.tuples(
+    st.one_of(st.none(), st.integers(0, 6)),   # key
+    st.integers(0, 9),                          # ver
+    st.sampled_from(["a", "b", "c"]),           # val
+    st.integers(0, 9),                          # extra (source only)
+)
+_evo_mc = st.lists(
+    st.fixed_dictionaries(
+        {
+            "action": st.sampled_from(["update", "delete"]),
+            "cond": st.sampled_from(["newer", "ver5", None]),
+            "set": st.sampled_from([None, "bump_extra", "val_x"]),
+        }
+    ),
+    max_size=3,
+)
+_evo_ic = st.lists(
+    st.fixed_dictionaries(
+        {
+            "cond": st.sampled_from(["ver5s", None]),
+            "values": st.sampled_from([None, "extra_only"]),
+        }
+    ),
+    max_size=2,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    target=st.lists(st.tuples(
+        st.one_of(st.none(), st.integers(0, 6)),
+        st.integers(0, 9),
+        st.sampled_from(["a", "b", "c"]),
+    ), max_size=8),
+    source=st.lists(_evo_row, max_size=8),
+    mc=_evo_mc,
+    ic=_evo_ic,
+    drop_val=st.booleans(),
+)
+def test_merge_schema_evolution_clause_lists_matches_reference(
+    spark, target, source, mc, ic, drop_val
+):
+    mc, ic = _legalize(mc), _legalize(ic)
+    # unified layout: (k, ver, val, extra); source original columns
+    # depend on drop_val (True = source also LACKS the target's val)
+    src_cols = "k long, ver long, extra long" if drop_val else (
+        "k long, ver long, val string, extra long"
+    )
+    src_rows = [
+        ((k, ver, extra) if drop_val else (k, ver, val, extra))
+        for (k, ver, val, extra) in source
+    ]
+    src_unified = [
+        ((k, ver, None, extra) if drop_val else r)
+        for r, (k, ver, val, extra) in zip(src_rows, source)
+    ]
+    tgt_unified = [(k, ver, val, None) for (k, ver, val) in target]
+    # evolved SET *: explicit map over source-original non-key columns
+    star_idx = [1, 3] if drop_val else [1, 2, 3]
+    star_set = {i: (lambda tr, sr, _i=i: sr[_i]) for i in star_idx}
+
+    _mc_t = {
+        "newer": NEWER_T,
+        "ver5": lambda t, s: t["ver"] == F.lit(5),
+        None: None,
+    }
+    _mc_py = {
+        "newer": NEWER_PY,
+        "ver5": lambda tr, sr: tr[1] == 5,
+        None: None,
+    }
+    _set_t = {
+        None: None,
+        # evolved column in a SET map (+ NULL-safe mirror in the ref)
+        "bump_extra": {"extra": lambda t, s: s["extra"] + F.lit(100)},
+        "val_x": {"val": lambda t, s: F.lit("x")},
+    }
+    _set_py = {
+        None: None,  # SET * — remapped to star_set per-clause below
+        "bump_extra": {
+            3: lambda tr, sr: None if sr[3] is None else sr[3] + 100
+        },
+        "val_x": {2: lambda tr, sr: "x"},
+    }
+    _ic_t = {"ver5s": lambda s: s["ver"] >= 5, None: None}
+    _ic_py = {"ver5s": lambda sr: sr[1] >= 5, None: None}
+    _vals_t = {
+        None: None,
+        "extra_only": {
+            "k": lambda s: s["k"],
+            "extra": lambda s: s["extra"] + F.lit(7),
+        },
+    }
+    _vals_py = {
+        None: None,
+        "extra_only": {
+            0: lambda sr: sr[0],
+            3: lambda sr: None if sr[3] is None else sr[3] + 7,
+        },
+    }
+
+    skw = dict(
+        matched_clauses=[
+            {
+                "action": c["action"],
+                "condition": _mc_t[c["cond"]],
+                "set": _set_t[c["set"]],
+            }
+            for c in mc
+        ],
+        not_matched_clauses=[
+            {"condition": _ic_t[c["cond"]], "values": _vals_t[c["values"]]}
+            for c in ic
+        ],
+        schema_evolution=True,
+    )
+    rkw = dict(
+        matched_clauses=[
+            {
+                "action": c["action"],
+                "condition": _mc_py[c["cond"]],
+                # ref sees the already-widened rows, so evolved SET *
+                # must be spelled as the source-original set map
+                "set": (
+                    star_set
+                    if c["set"] is None and c["action"] == "update"
+                    else _set_py[c["set"]]
+                ),
+            }
+            for c in mc
+        ],
+        not_matched_clauses=[
+            {
+                "condition": _ic_py[c["cond"]],
+                "values": _vals_py[c["values"]],
+            }
+            for c in ic
+        ],
+    )
+    t = spark.createDataFrame(target, SCHEMA) if target else (
+        spark.createDataFrame([], SCHEMA)
+    )
+    s = spark.createDataFrame(src_rows, src_cols) if src_rows else (
+        spark.createDataFrame([], src_cols)
+    )
+    try:
+        want = ref_merge(tgt_unified, src_unified, [0], **rkw)
+    except MergeMultipleMatchesError:
+        with pytest.raises(MergeMultipleMatchesError):
+            merge_apply(t, s, ["k"], **skw).collect()
+        return
+    out = merge_apply(t, s, ["k"], **skw)
+    assert out.columns == ["k", "ver", "val", "extra"]
+    got = sorted((tuple(r) for r in out.collect()), key=str)
+    assert got == want
+
+
 def test_merge_into_table_fallback_insert_if_absent(spark, tmp_path):
     """Catalog-table MERGE on the non-Delta path: insert-if-absent
     semantics, idempotent on re-run (the fallback must never
@@ -871,6 +1041,107 @@ def test_apply_cdc_latest_wins(spark):
     # idempotent: replaying the same feed changes nothing
     again = apply_cdc(out, ch, ["k"], seq_col="seq", op_col="op")
     assert {r["k"]: r["v"] for r in again.collect()} == rows
+
+
+def test_apply_cdc_scd2_intervals(spark):
+    """SCD TYPE 2 apply from empty: each upsert opens a version at its
+    sequence, the NEXT change of any op closes it, deletes close
+    without opening, the live version has NULL __END_AT, and duplicate
+    (key, seq) deliveries resolve by the documented total order."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+
+    ch = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "a1"),
+            (1, 3, "upsert", "a3"),
+            (1, 5, "delete", None),   # closes a3 at 5, opens nothing
+            (2, 2, "upsert", "b2"),   # stays open
+            (3, 1, "delete", None),   # delete of unseen key: no row
+            (4, 7, "upsert", "dA"),   # duplicate (key, seq): total
+            (4, 7, "upsert", "dB"),   # order picks 'dB'
+        ],
+        "k long, seq long, op string, v string",
+    )
+    out = apply_cdc_scd2(None, ch, ["k"], seq_col="seq", op_col="op")
+    got = sorted(
+        (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "a1", 1, 3),
+        (1, "a3", 3, 5),
+        (2, "b2", 2, None),
+        (4, "dB", 7, None),
+    ]
+
+
+def test_apply_cdc_scd2_history_replay_idempotent(spark):
+    """Applying a feed, then replaying ANY slice of it (full feed,
+    prefix, duplicates) onto the produced history is a no-op — DLT's
+    documented retry idempotency; a genuinely NEW change extends the
+    history, closing the previously live version, and a late
+    OUT-OF-ORDER change slots into the timeline retroactively."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+
+    schema = "k long, seq long, op string, v string"
+    feed = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "a1"),
+            (1, 4, "upsert", "a4"),
+            (2, 2, "upsert", "b2"),
+            (2, 6, "delete", None),  # key 2 ends closed (tail delete)
+        ],
+        schema,
+    )
+    h1 = apply_cdc_scd2(None, feed, ["k"], seq_col="seq", op_col="op")
+    rows1 = sorted(
+        (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+        for r in h1.collect()
+    )
+    assert rows1 == [(1, "a1", 1, 4), (1, "a4", 4, None), (2, "b2", 2, 6)]
+
+    def rows_of(df):
+        return sorted(
+            (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+            for r in df.collect()
+        )
+
+    # replay the full feed / a prefix / duplicated rows: all no-ops
+    for replay in (
+        feed,
+        feed.limit(2),
+        feed.unionByName(feed),
+    ):
+        h2 = apply_cdc_scd2(
+            h1, replay, ["k"], seq_col="seq", op_col="op"
+        )
+        assert rows_of(h2) == rows1
+    # the closed-tail delete must NOT resurrect on payload-less replay
+    # (the regenerated tombstone carries NULL payload; interval set is
+    # what matters) — covered by the full-feed case above. A NEW
+    # change extends: key 1 updates at 9 (closes a4), key 2 reappears
+    new = spark.createDataFrame(
+        [(1, 9, "upsert", "a9"), (2, 8, "upsert", "b8")], schema
+    )
+    h3 = apply_cdc_scd2(h1, new, ["k"], seq_col="seq", op_col="op")
+    assert rows_of(h3) == [
+        (1, "a1", 1, 4),
+        (1, "a4", 4, 9),
+        (1, "a9", 9, None),
+        (2, "b2", 2, 6),
+        (2, "b8", 8, None),
+    ]
+    # late out-of-order change: slots in retroactively
+    late = spark.createDataFrame([(1, 2, "upsert", "a2")], schema)
+    h4 = apply_cdc_scd2(h3, late, ["k"], seq_col="seq", op_col="op")
+    assert rows_of(h4) == [
+        (1, "a1", 1, 2),
+        (1, "a2", 2, 4),
+        (1, "a4", 4, 9),
+        (1, "a9", 9, None),
+        (2, "b2", 2, 6),
+        (2, "b8", 8, None),
+    ]
 
 
 def test_duplicate_query_registration_raises():

@@ -258,3 +258,80 @@ def test_stream_table_path_resolves_file_and_dir_shapes(spark, tmp_path):
         )
         q.awaitTermination()
         assert spark.read.parquet(out).count() == 5
+
+
+def test_streaming_cdc_replay_idempotent_across_batches(spark, tmp_path):
+    """Streaming twin of apply_cdc (round-8 verdict #4): a change feed
+    drained through foreachBatch in >=3 micro-batches — WITH duplicate
+    deliveries spanning batch boundaries and a stale redelivery of an
+    already-superseded change in the final batch — must converge to
+    exactly the batch apply_cdc snapshot, and a full re-run of the
+    stream under a FRESH checkpoint (worst-case redelivery of
+    everything) must change nothing."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        cdc_snapshot_from_state,
+        run_cdc_stream,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    baseline = spark.createDataFrame(
+        [(1, "base1"), (2, "base2"), (3, "base3")], "k long, v string"
+    )
+    feed_rows = [
+        (1, 1, "upsert", "A1"),
+        (1, 2, "delete", None),    # latest for key 1: delete
+        (2, 5, "upsert", "B5"),
+        (4, 1, "upsert", "D1"),    # unseen key: insert
+        (5, 3, "upsert", "E3"),
+        (5, 4, "delete", None),    # delete of streamed-in key
+    ]
+    batches = [
+        feed_rows[0:3],                    # batch 1
+        feed_rows[2:5],                    # batch 2 (dup of row 2)
+        feed_rows[4:6] + [feed_rows[0]],   # batch 3 (stale redelivery
+    ]                                      #  of key 1's superseded A1)
+    src = str(tmp_path / "feed")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b{i}.parquet")
+
+    state = str(tmp_path / "state")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_cdc_stream(stream, state, ["k"], "seq", "op", checkpoint=ckpt)
+
+    drain(str(tmp_path / "ckpt1"))
+    got = cdc_snapshot_from_state(
+        spark.read.parquet(state), baseline, ["k"], "seq", "op"
+    )
+    want = apply_cdc(
+        baseline,
+        spark.createDataFrame(feed_rows, schema),
+        ["k"],
+        seq_col="seq",
+        op_col="op",
+    )
+    want_rows = sorted((r["k"], r["v"]) for r in want.select("k", "v").collect())
+    got_rows = sorted((r["k"], r["v"]) for r in got.select("k", "v").collect())
+    assert got_rows == want_rows == [
+        (2, "B5"),
+        (3, "base3"),
+        (4, "D1"),
+    ]
+    # worst case: the ENTIRE feed redelivered (fresh checkpoint) — the
+    # state fold is algebraically idempotent, snapshot unchanged
+    drain(str(tmp_path / "ckpt2"))
+    again = cdc_snapshot_from_state(
+        spark.read.parquet(state), baseline, ["k"], "seq", "op"
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in again.select("k", "v").collect()
+    ) == want_rows
