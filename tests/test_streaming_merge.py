@@ -335,3 +335,77 @@ def test_streaming_cdc_replay_idempotent_across_batches(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in again.select("k", "v").collect()
     ) == want_rows
+
+
+def test_streaming_scd2_log_converges_to_batch_history(spark, tmp_path):
+    """SCD-2 streaming twin: the deduped append-only event log drained
+    in >=3 micro-batches (duplicates spanning batches, stale
+    redeliveries) rebuilds EXACTLY the intervals of the one-shot batch
+    apply_cdc_scd2, and a full replay under a fresh checkpoint appends
+    nothing."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        cdc_scd2_history,
+        run_cdc_scd2_stream,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    feed_rows = [
+        (1, 1, "upsert", "a1"),
+        (1, 4, "upsert", "a4"),
+        (1, 6, "delete", None),
+        (2, 2, "upsert", "b2"),
+        (2, 8, "upsert", "b8"),   # re-insert after nothing: stays open
+        (3, 5, "upsert", "c5"),
+    ]
+    batches = [
+        feed_rows[0:2],
+        feed_rows[1:4],                   # dup of (1,4) across batches
+        feed_rows[3:6] + [feed_rows[0]],  # stale redelivery of (1,1)
+    ]
+    src = str(tmp_path / "feed")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b{i}.parquet")
+    log = str(tmp_path / "log")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_cdc_scd2_stream(stream, log, ["k"], "seq", checkpoint=ckpt)
+
+    drain(str(tmp_path / "ck1"))
+    assert spark.read.parquet(log).count() == len(feed_rows)  # deduped
+
+    def rows_of(df):
+        return sorted(
+            (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+            for r in df.collect()
+        )
+
+    got = rows_of(cdc_scd2_history(spark, log, ["k"], "seq", "op"))
+    want = rows_of(
+        apply_cdc_scd2(
+            None,
+            spark.createDataFrame(feed_rows, schema),
+            ["k"],
+            seq_col="seq",
+            op_col="op",
+        )
+    )
+    assert got == want == [
+        (1, "a1", 1, 4),
+        (1, "a4", 4, 6),
+        (2, "b2", 2, 8),
+        (2, "b8", 8, None),
+        (3, "c5", 5, None),
+    ]
+    # full replay, fresh checkpoint: nothing appends, history unchanged
+    drain(str(tmp_path / "ck2"))
+    assert spark.read.parquet(log).count() == len(feed_rows)
+    assert rows_of(cdc_scd2_history(spark, log, ["k"], "seq", "op")) == want
