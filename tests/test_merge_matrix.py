@@ -1154,3 +1154,91 @@ def test_duplicate_query_registration_raises():
     existing = next(iter(QUERIES))
     with pytest.raises(ValueError, match="already registered"):
         register(existing, None)(lambda spark, sf: None)
+
+
+# --- apply_cdc_scd2 property test vs a pure-Python reference --------
+
+def _ref_scd2(events):
+    """Independent SCD-2 interval builder: per key, dedupe (key, seq)
+    by max (op, payload), order by seq, emit [seq, next_seq) for
+    non-deletes, NULL end for the last event when it isn't a delete."""
+    from collections import defaultdict
+
+    best = {}
+    for k, seq, op, v in events:
+        cand = (op or "", v if v is not None else "")
+        prev = best.get((k, seq))
+        # total order mirror: None sorts lowest (Spark struct max with
+        # NULL payload loses to any non-NULL)
+        key = (op or "", v is not None, v or "")
+        if prev is None or key > prev[0]:
+            best[(k, seq)] = (key, op, v)
+    per_key = defaultdict(list)
+    for (k, seq), (_, op, v) in best.items():
+        per_key[k].append((seq, op, v))
+    out = []
+    for k, evs in per_key.items():
+        evs.sort()
+        for i, (seq, op, v) in enumerate(evs):
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            if op != "delete":
+                out.append((k, v, seq, nxt))
+    return sorted(out, key=str)
+
+
+_scd2_event = st.tuples(
+    st.integers(0, 3),                          # key (small → collisions)
+    st.integers(0, 5),                          # seq (dups likely)
+    st.sampled_from(["upsert", "delete"]),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    feed=st.lists(_scd2_event, min_size=1, max_size=14),
+    split_at=st.integers(0, 14),
+)
+def test_apply_cdc_scd2_property_matches_reference(spark, feed, split_at):
+    """Random feeds with duplicate (key, seq) deliveries, deletes, and
+    NULL payloads: (1) the one-shot apply matches the independent
+    interval builder, (2) applying a random SPLIT of the feed in two
+    steps (second step onto the first step's history) lands on the
+    SAME history — associativity over history rebuilds, the property
+    the retry/idempotence guarantee rests on."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+
+    schema = "k long, seq long, op string, v string"
+    split_at = min(split_at, len(feed))
+
+    def spark_rows(df):
+        return sorted(
+            (
+                (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+                for r in df.collect()
+            ),
+            key=str,
+        )
+
+    full = spark.createDataFrame(feed, schema)
+    h_once = apply_cdc_scd2(None, full, ["k"], seq_col="seq", op_col="op")
+    want = _ref_scd2(feed)
+    assert spark_rows(h_once) == want
+    # two-step apply: first slice from empty, second onto the history
+    a, b = feed[:split_at], feed[split_at:]
+    h = None
+    if a:
+        h = apply_cdc_scd2(
+            None, spark.createDataFrame(a, schema), ["k"],
+            seq_col="seq", op_col="op",
+        ).localCheckpoint(eager=True)
+    if b:
+        h = apply_cdc_scd2(
+            h, spark.createDataFrame(b, schema), ["k"],
+            seq_col="seq", op_col="op",
+        )
+    assert spark_rows(h) == want
