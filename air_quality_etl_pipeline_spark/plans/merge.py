@@ -569,6 +569,7 @@ def apply_cdc_scd2(
     delete_op: str = "delete",
     start_col: str = "__START_AT",
     end_col: str = "__END_AT",
+    track_history_on: Sequence[str] | None = None,
 ) -> DataFrame:
     """CDC apply with full history — Delta Live Tables' ``APPLY
     CHANGES INTO ... STORED AS SCD TYPE 2``: every change opens a new
@@ -578,6 +579,19 @@ def apply_cdc_scd2(
     version has ``end_col`` NULL. Out-of-order changes slot into the
     timeline retroactively (DLT re-orders on the sequence column).
 
+    A delete that closed NO version (first surviving event for its
+    key, or preceded only by another delete) is emitted as a
+    degenerate TOMBSTONE row — NULL payload, ``start_col == end_col``
+    — because it still constrains the timeline: an even-later-arriving
+    upsert with a LOWER sequence number must be closed by it. DLT
+    keeps exactly this in pipeline state (tombstone retention for
+    out-of-order data, the ``pipelines.cdc.tombstoneGCThresholdInSeconds``
+    knob); a stateless history rebuild has no side state, so the
+    tombstone lives in the table. Consumers wanting only real versions
+    filter ``start_col != end_col`` (real versions always have
+    ``end_col`` NULL or strictly greater — sequence values are unique
+    per key after dedup).
+
     *target_history* is a prior output of this function (payload
     columns + the two stamp columns) or ``None`` for a first load.
     Rather than patching intervals in place, the history is
@@ -585,20 +599,40 @@ def apply_cdc_scd2(
     at their ``start_col`` (plus a tombstone at the tail ``end_col``
     when a key's last version is closed — that closure can only have
     come from a delete), unioned with the incoming changes, deduped
-    per ``(keys, seq)`` by a TOTAL order (max over the change struct
-    in *changes* column order — duplicate deliveries collapse, ties
-    resolve identically on every engine), and the intervals rebuilt
-    with one ``lead()`` window. Replaying any prefix of an already
-    applied feed is therefore a no-op by construction — the
-    idempotency DLT documents for APPLY CHANGES retries.
+    per ``(keys, seq)`` by a TOTAL order, and the intervals rebuilt
+    with one ``lead()`` window. The dedup order is OP-STRING-BLIND:
+    ``max(struct(is_not_delete, payload..., op))`` — all non-delete
+    ops are equivalent (they all mean upsert), so a history-derived
+    event (op ``__upsert__``) compares exactly like the original feed
+    event it stands for. That makes the per-``(key, seq)`` winner a
+    plain associative ``max`` over every event ever delivered,
+    regardless of how deliveries were sliced into batches (an
+    op-string-sensitive order would let a feed event outvote its own
+    history twin, or vice versa — both caught by the
+    two-step-vs-one-shot property test). Together with the
+    tombstone rows, applying a feed in ANY batch slicing — including
+    out-of-order slices where a delete lands batches before a
+    lower-sequence upsert — converges to the one-shot history, and
+    replaying any slice of an applied feed is a no-op by construction
+    (the idempotency and out-of-order handling DLT documents for
+    APPLY CHANGES).
+
+    *track_history_on* — DLT's ``TRACK HISTORY ON (cols)``: when set,
+    a new version opens ONLY when one of the listed (tracked) columns
+    changes (or the key re-appears after a delete); changes touching
+    only untracked columns are absorbed into the current version,
+    which keeps the LAST such change's untracked values (DLT's
+    update-in-place for non-history columns). ``None`` (default)
+    tracks everything — every surviving change is a version.
 
     Scale: one explicit repartition on the key; the ``(keys, seq)``
-    dedup aggregate and the per-key ``lead`` window both ride that
-    exchange (hash partitioning on a subset satisfies both required
-    clusterings), so the rebuild is ONE shuffle end-to-end and every
-    partition holds whole keys. Versions per key are change-feed
-    bounded — no data-sized window. At 100 TB the feed and history
-    would be bucketed by the key, making even that shuffle free.
+    dedup aggregate, the per-key windows, and the run aggregate all
+    ride that exchange (hash partitioning on a subset satisfies every
+    required clustering), so the rebuild is ONE shuffle end-to-end
+    and every partition holds whole keys. Versions per key are
+    change-feed bounded — no data-sized window. At 100 TB the feed
+    and history would be bucketed by the key, making even that
+    shuffle free.
     """
     from pyspark.sql.window import Window
 
@@ -607,14 +641,40 @@ def apply_cdc_scd2(
     if op_col not in rest:
         raise ValueError(f"op_col {op_col!r} must be a changes column")
     payload = [c for c in rest if c != op_col]
+    if track_history_on is not None:
+        if not list(track_history_on):
+            raise ValueError(
+                "track_history_on must list at least one column "
+                "(None tracks everything)"
+            )
+        bad = [c for c in track_history_on if c not in payload]
+        if bad:
+            raise ValueError(
+                f"track_history_on columns not in the payload: {bad}"
+            )
     events = changes.select(*key_list, seq_col, op_col, *payload)
     if target_history is not None:
-        # versions → upsert events at their start stamp
-        reopened = target_history.select(
+        # start == end marks a naked-tombstone row (see docstring) —
+        # it re-enters the rebuild as a DELETE event, never an upsert
+        hist_naked = F.col(end_col).eqNullSafe(F.col(start_col))
+        # versions → upsert events at their start stamp (op-blind
+        # dedup order means '__upsert__' ranks exactly like the feed
+        # event it replays)
+        reopened = target_history.filter(~hist_naked).select(
             *key_list,
             F.col(start_col).alias(seq_col),
             F.lit("__upsert__").alias(op_col),
             *payload,
+        )
+        naked_tombstones = target_history.filter(hist_naked).select(
+            *key_list,
+            F.col(start_col).alias(seq_col),
+            F.lit(delete_op).alias(op_col),
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target_history.schema.fields
+                if f.name in payload
+            ],
         )
         # A closed version whose end stamp is NOT some same-key
         # version's start was closed by a DELETE at that stamp (an
@@ -623,7 +683,9 @@ def apply_cdc_scd2(
         # rebuild. Covers both mid-history deletes (delete then later
         # re-insert) and the closed tail.
         tombstones = (
-            target_history.filter(F.col(end_col).isNotNull())
+            target_history.filter(
+                F.col(end_col).isNotNull() & ~hist_naked
+            )
             .select(*key_list, F.col(end_col).alias(seq_col))
             .join(
                 target_history.select(
@@ -641,17 +703,27 @@ def apply_cdc_scd2(
                     for f in target_history.schema.fields
                     if f.name in payload
                 ],
+                F.lit(1).alias("_prio"),
             )
         )
-        events = events.unionByName(reopened).unionByName(tombstones)
-    # ONE exchange: the (keys, seq) dedup and the per-key window below
-    # are both satisfied by hash partitioning on the key alone
+        events = (
+            events.unionByName(reopened)
+            .unionByName(tombstones)
+            .unionByName(naked_tombstones)
+        )
+    # ONE exchange: the (keys, seq) dedup and every per-key window /
+    # aggregate below are all satisfied by hash partitioning on the
+    # key alone
     events = events.repartition(*[F.col(c) for c in key_list])
     deduped = (
         events.groupBy(*key_list, seq_col)
         .agg(
             F.max(
-                F.struct(F.col(op_col), *[F.col(c) for c in payload])
+                F.struct(
+                    F.col("_prio"),
+                    F.col(op_col),
+                    *[F.col(c) for c in payload],
+                )
             ).alias("_e")
         )
         .select(
@@ -662,19 +734,102 @@ def apply_cdc_scd2(
         )
     )
     w = Window.partitionBy(*key_list).orderBy(F.col(seq_col))
-    seq_type = dict(
-        (f.name, f.dataType) for f in changes.schema.fields
-    )[seq_col]
-    return (
-        deduped.withColumn(end_col, F.lead(seq_col).over(w))
-        .filter(F.col(op_col) != F.lit(delete_op))
+    types = dict((f.name, f.dataType) for f in changes.schema.fields)
+    seq_type = types[seq_col]
+    is_del = F.col(op_col) == F.lit(delete_op)
+    prev_op = F.lag(op_col).over(w)
+    # a delete preceded by nothing (or only another delete) closed no
+    # version — keep it as a degenerate [seq, seq] tombstone row
+    naked = is_del & (prev_op.isNull() | (prev_op == F.lit(delete_op)))
+    if track_history_on is None:
+        stamped = deduped.select(
+            *key_list,
+            op_col,
+            *payload,
+            F.col(seq_col),
+            F.lead(seq_col).over(w).alias("_nxt"),
+            naked.alias("_naked"),
+        ).filter(~is_del | F.col("_naked"))
+        return stamped.select(
+            *key_list,
+            *[
+                F.when(F.col("_naked"), F.lit(None).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in payload
+            ],
+            F.col(seq_col).cast(seq_type).alias(start_col),
+            F.when(F.col("_naked"), F.col(seq_col))
+            .otherwise(F.col("_nxt"))
+            .cast(seq_type)
+            .alias(end_col),
+        )
+    # TRACK HISTORY ON: group consecutive upserts whose tracked
+    # columns are unchanged into RUNS; one version per run — start at
+    # the run's first event, end at the first event AFTER the run
+    # (lead of the run's last event), tracked columns from the run
+    # (constant within it), untracked columns from the run's LAST
+    # event. Deletes never join runs but do break them and close them.
+    tracked = list(track_history_on)
+    untracked = [c for c in payload if c not in tracked]
+    tr = F.struct(*[F.col(c) for c in tracked])
+    starts = ~is_del & (
+        prev_op.isNull()
+        | (prev_op == F.lit(delete_op))
+        | ~tr.eqNullSafe(F.lag(tr).over(w))
+    )
+    cum = (
+        Window.partitionBy(*key_list)
+        .orderBy(F.col(seq_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = deduped.select(
+        *key_list,
+        seq_col,
+        op_col,
+        *payload,
+        F.lead(seq_col).over(w).alias("_nxt"),
+        F.sum(starts.cast("int")).over(cum).alias("_run"),
+    ).filter(~is_del)
+    last = F.max(F.struct(F.col(seq_col), F.col("_nxt"))).alias("_last")
+    first = F.min(
+        F.struct(F.col(seq_col), *[F.col(c) for c in tracked])
+    ).alias("_first")
+    last_u = F.max(
+        F.struct(F.col(seq_col), *[F.col(c) for c in untracked])
+    ).alias("_lastu")
+    runs = (
+        ev.groupBy(*key_list, "_run")
+        .agg(first, last, last_u)
         .select(
             *key_list,
-            *payload,
-            F.col(seq_col).cast(seq_type).alias(start_col),
-            F.col(end_col).cast(seq_type).alias(end_col),
+            *[
+                (
+                    F.col(f"_first.{c}")
+                    if c in tracked
+                    else F.col(f"_lastu.{c}")
+                ).alias(c)
+                for c in payload
+            ],
+            F.col(f"_first.{seq_col}").cast(seq_type).alias(start_col),
+            F.col("_last._nxt").cast(seq_type).alias(end_col),
         )
     )
+    # same degenerate tombstone rows as the untracked path — a naked
+    # delete constrains later lower-seq arrivals here too
+    naked_rows = (
+        deduped.select(
+            *key_list, F.col(seq_col), naked.alias("_naked")
+        )
+        .filter("_naked")
+        .select(
+            *key_list,
+            *[F.lit(None).cast(types[c]).alias(c) for c in payload],
+            F.col(seq_col).cast(seq_type).alias(start_col),
+            F.col(seq_col).cast(seq_type).alias(end_col),
+        )
+    )
+    return runs.unionByName(naked_rows)
 
 
 def table_diff(

@@ -1056,7 +1056,7 @@ def test_apply_cdc_scd2_intervals(spark):
             (1, 3, "upsert", "a3"),
             (1, 5, "delete", None),   # closes a3 at 5, opens nothing
             (2, 2, "upsert", "b2"),   # stays open
-            (3, 1, "delete", None),   # delete of unseen key: no row
+            (3, 1, "delete", None),   # delete of unseen key: [1,1] tombstone
             (4, 7, "upsert", "dA"),   # duplicate (key, seq): total
             (4, 7, "upsert", "dB"),   # order picks 'dB'
         ],
@@ -1071,6 +1071,9 @@ def test_apply_cdc_scd2_intervals(spark):
         (1, "a1", 1, 3),
         (1, "a3", 3, 5),
         (2, "b2", 2, None),
+        # naked tombstone: closed nothing, but must survive so a
+        # later-arriving LOWER-seq upsert for key 3 still gets closed
+        (3, None, 1, 1),
         (4, "dB", 7, None),
     ]
 
@@ -1161,7 +1164,9 @@ def test_duplicate_query_registration_raises():
 def _ref_scd2(events):
     """Independent SCD-2 interval builder: per key, dedupe (key, seq)
     by max (op, payload), order by seq, emit [seq, next_seq) for
-    non-deletes, NULL end for the last event when it isn't a delete."""
+    non-deletes, NULL end for the last event when it isn't a delete.
+    A delete preceded by nothing (or only another delete) closed no
+    version → degenerate NULL-payload tombstone row [seq, seq]."""
     from collections import defaultdict
 
     best = {}
@@ -1183,6 +1188,8 @@ def _ref_scd2(events):
             nxt = evs[i + 1][0] if i + 1 < len(evs) else None
             if op != "delete":
                 out.append((k, v, seq, nxt))
+            elif i == 0 or evs[i - 1][1] == "delete":
+                out.append((k, None, seq, seq))
     return sorted(out, key=str)
 
 
@@ -1242,3 +1249,77 @@ def test_apply_cdc_scd2_property_matches_reference(spark, feed, split_at):
             seq_col="seq", op_col="op",
         )
     assert spark_rows(h) == want
+
+
+def test_apply_cdc_scd2_replay_priority_regression(spark):
+    """History events must OUTVOTE redelivered feed events at the same
+    (key, seq): without the priority bit, 'upsert' > '__upsert__'
+    lexically, so a stale redelivery whose payload sorts LOWER than
+    the applied winner would rewrite the version on replay (two-step
+    apply diverging from one-shot)."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+
+    schema = "k long, seq long, op string, v string"
+    a = spark.createDataFrame([(1, 5, "upsert", "b")], schema)
+    b = spark.createDataFrame([(1, 5, "upsert", "a")], schema)
+    one_shot = apply_cdc_scd2(
+        None, a.unionByName(b), ["k"], seq_col="seq", op_col="op"
+    )
+    h1 = apply_cdc_scd2(None, a, ["k"], seq_col="seq", op_col="op")
+    two_step = apply_cdc_scd2(h1, b, ["k"], seq_col="seq", op_col="op")
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(one_shot) == rows(two_step) == [(1, "b", 5, None)]
+
+
+def test_apply_cdc_scd2_track_history_on(spark):
+    """DLT's TRACK HISTORY ON (cols): a new version opens only when a
+    TRACKED column changes (or the key returns after a delete);
+    untracked-only changes are absorbed, the current version keeping
+    the LAST change's untracked values (update-in-place). Replay of
+    the full feed onto the produced history is a no-op even though
+    absorbed events are not represented in it."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+
+    schema = "k long, seq long, op string, city string, phone string"
+    feed = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "ams", "p1"),
+            (1, 2, "upsert", "ams", "p2"),   # untracked-only: absorbed
+            (1, 4, "upsert", "rtm", "p2"),   # tracked change: new ver
+            (1, 6, "delete", None, None),    # closes
+            (1, 8, "upsert", "rtm", "p9"),   # re-insert after delete:
+            (2, 3, "upsert", "utr", "q1"),   #   new ver despite same city
+            (2, 5, "upsert", "utr", "q2"),   # absorbed (phone only)
+        ],
+        schema,
+    )
+    kw = dict(seq_col="seq", op_col="op", track_history_on=["city"])
+    hist = apply_cdc_scd2(None, feed, ["k"], **kw)
+
+    def rows(df):
+        return sorted(
+            (r["k"], r["city"], r["phone"], r["__START_AT"], r["__END_AT"])
+            for r in df.collect()
+        )
+
+    got = rows(hist)
+    assert got == [
+        (1, "ams", "p2", 1, 4),   # absorbed p1->p2, span to tracked change
+        (1, "rtm", "p2", 4, 6),   # closed by the delete
+        (1, "rtm", "p9", 8, None),  # re-opened after delete, same city
+        (2, "utr", "q2", 3, None),  # live, last phone wins in place
+    ]
+    # replay the full feed (absorbed events included) onto the history
+    replay = apply_cdc_scd2(hist, feed, ["k"], **kw)
+    assert rows(replay) == got
+    # a NEW untracked-only change updates the LIVE version in place
+    upd = spark.createDataFrame([(2, 7, "upsert", "utr", "q7")], schema)
+    h2 = apply_cdc_scd2(hist, upd, ["k"], **kw)
+    assert rows(h2) == [r if r[0] != 2 else (2, "utr", "q7", 3, None) for r in got]
+    # validation: unknown / empty tracked lists
+    with pytest.raises(ValueError, match="not in the payload"):
+        apply_cdc_scd2(None, feed, ["k"], seq_col="seq", op_col="op",
+                       track_history_on=["nope"])
+    with pytest.raises(ValueError, match="at least one column"):
+        apply_cdc_scd2(None, feed, ["k"], seq_col="seq", op_col="op",
+                       track_history_on=[])
