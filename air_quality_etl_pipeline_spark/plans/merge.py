@@ -703,7 +703,6 @@ def apply_cdc_scd2(
                     for f in target_history.schema.fields
                     if f.name in payload
                 ],
-                F.lit(1).alias("_prio"),
             )
         )
         events = (
@@ -715,14 +714,21 @@ def apply_cdc_scd2(
     # aggregate below are all satisfied by hash partitioning on the
     # key alone
     events = events.repartition(*[F.col(c) for c in key_list])
+    # op-string-BLIND total order (docstring): non-delete beats delete,
+    # then the payload (NULL lowest, Spark struct ordering), the op
+    # string only as a final tie-break between equivalent events — so a
+    # history-derived '__upsert__' compares exactly like the feed event
+    # it replays and the per-(key, seq) winner is a plain associative
+    # max over every event ever delivered.
+    not_del = (~F.col(op_col).eqNullSafe(F.lit(delete_op))).cast("int")
     deduped = (
         events.groupBy(*key_list, seq_col)
         .agg(
             F.max(
                 F.struct(
-                    F.col("_prio"),
-                    F.col(op_col),
+                    not_del.alias("_nd"),
                     *[F.col(c) for c in payload],
+                    F.col(op_col),
                 )
             ).alias("_e")
         )

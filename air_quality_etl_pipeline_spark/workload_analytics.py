@@ -693,18 +693,32 @@ def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ELSE 'upsert' END AS op,
                   l_extendedprice AS price
            FROM lineitem),
-    -- apply_cdc_scd2 dedupes per (key, seq) by max(struct(op, payload))
-    -- — the total order spelled out here (testdata seq is NOT unique
-    -- per key, same trap cdc_apply_snapshot documents)
+    -- apply_cdc_scd2 dedupes per (key, seq) by the op-blind total
+    -- order max(struct(op <> 'delete', payload, op)) — spelled out
+    -- here as op DESC ('upsert' > 'delete'), then payload (testdata
+    -- seq is NOT unique per key, same trap cdc_apply_snapshot
+    -- documents)
     dedup AS (SELECT o_orderkey, seq, op, price FROM (
         SELECT o_orderkey, seq, op, price,
                row_number() OVER (PARTITION BY o_orderkey, seq
-                 ORDER BY op DESC, price DESC) AS rn
+                 ORDER BY op DESC, price DESC NULLS LAST) AS rn
         FROM ch) WHERE rn = 1),
     vers AS (SELECT o_orderkey, op, price, seq AS start_at,
                     lead(seq) OVER (PARTITION BY o_orderkey
-                                    ORDER BY seq) AS end_at
-             FROM dedup)
+                                    ORDER BY seq) AS end_at,
+                    lag(op) OVER (PARTITION BY o_orderkey
+                                  ORDER BY seq) AS prev_op
+             FROM dedup),
+    -- real versions, plus the degenerate [seq, seq] NULL-payload
+    -- tombstone for a delete that closed no version (first surviving
+    -- event for its key, or preceded only by another delete)
+    hist AS (SELECT o_orderkey, price, start_at, end_at
+             FROM vers WHERE op <> 'delete'
+             UNION ALL
+             SELECT o_orderkey, NULL AS price, start_at,
+                    start_at AS end_at
+             FROM vers WHERE op = 'delete'
+               AND (prev_op IS NULL OR prev_op = 'delete'))
     SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
            count(*) AS n_versions,
            CAST(sum(CASE WHEN end_at IS NULL THEN 1 ELSE 0 END)
@@ -713,7 +727,7 @@ def q_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS sum_price,
            CAST(sum(start_at) AS BIGINT) AS sum_start,
            CAST(sum(end_at) AS BIGINT) AS sum_end
-    FROM vers WHERE op <> 'delete' GROUP BY 1
+    FROM hist GROUP BY 1
     """,
 )
 def q_cdc_apply_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,8 +735,11 @@ def q_cdc_apply_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ... STORED AS SCD TYPE 2``): the lineitem change feed of
     ``cdc_apply_snapshot`` replayed into version intervals — each
     upsert opens a ``[__START_AT, __END_AT)`` version, the next change
-    closes it, returned lines ('R') are tombstones that close without
-    opening, live versions carry NULL ``__END_AT``. The oracle builds
+    closes it, returned lines ('R') are deletes that close without
+    opening, live versions carry NULL ``__END_AT``; a delete that
+    closed nothing survives as a degenerate ``[seq, seq]``
+    NULL-payload tombstone (it still constrains later-arriving
+    lower-sequence upserts). The oracle builds
     the same intervals with the (key, seq) dedup + lead() windows; the
     aggregate fingerprints interval placement (sum of starts/ends,
     open-version count) so a mis-stamped or unclosed version flips the
