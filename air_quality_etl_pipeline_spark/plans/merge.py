@@ -93,7 +93,7 @@ def merge_apply(
     not_matched_by_source_condition=None,
     matched_set: dict | None = None,
     not_matched_by_source_set: dict | None = None,
-    check_multiple_matches: bool = True,
+    check_multiple_matches: bool | str = True,
     matched_clauses: Sequence[dict] | None = None,
     not_matched_clauses: Sequence[dict] | None = None,
     not_matched_by_source_clauses: Sequence[dict] | None = None,
@@ -148,11 +148,23 @@ def merge_apply(
       (``DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW``) — matched
       source rows that no clause condition qualifies don't count
       (round-8 advisor fix; the previous probe was stricter, erroring
-      on any duplicate matched key). The probe is ONE eager bounded
-      action (``first()`` of a count, not a data-sized collect) inside
-      an otherwise lazy builder — the price of failing fast like
-      Delta does, billed to the caller's first action. Multiple source
-      rows on an UNMATCHED key are fine and all insert, as in Delta.
+      on any duplicate matched key). Multiple source rows on an
+      UNMATCHED key are fine and all insert, as in Delta. Two modes:
+
+      * ``True`` (default) — FAIL-FAST: the check runs as one eager
+        bounded action (``first()`` of a count, not a data-sized
+        collect) inside an otherwise lazy builder, and raises a typed
+        :class:`MergeMultipleMatchesError` from ``merge_apply``
+        itself.
+      * ``"lazy"`` — IN-PLAN: the check is compiled into the returned
+        plan as a ``raise_error`` branch, so it costs NOTHING beyond
+        the merge's own pass (no extra action, and on the general
+        path no second execution of the fan-out join). The error
+        surfaces at the caller's first action as Spark's
+        ``USER_RAISED_EXCEPTION`` carrying the message below — which
+        is exactly WHEN Delta's own ``.execute()`` raises it. Prefer
+        this at scale; the default stays fail-fast for interactive
+        use and the typed exception.
 
     * ``schema_evolution``: Delta's ``withSchemaEvolution()`` —
       source columns ABSENT from the target are appended to the
@@ -330,25 +342,40 @@ def merge_apply(
             .first()[0]
         )
 
+    lazy_check = check_multiple_matches == "lazy"
+    _raise_dup = F.raise_error(
+        F.lit(
+            "MERGE_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW: a target "
+            "row would be modified by multiple source rows"
+        )
+    )
+
     # Route: the general (fan-out) path is needed ONLY when duplicate
     # matched keys can coexist with conditions — i.e. a disqualified
     # duplicate must neither error nor win. With no duplicates the
     # cheap pre-agg path is exact for any clause list; with duplicates
     # and NO conditions every duplicate modifies, which IS Delta's
-    # error, caught by the same cheap probe.
+    # error — caught by the cheap probe (fail-fast mode) or by an
+    # in-plan raise_error guard (lazy mode). Lazy mode NEVER probes:
+    # conditional clause lists go straight to the general path (exact
+    # for any duplicate profile), so the whole merge is ONE action.
     use_general = False
+    fast_guard = False
     if clauses and conditional:
-        if check_multiple_matches:
-            use_general = dup_matched_keys() > 0
+        if lazy_check or not check_multiple_matches:
+            use_general = True  # exact with pairs; no routing probe
         else:
-            use_general = True  # min-winner tie-break must see pairs
+            use_general = dup_matched_keys() > 0
     elif clauses and check_multiple_matches:
-        dup = dup_matched_keys()
-        if dup:
-            raise MergeMultipleMatchesError(
-                f"{dup} target key(s) would be modified by multiple "
-                f"source rows (action {clauses[0]['action']!r})"
-            )
+        if lazy_check:
+            fast_guard = True
+        else:
+            dup = dup_matched_keys()
+            if dup:
+                raise MergeMultipleMatchesError(
+                    f"{dup} target key(s) would be modified by multiple "
+                    f"source rows (action {clauses[0]['action']!r})"
+                )
     if not use_general:
         # FAST PATH — at most one source row per matched key (probed,
         # or no update/delete clause so only key EXISTENCE matters).
@@ -359,7 +386,10 @@ def merge_apply(
         s1 = (
             source.select(*key_list, t_struct.alias("_s"))
             .groupBy(*key_list)
-            .agg(F.min("_s").alias("_s"))
+            .agg(
+                F.min("_s").alias("_s"),
+                *([F.count(F.lit(1)).alias("_n")] if fast_guard else []),
+            )
         )
         j = t.join(s1, on=key_list, how="left")
         ts, ss = F.col("_t"), F.col("_s")
@@ -369,6 +399,13 @@ def merge_apply(
         )
         null_row = F.lit(None).cast(j.schema["_t"].dataType)
         chooser = None
+        if fast_guard:
+            # lazy multiple-match check: every clause here is
+            # UNCONDITIONAL (conditional routes through the probe), so
+            # a matched key with >1 source rows is always modified
+            # twice — Delta's error, raised from inside the merge's
+            # own pass
+            chooser = F.when(matched & (F.col("_n") > 1), _raise_dup)
         for c in clauses:
             fires = matched & cond(c["condition"], ts, ss)
             if c["action"] == "update":
@@ -419,7 +456,10 @@ def merge_apply(
             F.min(winner).alias("_w"),
             F.sum(F.when(ci.isNotNull(), 1).otherwise(0)).alias("_nq"),
         )
-        if check_multiple_matches:
+        if check_multiple_matches and not lazy_check:
+            # fail-fast mode pays a FULL second execution of the
+            # fan-out join + reduction for the early typed error;
+            # "lazy" folds the same check into the plan below for free
             dup = (
                 per_t.filter(F.col("_nq") > 1)
                 .agg(F.count(F.lit(1)))
@@ -440,6 +480,10 @@ def merge_apply(
         tt, win = F.col("_t"), F.col("_w")
         ts = tt
         chooser = None
+        if check_multiple_matches and lazy_check:
+            # in-plan Delta error: >1 QUALIFYING source rows for this
+            # target row (disqualified duplicates don't count)
+            chooser = F.when(F.col("_nq") > 1, _raise_dup)
         for i, c in enumerate(clauses):
             hits = win.isNotNull() & (win["ci"] == i)
             if c["action"] == "update":

@@ -487,6 +487,63 @@ def test_multiple_match_errors_only_when_actually_modified(spark):
         )
 
 
+def test_check_multiple_matches_lazy_mode(spark):
+    """check_multiple_matches='lazy' compiles the Delta
+    multiple-match error INTO the plan (raise_error branch) instead of
+    an eager probe action: results identical to fail-fast on clean
+    inputs, error surfaces at ACTION time (like Delta's .execute())
+    with the documented message, and a disqualified duplicate still
+    doesn't error on the general path."""
+
+    def rows(df):
+        return sorted((tuple(r) for r in df.collect()), key=str)
+
+    t = spark.createDataFrame(TARGET, SCHEMA)
+    s = spark.createDataFrame(SOURCE, SCHEMA)
+    # clean source, fast path: lazy == eager
+    assert rows(
+        merge_apply(t, s, ["k"], check_multiple_matches="lazy")
+    ) == rows(merge_apply(t, s, ["k"]))
+    # clean source, conditional (lazy routes through the GENERAL path
+    # with no probe): still identical to eager
+    assert rows(
+        merge_apply(
+            t, s, ["k"],
+            matched_condition=NEWER_T,
+            check_multiple_matches="lazy",
+        )
+    ) == rows(merge_apply(t, s, ["k"], matched_condition=NEWER_T))
+    dup = spark.createDataFrame(SOURCE + [(3, 9, "s3b")], SCHEMA)
+    # duplicate modifying rows: building the plan does NOT raise...
+    out = merge_apply(t, dup, ["k"], check_multiple_matches="lazy")
+    with pytest.raises(Exception, match="MULTIPLE_SOURCE_ROW"):
+        out.collect()  # ...the caller's action does
+    # general path (conditional, both duplicates qualify)
+    out2 = merge_apply(
+        t, dup, ["k"],
+        matched_condition=NEWER_T,
+        check_multiple_matches="lazy",
+    )
+    with pytest.raises(Exception, match="MULTIPLE_SOURCE_ROW"):
+        out2.collect()
+    # general path, only ONE duplicate qualifies (ver0 disqualified by
+    # NEWER_T): no error, identical to the eager result
+    one_qual = spark.createDataFrame(SOURCE + [(3, 0, "s3b")], SCHEMA)
+    assert rows(
+        merge_apply(
+            t, one_qual, ["k"],
+            matched_condition=NEWER_T,
+            check_multiple_matches="lazy",
+        )
+    ) == rows(merge_apply(t, one_qual, ["k"], matched_condition=NEWER_T))
+    # duplicates on an UNMATCHED key still all insert, no error
+    dup_new = spark.createDataFrame([(7, 1, "a"), (7, 2, "b")], SCHEMA)
+    got = merge_apply(
+        t, dup_new, ["k"], check_multiple_matches="lazy"
+    ).collect()
+    assert sorted(r["val"] for r in got if r["k"] == 7) == ["a", "b"]
+
+
 def test_non_last_unconditional_clause_rejected(spark):
     """Delta's rule: an unconditional whenMatched clause anywhere but
     last makes later clauses dead — reject at build time."""
