@@ -450,7 +450,14 @@ def merge_apply(
         winner = F.when(
             ci.isNotNull(), F.struct(ci.alias("ci"), ss.alias("s"))
         )
-        per_t = j.groupBy("_tid").agg(
+        # group by (keys, tid), not tid alone: tid is already unique
+        # per target row, and listing the join keys first lets the
+        # aggregation's ClusteredDistribution be satisfied by the
+        # fan-out join's existing hash partitioning on the key — no
+        # second data-sized exchange (grouping by the opaque tid alone
+        # re-shuffled the whole fan-out; measured 5.42x at x10 data,
+        # 2.44x after this change — scripts/stress_merge_lazy.py)
+        per_t = j.groupBy(*key_list, "_tid").agg(
             F.min("_t").alias("_t"),
             F.max(matched.cast("int")).alias("_m"),
             F.min(winner).alias("_w"),
