@@ -512,13 +512,24 @@ def run_cdc_scd2_stream(
 ) -> None:
     """Streaming twin of ``plans/merge.apply_cdc_scd2``: drain an
     (availableNow) change-feed stream into an append-only DEDUPED
-    event log at *log_path* — each batch anti-joins on ``(keys,
-    seq_col)`` against the log so duplicate deliveries (within a
+    event log at *log_path* — each batch anti-joins against the log
+    on the FULL row (every column), so duplicate deliveries (within a
     batch, across batches, or on full replay) append nothing. The
     SCD-2 history is then ``apply_cdc_scd2(None, read(log_path), ...)``
     — see :func:`cdc_scd2_history`; because the log converges to the
     distinct event set regardless of micro-batching, the rebuilt
     intervals equal the one-shot batch apply.
+
+    Full-row dedup, NOT ``(keys, seq_col)`` dedup, deliberately: the
+    batch apply resolves CONFLICTING events at the same ``(key, seq)``
+    by an op-blind total-order ``max`` over every event ever
+    delivered. A key-level anti-join would keep whichever conflicting
+    event ARRIVED first — a batch-slicing-dependent answer that
+    diverges from the one-shot apply. Full-row dedup suppresses exact
+    redeliveries (the at-least-once case the log exists for) while
+    letting genuine conflicts append; the rebuild's own ``(key, seq)``
+    dedup then picks the same winner as the one-shot apply, by the
+    associativity of ``max`` over the event multiset.
 
     Unlike the SCD-1 state fold (:func:`run_cdc_stream`), the log is
     APPEND-ONLY — no read-modify-replace of a snapshot — so each batch
@@ -533,10 +544,19 @@ def run_cdc_scd2_stream(
         hconf = s._jsc.hadoopConfiguration()
         jlog = jvm.org.apache.hadoop.fs.Path(log_path)
         fs = jlog.getFileSystem(hconf)
-        batch = batch_df.dropDuplicates([*keys, seq_col])
+        all_cols = batch_df.columns
+        batch = batch_df.dropDuplicates(all_cols)
         if fs.exists(jlog):
-            seen = s.read.parquet(log_path).select(*keys, seq_col)
-            batch = batch.join(seen, on=[*keys, seq_col], how="left_anti")
+            seen = s.read.parquet(log_path).select(*all_cols)
+            # null-safe equality on every column: delete events carry
+            # NULL payloads, and a plain column-list anti-join (`=`)
+            # would never match their logged copies — re-appending
+            # them on every replay
+            cond = None
+            for c in all_cols:
+                e = batch[c].eqNullSafe(seen[c])
+                cond = e if cond is None else cond & e
+            batch = batch.join(seen, on=cond, how="left_anti")
         batch.write.mode("append").parquet(log_path)
 
     q = (

@@ -409,3 +409,62 @@ def test_streaming_scd2_log_converges_to_batch_history(spark, tmp_path):
     drain(str(tmp_path / "ck2"))
     assert spark.read.parquet(log).count() == len(feed_rows)
     assert rows_of(cdc_scd2_history(spark, log, ["k"], "seq", "op")) == want
+
+
+def test_streaming_scd2_conflicting_same_seq_across_batches(spark, tmp_path):
+    """Two DIFFERENT events at the same (key, seq) arriving in
+    different micro-batches: a (key, seq)-level log dedup would keep
+    whichever arrived FIRST — a batch-slicing-dependent answer — while
+    the one-shot batch apply resolves the cell by the op-blind
+    total-order max. The full-row log keeps both events and the
+    rebuild picks the same winner as the one-shot apply; replay still
+    appends nothing."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        cdc_scd2_history,
+        run_cdc_scd2_stream,
+    )
+
+    schema = "k long, seq long, op string, v string"
+    first = (4, 7, "upsert", "zA")   # arrives first...
+    winner = (4, 7, "upsert", "zB")  # ...but loses the total order
+    batches = [[first], [winner, first]]  # + stale redelivery of zA
+    src = str(tmp_path / "feed")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b{i}.parquet")
+    log = str(tmp_path / "log")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        run_cdc_scd2_stream(stream, log, ["k"], "seq", checkpoint=ckpt)
+
+    drain(str(tmp_path / "ck1"))
+    assert spark.read.parquet(log).count() == 2  # both conflict rows
+
+    def rows_of(df):
+        return sorted(
+            (r["k"], r["v"], r["__START_AT"], r["__END_AT"])
+            for r in df.collect()
+        )
+
+    got = rows_of(cdc_scd2_history(spark, log, ["k"], "seq", "op"))
+    want = rows_of(
+        apply_cdc_scd2(
+            None,
+            spark.createDataFrame([first, winner], schema),
+            ["k"],
+            seq_col="seq",
+            op_col="op",
+        )
+    )
+    assert got == want == [(4, "zB", 7, None)]
+    drain(str(tmp_path / "ck2"))  # full replay: nothing appends
+    assert spark.read.parquet(log).count() == 2
+    assert rows_of(cdc_scd2_history(spark, log, ["k"], "seq", "op")) == want
