@@ -676,6 +676,25 @@ def apply_cdc_scd2(
     update-in-place for non-history columns). ``None`` (default)
     tracks everything — every surviving change is a version.
 
+    Incremental-rebuild contract under *track_history_on*: absorbing
+    an event erases its ``(seq, untracked)`` provenance from the
+    history, so a LATER batch delivering a brand-new event with a
+    sequence BELOW an already-absorbed event's cannot be sliced into
+    the timeline exactly — the rebuild sees only the run's start and
+    last-untracked values. Exact cases: one-shot application,
+    redelivery/replay of already-applied events under any slicing
+    (replayed events dedup against their history twins), and batches
+    whose first-delivery sequences are non-decreasing per key (the
+    ordered-feed streaming case). For out-of-order FIRST deliveries,
+    rebuild from the full event log instead —
+    ``streaming/jobs.run_cdc_scd2_stream`` keeps exactly that log, so
+    its history is a one-shot apply and always exact. (DLT has the
+    same requirement: out-of-order tolerance there comes from events
+    retained in pipeline state, not from the SCD-2 table.) Without
+    *track_history_on* no event is ever absorbed — every surviving
+    event IS a version row — so none of this applies and any slicing
+    converges, as documented above.
+
     Scale: one explicit repartition on the key; the ``(keys, seq)``
     dedup aggregate, the per-key windows, and the run aggregate all
     ride that exchange (hash partitioning on a subset satisfies every

@@ -575,11 +575,19 @@ def cdc_scd2_history(
     seq_col: str,
     op_col: str,
     delete_op: str = "delete",
+    track_history_on=None,
 ) -> DataFrame:
     """Materialize the SCD-2 version history from the streamed event
     log (:func:`run_cdc_scd2_stream`) — the same
     ``plans/merge.apply_cdc_scd2`` rebuild the batch path uses, so the
-    streaming and batch paths converge to identical intervals."""
+    streaming and batch paths converge to identical intervals.
+
+    Because the log retains EVERY distinct event, this rebuild is
+    always a one-shot apply — which makes it exact even for the one
+    case the incremental history rebuild cannot slice in:
+    ``track_history_on`` with out-of-order first deliveries (see the
+    contract note on ``apply_cdc_scd2``; DLT gets the same guarantee
+    from events retained in pipeline state)."""
     from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
 
     return apply_cdc_scd2(
@@ -589,4 +597,5 @@ def cdc_scd2_history(
         seq_col=seq_col,
         op_col=op_col,
         delete_op=delete_op,
+        track_history_on=track_history_on,
     )

@@ -1308,6 +1308,96 @@ def test_apply_cdc_scd2_property_matches_reference(spark, feed, split_at):
     assert spark_rows(h) == want
 
 
+def _ref_scd2_track(events):
+    """Independent SCD-2 builder with TRACK HISTORY ON the first
+    payload column (city): dedupe (key, seq) by the op-blind total
+    order max(not_delete, city, phone, op); per key in seq order,
+    consecutive non-deletes with an unchanged city merge into one RUN
+    — one version per run, city from the run's first event, phone
+    from its LAST, start at the first seq, end at the first seq after
+    the run; deletes close runs and naked deletes leave [seq, seq]
+    tombstones."""
+    from collections import defaultdict
+
+    best = {}
+    for k, seq, op, city, phone in events:
+        key = (
+            op != "delete",
+            city is not None, city or "",
+            phone is not None, phone or "",
+            op or "",
+        )
+        prev = best.get((k, seq))
+        if prev is None or key > prev[0]:
+            best[(k, seq)] = (key, op, city, phone)
+    per_key = defaultdict(list)
+    for (k, seq), (_, op, city, phone) in best.items():
+        per_key[k].append((seq, op, city, phone))
+    out = []
+    for k, evs in per_key.items():
+        evs.sort()
+        run = None  # (start, city, phone)
+        prev_op = None
+        for seq, op, city, phone in evs:
+            if op == "delete":
+                if run is not None:
+                    out.append((k, run[1], run[2], run[0], seq))
+                    run = None
+                elif prev_op is None or prev_op == "delete":
+                    out.append((k, None, None, seq, seq))
+            elif run is None:
+                run = (seq, city, phone)
+            elif not (run[1] == city):
+                out.append((k, run[1], run[2], run[0], seq))
+                run = (seq, city, phone)
+            else:
+                run = (run[0], run[1], phone)  # absorb: last phone
+            prev_op = op
+        if run is not None:
+            out.append((k, run[1], run[2], run[0], None))
+    return sorted(out, key=str)
+
+
+_scd2t_event = st.tuples(
+    st.integers(0, 2),                          # key
+    st.integers(0, 6),                          # seq
+    st.sampled_from(["upsert", "delete"]),
+    st.one_of(st.none(), st.sampled_from(["x", "y"])),   # city (tracked)
+    st.one_of(st.none(), st.sampled_from(["p", "q"])),   # phone (untracked)
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(feed=st.lists(_scd2t_event, min_size=1, max_size=14))
+def test_apply_cdc_scd2_track_history_property(spark, feed):
+    """Random feeds (duplicate (key, seq) cells, deletes, NULL tracked
+    AND untracked values): one-shot apply with track_history_on
+    matches the independent run-merging reference."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+
+    schema = "k long, seq long, op string, city string, phone string"
+    h = apply_cdc_scd2(
+        None,
+        spark.createDataFrame(feed, schema),
+        ["k"],
+        seq_col="seq",
+        op_col="op",
+        track_history_on=["city"],
+    )
+    got = sorted(
+        (
+            (r["k"], r["city"], r["phone"], r["__START_AT"], r["__END_AT"])
+            for r in h.collect()
+        ),
+        key=str,
+    )
+    assert got == _ref_scd2_track(feed)
+
+
 def test_apply_cdc_scd2_replay_priority_regression(spark):
     """History events must OUTVOTE redelivered feed events at the same
     (key, seq): without the priority bit, 'upsert' > '__upsert__'

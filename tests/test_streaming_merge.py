@@ -411,6 +411,72 @@ def test_streaming_scd2_log_converges_to_batch_history(spark, tmp_path):
     assert rows_of(cdc_scd2_history(spark, log, ["k"], "seq", "op")) == want
 
 
+def test_streaming_scd2_track_history_out_of_order(spark, tmp_path):
+    """TRACK HISTORY ON + an out-of-order FIRST delivery (a tracked
+    change at seq 2 arriving after seq 4 was already absorbed): the
+    event-log path stays exact — its rebuild is a one-shot apply over
+    every retained event — while the incremental history rebuild
+    demonstrably cannot slice the late event in (the absorbed event's
+    (seq, untracked) provenance is gone), which is exactly the
+    documented contract on apply_cdc_scd2 and why the log exists (DLT:
+    events retained in pipeline state)."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
+    from air_quality_etl_pipeline_spark.streaming.jobs import (
+        cdc_scd2_history,
+        run_cdc_scd2_stream,
+    )
+
+    schema = "k long, seq long, op string, city string, phone string"
+    b1 = [(1, 1, "upsert", "ams", "p1"), (1, 4, "upsert", "ams", "p4")]
+    b2 = [(1, 2, "upsert", "rtm", "p2")]  # late tracked change, seq 2 < 4
+    src = str(tmp_path / "feed")
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{src}/b{i}.parquet")
+    log = str(tmp_path / "log")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    run_cdc_scd2_stream(stream, log, ["k"], "seq", str(tmp_path / "ck"))
+
+    def rows_of(df):
+        return sorted(
+            (r["k"], r["city"], r["phone"], r["__START_AT"], r["__END_AT"])
+            for r in df.collect()
+        )
+
+    kw = dict(seq_col="seq", op_col="op", track_history_on=["city"])
+    one_shot = rows_of(
+        apply_cdc_scd2(None, spark.createDataFrame(b1 + b2, schema), ["k"], **kw)
+    )
+    assert one_shot == [
+        (1, "ams", "p1", 1, 2),
+        (1, "ams", "p4", 4, None),
+        (1, "rtm", "p2", 2, 4),
+    ]
+    # the log path is exact
+    got = rows_of(
+        cdc_scd2_history(spark, log, ["k"], "seq", "op",
+                         track_history_on=["city"])
+    )
+    assert got == one_shot
+    # the incremental rebuild is NOT (documented): seq 4 was absorbed
+    # into [1, None) before the late seq-2 arrival, so its version and
+    # p1 are unrecoverable from the history alone
+    h1 = apply_cdc_scd2(
+        None, spark.createDataFrame(b1, schema), ["k"], **kw
+    ).localCheckpoint(eager=True)
+    incr = rows_of(
+        apply_cdc_scd2(h1, spark.createDataFrame(b2, schema), ["k"], **kw)
+    )
+    assert incr != one_shot
+    assert incr == [(1, "ams", "p4", 1, 2), (1, "rtm", "p2", 2, None)]
+
+
 def test_streaming_scd2_conflicting_same_seq_across_batches(spark, tmp_path):
     """Two DIFFERENT events at the same (key, seq) arriving in
     different micro-batches: a (key, seq)-level log dedup would keep
