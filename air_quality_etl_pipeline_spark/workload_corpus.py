@@ -2202,10 +2202,14 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens per arm; shard the counts (or drop to per-bucket doubles)
     beyond.
 
-    Scale: the bucket model is ≤ 4096 rows — one aggregation over the
-    token stream, then a BROADCAST join back onto it; the per-doc sum
-    shuffles once on doc_id; top-20 is TakeOrderedAndProject (no global
-    sort). The token stream is never shuffled with its text."""
+    Scale: the token stream collapses ONCE to (doc, arm, bucket)
+    counts — compact ints, checkpointed — so the tokenize+md5 pass
+    runs a single time; the ≤ 4096-row bucket model re-aggregates that
+    frame and BROADCASTS back onto it; the per-doc weighted sum
+    shuffles the count frame (≤ docs × distinct-buckets rows, always
+    smaller than the token stream) on doc_id; top-20 is
+    TakeOrderedAndProject (no global sort). The token stream is never
+    shuffled, and text never leaves the scan stage."""
     d = _t(spark, sf_dir, "documents")
     is_t = F.col("source").isin(*_DSIR_TARGET)
     toks = d.select(
@@ -2219,9 +2223,20 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-    bm = toks.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("nr"),
+    # collapse the token stream ONCE to (doc, arm, bucket) counts —
+    # compact ints, checkpointed — so the tokenize+md5 pass (the hot
+    # cost) runs once instead of once per consumer (the bucket model
+    # below AND the per-doc weight pass both derive from this frame);
+    # localCheckpoint, not .cache(), per the order_stats bench-honesty
+    # rule (blocks owned by the DataFrame, GC'd with it)
+    dbc = (
+        toks.groupBy("doc_id", "is_t", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bm = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("nr"),
     )
     tot = bm.agg(
         F.sum("nt").alias("n_t_total"), F.sum("nr").alias("n_r_total")
@@ -2238,12 +2253,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lam"),
     )
     doc = (
-        toks.filter(~F.col("is_t"))
+        dbc.filter(~F.col("is_t"))
         .join(F.broadcast(lam), on="b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.col("lam").cast("decimal(38,0)"))
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("lam").cast("decimal(38,0)") * F.col("c"))
             .cast("long")
             .alias("weight_micro"),
         )
