@@ -2202,14 +2202,10 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens per arm; shard the counts (or drop to per-bucket doubles)
     beyond.
 
-    Scale: the token stream collapses ONCE to (doc, arm, bucket)
-    counts — compact ints, checkpointed — so the tokenize+md5 pass
-    runs a single time; the ≤ 4096-row bucket model re-aggregates that
-    frame and BROADCASTS back onto it; the per-doc weighted sum
-    shuffles the count frame (≤ docs × distinct-buckets rows, always
-    smaller than the token stream) on doc_id; top-20 is
-    TakeOrderedAndProject (no global sort). The token stream is never
-    shuffled, and text never leaves the scan stage."""
+    Scale: the bucket model is ≤ 4096 rows — one aggregation over the
+    token stream, then a BROADCAST join back onto it; the per-doc sum
+    shuffles once on doc_id; top-20 is TakeOrderedAndProject (no global
+    sort). The token stream is never shuffled with its text."""
     d = _t(spark, sf_dir, "documents")
     is_t = F.col("source").isin(*_DSIR_TARGET)
     toks = d.select(
@@ -2223,20 +2219,19 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-    # collapse the token stream ONCE to (doc, arm, bucket) counts —
-    # compact ints, checkpointed — so the tokenize+md5 pass (the hot
-    # cost) runs once instead of once per consumer (the bucket model
-    # below AND the per-doc weight pass both derive from this frame);
-    # localCheckpoint, not .cache(), per the order_stats bench-honesty
-    # rule (blocks owned by the DataFrame, GC'd with it)
-    dbc = (
-        toks.groupBy("doc_id", "is_t", "b")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    bm = dbc.groupBy("b").agg(
-        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(0)).alias("nt"),
-        F.sum(F.when(~F.col("is_t"), F.col("c")).otherwise(0)).alias("nr"),
+    # Two-pass formulation KEPT after a measured round-9 attempt to
+    # single-pass it (collapse to (doc, arm, bucket) counts feeding
+    # both the bucket model and the weight pass): exchange reuse
+    # cannot dedup the shared aggregate because Catalyst pushes the
+    # weight pass's ~is_t filter THROUGH the groupBy into its scan,
+    # making the subtrees canonically different, and materializing
+    # with localCheckpoint both runs the shuffle at BUILD time under
+    # AQE (leaking work out of bench samples — builds-run-no-jobs
+    # fence) and regresses the honest per-sample cost. SCALE.md
+    # "DSIR single-pass attempt" has the numbers.
+    bm = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).alias("nr"),
     )
     tot = bm.agg(
         F.sum("nt").alias("n_t_total"), F.sum("nr").alias("n_r_total")
@@ -2253,12 +2248,12 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lam"),
     )
     doc = (
-        dbc.filter(~F.col("is_t"))
+        toks.filter(~F.col("is_t"))
         .join(F.broadcast(lam), on="b")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_tokens"),
-            F.sum(F.col("lam").cast("decimal(38,0)") * F.col("c"))
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("lam").cast("decimal(38,0)"))
             .cast("long")
             .alias("weight_micro"),
         )

@@ -1048,6 +1048,17 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer multiple of an exact decimal) so document sums are
     order-independent."""
     d = _t(spark, sf_dir, "documents")
+    # NOTE (round-9, measured): each consumer below re-tokenizes —
+    # this environment performs NO exchange/subtree reuse (zero
+    # ReusedExchange even for trivially identical aggregate subtrees,
+    # probed directly), so "share the count relations" rewrites only
+    # re-execute them per consumer, and materializing with
+    # localCheckpoint was measured SLOWER at sf0.1 (2.4-2.5 s vs
+    # 1.9 s fresh-build: block IO for the tokenized arrays loses to
+    # recompute) AND runs the checkpoint shuffle at BUILD time,
+    # leaking work out of bench samples (builds-run-no-jobs fence).
+    # Recompute is the measured optimum here; SCALE.md "single-pass
+    # attempts" has the numbers.
     toks = d.select(
         "doc_id",
         F.transform(token_array(F.col("text")), lambda x: F.lower(x)).alias(
