@@ -424,7 +424,13 @@ MATRIX = [
 
 @pytest.mark.parametrize("name,skw,rkw", MATRIX, ids=[m[0] for m in MATRIX])
 def test_merge_matrix_matches_reference(spark, name, skw, rkw):
-    assert run_spark(spark, **skw) == ref_merge(TARGET, SOURCE, [0], **rkw)
+    want = ref_merge(TARGET, SOURCE, [0], **rkw)
+    assert run_spark(spark, **skw) == want
+    # the in-plan ("lazy") multiple-match mode must be result-identical
+    # on every matrix case — it swaps probe actions for a raise_error
+    # branch and routes conditional clause lists to the general path,
+    # neither of which may change a single row
+    assert run_spark(spark, check_multiple_matches="lazy", **skw) == want
 
 
 def test_multiple_source_match_errors_like_delta(spark):
