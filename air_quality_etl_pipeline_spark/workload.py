@@ -1203,13 +1203,11 @@ REBUILD_PURE_QUERIES: set[str] = {
     "pq_adc_search",
     "ivf_pq_search",
     "bloom_filter_join",
-    # merge_apply's Delta-parity duplicate-match probe (one scalar
-    # aggregate asserting no target key matches >1 source rows) is
-    # MERGE's own validation work — samples must pay it
-    "merge_full_sync",
-    # same, plus the general-path qualifying-count probe over the
-    # fan-out join (duplicate source keys by design)
-    "merge_multi_clause",
+    # merge_full_sync / merge_multi_clause left this list in round 9:
+    # check_multiple_matches="lazy" compiles the Delta duplicate-match
+    # probe into the plan as a raise_error branch, so their builders
+    # run zero jobs again (verified by the builds-run-no-jobs fence)
+    # and the whole validation cost is inside every timed sample
 }
 SIDE_EFFECT_QUERIES.update(REBUILD_PURE_QUERIES)
 

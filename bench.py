@@ -90,6 +90,12 @@ HEADLINE = [
     # round-9: SCD-2 CDC apply (interval rebuild over the 6M-change
     # feed — one key repartition shared by the dedup agg + lead window)
     "cdc_apply_scd2",
+    # round-9: the other two merge/CDC flagships — the ordered
+    # multi-clause MERGE on its one-action lazy-check general path
+    # ((keys, tid) reduction riding the join exchange) and the SCD-1
+    # APPLY CHANGES snapshot apply
+    "merge_multi_clause",
+    "cdc_apply_snapshot",
 ]
 
 
