@@ -1106,6 +1106,89 @@ def test_apply_cdc_latest_wins(spark):
     assert {r["k"]: r["v"] for r in again.collect()} == rows
 
 
+def _ref_cdc_scd1(target, feed):
+    """Independent SCD-1 reference: per key the max (seq, op, payload)
+    change decides — delete drops the key, anything else upserts;
+    target keys without changes pass through. Mirrors apply_cdc's
+    max(struct(seq, op, v)) total order (None payload sorts lowest)."""
+    best = {}
+    for k, seq, op, v in feed:
+        key = (seq, op or "", v is not None, v or "")
+        prev = best.get(k)
+        if prev is None or key > prev[0]:
+            best[k] = (key, op, v)
+    out = dict(target)
+    for k, (_, op, v) in best.items():
+        if op == "delete":
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return sorted(out.items(), key=str)
+
+
+_scd1_event = st.tuples(
+    st.integers(0, 3),
+    st.integers(0, 5),
+    st.sampled_from(["upsert", "delete"]),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    target=st.dictionaries(st.integers(0, 3), st.sampled_from(["t0", "t1"]),
+                           max_size=4),
+    feed=st.lists(_scd1_event, min_size=1, max_size=12),
+    split_seq=st.integers(0, 6),
+)
+def test_apply_cdc_scd1_property(spark, target, feed, split_seq):
+    """SCD-1 APPLY CHANGES contract, property-tested: (1) one-shot
+    apply matches the independent latest-wins reference on random
+    feeds (duplicate cells, deletes, NULL payloads, delete-of-unseen);
+    (2) a SEQUENCE-ORDERED split applied in two steps converges to the
+    one-shot snapshot (the stateless contract — arbitrary splits need
+    tombstone state, which is the SCD-2 path's job); (3) replaying the
+    FULL feed onto the result is a no-op."""
+    from air_quality_etl_pipeline_spark.plans.merge import apply_cdc
+
+    tschema = "k long, v string"
+    schema = "k long, seq long, op string, v string"
+    t = (
+        spark.createDataFrame(list(target.items()), tschema)
+        if target
+        else spark.createDataFrame([], tschema)
+    )
+    full = spark.createDataFrame(feed, schema)
+
+    def rows(df):
+        return sorted(((r["k"], r["v"]) for r in df.collect()), key=str)
+
+    want = _ref_cdc_scd1(target, feed)
+    one_shot = apply_cdc(t, full, ["k"], seq_col="seq", op_col="op")
+    assert rows(one_shot) == want
+    a = [e for e in feed if e[1] < split_seq]
+    b = [e for e in feed if e[1] >= split_seq]
+    st1 = t
+    if a:
+        st1 = apply_cdc(
+            t, spark.createDataFrame(a, schema), ["k"],
+            seq_col="seq", op_col="op",
+        ).localCheckpoint(eager=True)
+    st2 = st1
+    if b:
+        st2 = apply_cdc(
+            st1, spark.createDataFrame(b, schema), ["k"],
+            seq_col="seq", op_col="op",
+        )
+    assert rows(st2) == want
+    replay = apply_cdc(one_shot, full, ["k"], seq_col="seq", op_col="op")
+    assert rows(replay) == want
+
+
 def test_apply_cdc_scd2_intervals(spark):
     """SCD TYPE 2 apply from empty: each upsert opens a version at its
     sequence, the NEXT change of any op closes it, deletes close
