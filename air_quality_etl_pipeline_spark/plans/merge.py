@@ -925,6 +925,14 @@ def table_diff(
     shuffle. At 100 TB both snapshots would be bucketed by the key so
     the join runs exchange-free; the hash trick is what keeps the
     comparison O(1) per row regardless of column count.
+
+    The row encoding is INJECTIVE and null-safe (each component is a
+    null marker or a length-prefixed value), so values migrating
+    between columns or NULLs appearing can never alias an unchanged
+    row — the ``concat_ws`` separator encoding this replaces silently
+    SKIPPED NULLs and let a separator inside a value collide across
+    columns (the same defect class the round-8 advisor flagged on the
+    dedup clone fingerprint).
     """
     cols = list(
         compare_cols
@@ -932,10 +940,20 @@ def table_diff(
         else [c for c in v1.columns if c not in set(keys)]
     )
 
+    def _enc(c: str):
+        col = F.col(c).cast("string")
+        return F.when(col.isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.lit("V"),
+                F.lpad(F.length(col).cast("string"), 10, "0"),
+                col,
+            )
+        )
+
     def hashed(df: DataFrame, h: str) -> DataFrame:
         return df.select(
             *keys,
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])).alias(h),
+            F.md5(F.concat(*[_enc(c) for c in cols])).alias(h),
         )
 
     j = hashed(v1, "_h1").join(hashed(v2, "_h2"), on=list(keys), how="full_outer")

@@ -199,6 +199,28 @@ def test_table_diff_classifies_all_cases(spark):
     assert table_diff(v1, v1, ["k"]).collect() == []
 
 
+def test_table_diff_row_encoding_is_injective(spark):
+    """The row hash must be null-safe and injective: a value moving
+    between columns, NULL appearing/disappearing, or a value that
+    embeds a would-be separator must all read as CHANGED (the skipped-
+    NULL concat_ws encoding aliased every one of these to unchanged —
+    the round-8 advisor's dedup-fingerprint defect class)."""
+    from air_quality_etl_pipeline_spark.plans.merge import table_diff
+
+    schema = "k long, a string, b string"
+    cases = [
+        # (v1 row, v2 row) — every pair must classify as changed
+        ((1, "x", None), (1, None, "x")),         # value swaps columns
+        ((2, "x", None), (2, "x", "")),           # NULL vs empty string
+        ((3, "x\x1fy", None), (3, "x", "y")),     # embedded separator
+        ((4, "ab", "c"), (4, "a", "bc")),         # boundary shift
+    ]
+    v1 = spark.createDataFrame([c[0] for c in cases], schema)
+    v2 = spark.createDataFrame([c[1] for c in cases], schema)
+    got = {(r.k, r.diff_status) for r in table_diff(v1, v2, ["k"]).collect()}
+    assert got == {(k, "changed") for k, *_ in (c[0] for c in cases)}
+
+
 # ---------------------------------------------------------------------------
 # write_zorder: every file narrow in EVERY z-ordered dimension
 # ---------------------------------------------------------------------------
