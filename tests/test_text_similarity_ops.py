@@ -221,6 +221,47 @@ def test_table_diff_row_encoding_is_injective(spark):
     assert got == {(k, "changed") for k, *_ in (c[0] for c in cases)}
 
 
+def test_table_diff_property_matches_dict_diff(spark):
+    """Random snapshot pairs (NULL-heavy, separator-laden values):
+    table_diff classifies exactly like a plain Python dict diff."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from air_quality_etl_pipeline_spark.plans.merge import table_diff
+
+    val = st.one_of(st.none(), st.sampled_from(["", "a", "b", "a\x1fb"]))
+    snap = st.dictionaries(st.integers(0, 5), st.tuples(val, val), max_size=6)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(s1=snap, s2=snap)
+    def run(s1, s2):
+        schema = "k long, a string, b string"
+        mk = lambda s: (  # noqa: E731
+            spark.createDataFrame([(k, *v) for k, v in s.items()], schema)
+            if s
+            else spark.createDataFrame([], schema)
+        )
+        want = set()
+        for k in s1.keys() | s2.keys():
+            if k not in s2:
+                want.add((k, "removed"))
+            elif k not in s1:
+                want.add((k, "added"))
+            elif s1[k] != s2[k]:
+                want.add((k, "changed"))
+        got = {
+            (r.k, r.diff_status)
+            for r in table_diff(mk(s1), mk(s2), ["k"]).collect()
+        }
+        assert got == want
+
+    run()
+
+
 # ---------------------------------------------------------------------------
 # write_zorder: every file narrow in EVERY z-ordered dimension
 # ---------------------------------------------------------------------------
