@@ -289,28 +289,28 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
         .drop("component")
     )
-    w = Window.partitionBy("cluster_id")
-    ranked = decided.select(
-        "cluster_id",
-        "doc_id",
-        F.row_number()
-        .over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.col("n_chars").desc(), F.col("doc_id").asc()
+    # one hash AGGREGATE, not a window: the output is cluster-level,
+    # so the keeper (max n_chars, min doc_id on ties — encoded as
+    # min(struct(-n_chars, doc_id))), member count, and char total all
+    # fold with map-side partials in a single exchange. The previous
+    # two-window formulation sorted the whole corpus-level relation by
+    # (cluster_id, n_chars) for a row_number it then threw away for
+    # all but one row per cluster.
+    agg = decided.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("_neg_chars"),
+                F.col("doc_id").alias("id"),
             )
-        )
-        .alias("rk"),
-        F.count("*").over(w).alias("n_members"),
-        F.sum("n_chars").over(w).alias("total_chars"),
+        ).alias("_w"),
     )
-    return (
-        ranked.filter((F.col("rk") == 1) & (F.col("n_members") >= 2))
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keeper_id"),
-            F.col("n_members").cast("long").alias("n_members"),
-            F.col("total_chars").cast("long").alias("total_chars"),
-        )
+    return agg.filter(F.col("n_members") >= 2).select(
+        "cluster_id",
+        F.col("_w.id").alias("keeper_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("total_chars").cast("long").alias("total_chars"),
     )
 
 
