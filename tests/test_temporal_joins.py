@@ -113,3 +113,93 @@ def test_count_in_window_keeps_zero_match_probes(spark):
     got = {r.pid: (r.n_follow, r.sum_follow) for r in out.collect()}
     assert got[1] == (2, 4.0)
     assert got[2] == (0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Property tests vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ts = st.integers(0, 20)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1,
+                   max_size=10),
+    rights=st.lists(st.tuples(st.integers(0, 2), _ts), min_size=0,
+                    max_size=10),
+)
+def test_asof_join_property_matches_bruteforce(spark, lefts, rights):
+    """Random probe/quote streams with heavy key and timestamp
+    collisions: backward as-of (<= inclusive, greatest-tiebreak tie
+    resolution) matches the brute-force per-row maximum."""
+    rrows = [(k, t, i, float(i)) for i, (k, t) in enumerate(rights)]
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    left = spark.createDataFrame(lrows, "k long, lt long, lid long")
+    right = (
+        spark.createDataFrame(rrows, "k long, rt long, rid long, rv double")
+        if rrows
+        else spark.createDataFrame([], "k long, rt long, rid long, rv double")
+    )
+    out = asof_join(
+        left, right, ["k"], "lt", "rt", ["rv"], tiebreak="rid"
+    )
+    got = sorted(
+        (r["k"], r["lt"], r["lid"], r["asof_rv"], r["asof_rt"])
+        for r in out.collect()
+    )
+    want = []
+    for k, lt, lid in lrows:
+        best = None
+        for rk, rt, rid, rv in rrows:
+            if rk == k and rt <= lt:
+                cand = (rt, rid, rv)
+                if best is None or cand > best:
+                    best = cand
+        want.append(
+            (k, lt, lid, best[2] if best else None,
+             best[0] if best else None)
+        )
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1,
+                   max_size=8),
+    rights=st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1,
+                    max_size=8),
+    lower=st.integers(-6, 4),
+    width=st.integers(1, 6),
+)
+def test_interval_join_property_matches_bruteforce(
+    spark, lefts, rights, lower, width
+):
+    """Random streams and band parameters (negative lower bounds,
+    width-1 bands): the banded interval join emits exactly the pairs
+    with l.ts + lower < r.ts <= l.ts + upper, no duplicates."""
+    upper = lower + width
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    rrows = [(k, t, 100 + i) for i, (k, t) in enumerate(rights)]
+    left = spark.createDataFrame(lrows, "k long, lt long, lid long")
+    right = spark.createDataFrame(rrows, "k long, rt long, rid long")
+    out = interval_join(left, right, ["k"], "lt", "rt", lower, upper)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted(
+        (lid, rid)
+        for k, lt, lid in lrows
+        for rk, rt, rid in rrows
+        if rk == k and lt + lower < rt <= lt + upper
+    )
+    assert got == want
