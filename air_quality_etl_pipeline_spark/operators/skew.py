@@ -59,7 +59,20 @@ def salted_join(
 ) -> DataFrame:
     """Hot-key-proof equi join: salt the big side, replicate the small
     side, join on ``keys + salt``. Result-identical to
-    ``big.join(small, on, how)``."""
+    ``big.join(small, on, how)`` for every join type that preserves
+    only BIG-side rows (inner/left/left_semi/left_anti/cross).
+
+    Right/full outer joins are REJECTED: the small side is replicated
+    once per salt value, so an unmatched small row would surface
+    ``buckets`` times instead of once. Salt the other side (swap the
+    arguments and mirror the join type) for those.
+    """
+    if how.replace("outer", "").strip("_") in ("right", "full", ""):
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched "
+            "small-side rows once per salt replica; swap the sides "
+            "and use the mirrored join type instead"
+        )
     salted_big = with_salt(big, buckets)
     salted_small = replicate_per_salt(small, buckets)
     return salted_big.join(
