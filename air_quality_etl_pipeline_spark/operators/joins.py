@@ -110,6 +110,15 @@ def interval_join(
     """
     if upper <= lower:
         raise ValueError("interval_join needs upper > lower")
+    clash = sorted(
+        (set(left.columns) & set(right.columns)) - set(on)
+    )
+    if clash:
+        raise ValueError(
+            "interval_join: left/right column names must be disjoint "
+            f"apart from the join keys; both sides carry {clash} — "
+            "the output would hold ambiguous duplicate columns"
+        )
     width = upper - lower
     lo_band = F.floor((F.col(left_ts) + F.lit(lower)) / F.lit(width))
     hi_band = F.floor((F.col(left_ts) + F.lit(upper)) / F.lit(width))

@@ -203,3 +203,15 @@ def test_interval_join_property_matches_bruteforce(
         if rk == k and lt + lower < rt <= lt + upper
     )
     assert got == want
+
+
+def test_interval_join_rejects_column_clash(spark):
+    """The documented disjoint-columns contract is enforced: a shared
+    non-key column would silently produce ambiguous duplicate output
+    columns."""
+    import pytest
+
+    a = spark.createDataFrame([(1, 5, "x")], "k long, ts long, v string")
+    b = spark.createDataFrame([(1, 6, "y")], "k long, ts long, v string")
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_join(a, b, ["k"], "ts", "ts", 0, 10)
