@@ -60,13 +60,22 @@ def salted_join(
     """Hot-key-proof equi join: salt the big side, replicate the small
     side, join on ``keys + salt``. Result-identical to
     ``big.join(small, on, how)`` for every join type that preserves
-    only BIG-side rows (inner/left/left_semi/left_anti/cross).
+    only BIG-side rows (inner/left/left_semi/left_anti).
 
     Right/full outer joins are REJECTED: the small side is replicated
     once per salt value, so an unmatched small row would surface
     ``buckets`` times instead of once. Salt the other side (swap the
-    arguments and mirror the join type) for those.
+    arguments and mirror the join type) for those. ``cross`` is also
+    REJECTED: this operator always joins on ``keys + salt``, so a
+    'cross' request would silently degenerate to an inner equi join.
     """
+    if how == "cross":
+        raise ValueError(
+            "salted_join(how='cross') is not supported: the operator "
+            "joins on keys + salt, so 'cross' would silently become "
+            "an inner equi join; use big.crossJoin(small) directly "
+            "(replicate-and-salt buys nothing for a cartesian)"
+        )
     if how.replace("outer", "").strip("_") in ("right", "full", ""):
         raise ValueError(
             f"salted_join(how={how!r}) would duplicate unmatched "

@@ -24,7 +24,7 @@ from __future__ import annotations
 import itertools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _sink_ids = itertools.count()
@@ -532,11 +532,18 @@ def run_cdc_scd2_stream(
     associativity of ``max`` over the event multiset.
 
     Unlike the SCD-1 state fold (:func:`run_cdc_stream`), the log is
-    APPEND-ONLY — no read-modify-replace of a snapshot — so each batch
-    costs one anti-join against the log keys plus an append; at 100 TB
-    the log would be partitioned by ingest date and the anti-join
-    pruned to the key range of the batch (or replaced by a Delta MERGE
-    insert-if-absent on a real lakehouse)."""
+    APPEND-ONLY — no read-modify-replace of a snapshot. The full-row
+    comparison does NOT ride the exchange as full rows: both sides are
+    projected to a 128-bit null-safe row hash (two independently
+    seeded ``xxhash64`` words over every column — ``xxhash64`` folds
+    NULL deterministically, so delete events with NULL payloads match
+    their logged copies), and the anti-join shuffles only those two
+    8-byte words per logged event, never the payload. At 100 TB the
+    log would additionally be partitioned by ingest date and the
+    anti-join pruned to the batch's date range (or replaced by a Delta
+    MERGE insert-if-absent on a real lakehouse). Collision risk of the
+    128-bit composite is ~2^-64 per pair — the same exposure as the
+    md5 content fingerprints the exact-dedup family standardizes on."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -545,18 +552,35 @@ def run_cdc_scd2_stream(
         jlog = jvm.org.apache.hadoop.fs.Path(log_path)
         fs = jlog.getFileSystem(hconf)
         all_cols = batch_df.columns
+
+        def rh(df: DataFrame) -> tuple[Column, Column]:
+            # two independent 64-bit words (seed folded in via a
+            # leading literal) → 128-bit null-safe row fingerprint.
+            # xxhash64 SKIPS null inputs (accumulator unchanged), so
+            # (1, NULL) and (NULL, 1) in same-typed columns would
+            # collide — interleaving an explicit isNull flag per
+            # column keeps the encoding injective.
+            cols: list[Column] = []
+            for c in all_cols:
+                cols.append(df[c].isNull())
+                cols.append(df[c])
+            return (
+                F.xxhash64(F.lit(1), *cols),
+                F.xxhash64(F.lit(2), *cols),
+            )
+
         batch = batch_df.dropDuplicates(all_cols)
         if fs.exists(jlog):
-            seen = s.read.parquet(log_path).select(*all_cols)
-            # null-safe equality on every column: delete events carry
-            # NULL payloads, and a plain column-list anti-join (`=`)
-            # would never match their logged copies — re-appending
-            # them on every replay
-            cond = None
-            for c in all_cols:
-                e = batch[c].eqNullSafe(seen[c])
-                cond = e if cond is None else cond & e
-            batch = batch.join(seen, on=cond, how="left_anti")
+            b1, b2 = rh(batch)
+            batch = batch.withColumn("_rh1", b1).withColumn("_rh2", b2)
+            log = s.read.parquet(log_path)
+            l1, l2 = rh(log)
+            # the log side carries ONLY the 16-byte hash through the
+            # exchange — payload columns never enter the join
+            seen = log.select(l1.alias("_rh1"), l2.alias("_rh2"))
+            batch = batch.join(
+                seen, on=["_rh1", "_rh2"], how="left_anti"
+            ).drop("_rh1", "_rh2")
         batch.write.mode("append").parquet(log_path)
 
     q = (

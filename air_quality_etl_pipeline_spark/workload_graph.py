@@ -295,13 +295,17 @@ def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold with map-side partials in a single exchange. The previous
     # two-window formulation sorted the whole corpus-level relation by
     # (cluster_id, n_chars) for a row_number it then threw away for
-    # all but one row per cluster.
+    # all but one row per cluster. Struct ordering puts NULL smallest,
+    # so a NULL n_chars would WIN the min — coalesce to long-max makes
+    # it LOSE, matching the oracle's ORDER BY n_chars DESC NULLS LAST.
     agg = decided.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         F.sum("n_chars").alias("total_chars"),
         F.min(
             F.struct(
-                (-F.col("n_chars")).alias("_neg_chars"),
+                F.coalesce(
+                    -F.col("n_chars"), F.lit(2**63 - 1).cast("long")
+                ).alias("_neg_chars"),
                 F.col("doc_id").alias("id"),
             )
         ).alias("_w"),

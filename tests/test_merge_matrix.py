@@ -1488,11 +1488,13 @@ def test_apply_cdc_scd2_track_history_property(spark, feed):
 
 
 def test_apply_cdc_scd2_replay_priority_regression(spark):
-    """History events must OUTVOTE redelivered feed events at the same
-    (key, seq): without the priority bit, 'upsert' > '__upsert__'
-    lexically, so a stale redelivery whose payload sorts LOWER than
-    the applied winner would rewrite the version on replay (two-step
-    apply diverging from one-shot)."""
+    """Replay must not rewrite the winner at a conflicting (key, seq):
+    the op-blind total-order ``max`` compares history twins and
+    redelivered feed events purely on payload, so they compare EQUAL
+    to the already-applied winner and a stale redelivery whose payload
+    sorts lower can never displace it — two-step apply stays identical
+    to one-shot. (An earlier design used a '_prio' priority bit to the
+    same end; this pins the invariant, not the mechanism.)"""
     from air_quality_etl_pipeline_spark.plans.merge import apply_cdc_scd2
 
     schema = "k long, seq long, op string, v string"
