@@ -975,3 +975,178 @@ def simhash_component_edges(
         reps_sh, id_col, bits, max_hamming, block_cols
     ).select("id_a", "id_b")
     return rep_pairs.unionByName(star)
+
+
+def shared_gram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    approx: bool = False,
+) -> DataFrame:
+    """Positions of word-*n*-grams shared across ≥2 distinct documents
+    (the flagging pass of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 — their ExactSubstr stage
+    flags repeated substrings, we flag repeated token n-grams).
+
+    Returns ``(id_col, pos)`` — 1-based gram start positions whose
+    gram also occurs in some OTHER document. Tokens are lowercased
+    whitespace tokens; documents shorter than *n* tokens contribute
+    one truncated gram (the whole doc) so short clones still flag.
+
+    Scale: positions ride the explode (no second scan); the
+    document-frequency aggregate is vocabulary-sized and folds with
+    map-side partials. The ≥2-docs predicate needs only "more than
+    one distinct doc", which ``min(id) != max(id)`` answers EXACTLY
+    with two 8-byte accumulators — no distinct-set state at all, so
+    the default is both exact and cheaper than ``countDistinct``.
+    ``approx=True`` swaps in ``approx_count_distinct(rsd=0.05) >= 2``
+    for the case where the caller also wants the df counts at 100 TB
+    sketch cost; it can only over-flag never-shared grams at the
+    sketch's error rate (flagged grams still verify via the run-length
+    threshold downstream), and is NOT oracle-exact — keep the default
+    for anything hash-compared cross-engine.
+    """
+    t = df.select(
+        id_col,
+        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
+    )
+    g = t.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        md5_long(F.col("gram")).alias("gh"),
+    )
+    if approx:
+        shared = (
+            g.groupBy("gh")
+            .agg(F.approx_count_distinct(id_col, rsd=0.05).alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+        )
+    else:
+        shared = (
+            g.groupBy("gh")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+        )
+    return g.join(shared.select("gh"), on="gh").select(id_col, "pos")
+
+
+def span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_run: int = 8,
+    approx: bool = False,
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al., ACL 2022 §4.1): cut
+    duplicated spans from each document, keeping exactly one canonical
+    occurrence per duplicate cluster, and report reclaimed tokens.
+
+    Pipeline: flag shared-gram positions (:func:`shared_gram_positions`)
+    → gaps-and-islands per doc → maximal runs of ≥ *min_run*
+    consecutive shared grams (a run of r grams covers ``r + n - 1``
+    tokens, so the default cuts spans of ≥ ``min_run + n - 1`` tokens
+    — the scaled-down analog of the paper's 50-token threshold) →
+    cluster occurrences by exact span CONTENT (md5 of the covered
+    tokens) → canonical occurrence = min ``(doc, start)`` per cluster,
+    all other occurrences' token ranges are cut.
+
+    Returns one row per AFFECTED document: ``(id_col, n_tokens,
+    n_removed, n_kept, dedup_text)`` where ``dedup_text`` is the
+    surviving tokens rejoined with single spaces (empty string when a
+    whole-clone document is cut entirely) and
+    ``n_kept + n_removed == n_tokens`` by construction.
+
+    Scale: token arrays never enter a gram-keyed exchange — they ride
+    exactly two doc-keyed joins (span-content slice, final cut), both
+    inner against relations bounded by the corpus duplication rate, so
+    AQE broadcast-joins them when small. Cut positions collapse to one
+    per-doc array (bounded by doc length) before touching the corpus;
+    the removal itself is a pure Catalyst ``filter`` lambda over the
+    token array — no token-level shuffle anywhere. Overlapping islands
+    cannot double-count: coverage is a per-position membership test,
+    not interval arithmetic.
+    """
+    t = df.select(
+        id_col,
+        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
+    )
+    flagged = shared_gram_positions(df, text_col, id_col, n, approx=approx)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.asc("pos"))
+    islands = flagged.select(
+        id_col,
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("island"),
+    )
+    runs = (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("p1"),
+            F.max("pos").alias("p2"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .drop("island", "run_len")
+    )
+    # span CONTENT rides one doc-keyed inner join (runs is small —
+    # only long-shared-run docs survive the min_run filter)
+    spans = runs.join(t, on=id_col).select(
+        id_col,
+        "p1",
+        F.least(F.col("p2") + F.lit(n - 1), F.size("toks")).alias("tend"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("p1"),
+                    F.least(F.col("p2") + F.lit(n - 1), F.size("toks"))
+                    - F.col("p1")
+                    + 1,
+                ),
+                " ",
+            )
+        ).alias("span_h"),
+    )
+    wc = W.partitionBy("span_h").orderBy(F.asc(id_col), F.asc("p1"))
+    removable = (
+        spans.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") >= 2)
+        .select(id_col, "p1", "tend")
+    )
+    cut = (
+        removable.select(
+            id_col,
+            F.explode(F.sequence(F.col("p1"), F.col("tend"))).alias("tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tp").alias("cut_pos"))
+    )
+    out = t.join(cut, on=id_col).select(
+        id_col,
+        F.col("toks"),
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.array_contains(F.col("cut_pos"), i + 1),
+        ).alias("kept"),
+    )
+    return out.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.array_join(F.col("kept"), " ").alias("dedup_text"),
+    )

@@ -1483,38 +1483,23 @@ def q_dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup removes exact substrings ≥50 tokens, not whole documents):
     per document, the LONGEST run of consecutive word-5-grams that
     also appear in some other document, via gaps-and-islands over the
-    shared-gram positions. A long run = a copied span to cut; isolated
-    shared grams are phrase-level noise. Positions ride the explode
-    (no second scan), the document-frequency aggregate is
-    vocabulary-sized, and the island window partitions by doc —
-    corpus shuffles once on doc_id."""
+    shared-gram positions (:func:`operators.dedup
+    .shared_gram_positions` — the ≥2-docs flag is a min≠max fold, not
+    a countDistinct, so the vocabulary-sized aggregate carries two
+    8-byte accumulators per gram instead of a distinct set; the
+    oracle's ``count(DISTINCT doc_id) >= 2`` is the same predicate).
+    A long run = a copied span to cut; isolated shared grams are
+    phrase-level noise. Positions ride the explode (no second scan)
+    and the island window partitions by doc — corpus shuffles once on
+    doc_id."""
     from pyspark.sql import Window as W
 
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        shared_gram_positions,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.transform(token_array(F.col("text")), F.lower).alias("toks"),
-    )
-    g = t.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("toks") - F.lit(4), F.lit(1)),
-                ),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, 5), " "),
-            )
-        ).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        md5_long(F.col("gram")).alias("gh"),
-    )
-    df_ = g.groupBy("gh").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    flagged = g.join(df_, on="gh").filter(F.col("n_docs") >= 2)
+    flagged = shared_gram_positions(d, "text", "doc_id", 5)
     w = W.partitionBy("doc_id").orderBy(F.asc("pos"))
     islands = flagged.select(
         "doc_id", (F.col("pos") - F.row_number().over(w)).alias("island")
@@ -1526,6 +1511,69 @@ def q_dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("max_shared_run"),
         F.count("*").cast("long").alias("n_runs"),
     )
+
+
+@register(
+    "dedup_span_removal",
+    f"""
+    WITH t AS (SELECT doc_id, {LTOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, u.i AS pos,
+            ('0x' || substr(md5(array_to_string(toks[u.i:u.i+4], ' ')),
+             1, 15))::BIGINT AS gh
+          FROM t, unnest(range(1, greatest(len(toks) - 4, 1) + 1)) AS u(i)),
+    dfq AS (SELECT gh FROM g GROUP BY gh
+            HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gh)),
+    isl AS (SELECT doc_id, pos, pos - row_number() OVER (
+              PARTITION BY doc_id ORDER BY pos ASC) AS island
+            FROM flagged),
+    runs AS (SELECT doc_id, min(pos) AS p1, max(pos) AS p2
+             FROM isl GROUP BY doc_id, island HAVING count(*) >= 8),
+    spans AS (SELECT r.doc_id, r.p1,
+                least(r.p2 + 4, len(t.toks)) AS tend,
+                md5(array_to_string(
+                  t.toks[r.p1:least(r.p2 + 4, len(t.toks))], ' ')) AS span_h
+              FROM runs r JOIN t USING (doc_id)),
+    removable AS (
+      SELECT doc_id, p1, tend FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY span_h ORDER BY doc_id ASC, p1 ASC) AS rn
+        FROM spans) WHERE rn >= 2),
+    cut AS (SELECT DISTINCT doc_id, u.tp
+            FROM removable, unnest(range(p1, tend + 1)) AS u(tp)),
+    toks_pos AS (SELECT doc_id, u.i AS tp, toks[u.i] AS tok
+                 FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+    joined AS (SELECT tp2.doc_id, tp2.tok, tp2.tp,
+                      (c.tp IS NOT NULL) AS removed
+               FROM toks_pos tp2 LEFT JOIN cut c
+                 ON tp2.doc_id = c.doc_id AND tp2.tp = c.tp
+               WHERE tp2.doc_id IN (SELECT DISTINCT doc_id FROM cut))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (removed) AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (NOT removed) AS BIGINT) AS n_kept,
+           coalesce(string_agg(tok, ' ' ORDER BY tp)
+                    FILTER (NOT removed), '') AS dedup_text
+    FROM joined GROUP BY doc_id
+    """,
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL — the emit step Lee et al.'s
+    ExactSubstr dedup actually ships (ACL 2022 §4.1): cut every
+    duplicated run of ≥8 consecutive shared 5-grams (≥12-token spans,
+    the scaled-down analog of the paper's 50-token threshold), keep
+    the one canonical occurrence per exact-content cluster, and emit
+    the deduplicated text plus reclaimed-token accounting for each
+    affected document (``n_kept + n_removed == n_tokens`` by
+    construction — pinned by tests/test_span_removal.py). All logic in
+    :func:`operators.dedup.span_removal`; the oracle reconstructs the
+    identical cut text via substring arithmetic over the same island
+    bounds. Token arrays never enter a gram-keyed exchange — two
+    doc-keyed inner joins only (span-content slice, final cut)."""
+    from air_quality_etl_pipeline_spark.operators.dedup import span_removal
+
+    d = _t(spark, sf_dir, "documents")
+    return span_removal(d, "text", "doc_id", n=5, min_run=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Exact-substring span removal (Lee et al., ACL 2022 §4.1 emit step).
+
+Pins the operator contract of ``operators.dedup.span_removal``:
+token conservation (kept + removed = original, for every document in
+the corpus, affected or not), canonical-occurrence survival, and the
+whole-clone degenerate case. The cross-engine value check lives in
+the registry oracle (``dedup_span_removal``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.functions.core import token_array
+from air_quality_etl_pipeline_spark.operators.dedup import (
+    shared_gram_positions,
+    span_removal,
+)
+
+SPAN = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_partial_span_cut_keeps_canonical(spark):
+    """A ≥12-token span shared by two docs is cut from the HIGHER
+    doc_id only; surrounding unique text survives with single-space
+    rejoin; the canonical doc never appears in the output."""
+    d = _docs(
+        spark,
+        [
+            (1, f"unique one text {SPAN} tail a"),
+            (2, f"other prefix words {SPAN} closing b"),
+            (3, "completely unrelated text with no shared spans at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in span_removal(d, min_run=8).collect()}
+    assert set(out) == {2}
+    r = out[2]
+    assert r["n_tokens"] == 17
+    assert r["n_removed"] == 12
+    assert r["n_kept"] == 5
+    assert r["dedup_text"] == "other prefix words closing b"
+
+
+def test_whole_clone_removed_entirely(spark):
+    """Identical documents: the non-canonical copy is cut to the empty
+    string (its whole token range is one shared run)."""
+    d = _docs(spark, [(10, SPAN), (11, SPAN)])
+    out = {r["doc_id"]: r for r in span_removal(d, min_run=8).collect()}
+    assert set(out) == {11}
+    assert out[11]["n_removed"] == out[11]["n_tokens"] == 12
+    assert out[11]["n_kept"] == 0
+    assert out[11]["dedup_text"] == ""
+
+
+def test_short_runs_below_threshold_untouched(spark):
+    """Shared runs shorter than min_run grams are phrase-level noise —
+    nothing is removed."""
+    shared = "one two three four five six"  # 2 shared 5-gram positions
+    d = _docs(
+        spark,
+        [(1, f"aa bb {shared} cc"), (2, f"dd {shared} ee ff")],
+    )
+    assert span_removal(d, min_run=8).count() == 0
+
+
+def test_token_conservation_on_corpus(spark, sf_dir):
+    """Over the real documents table: every emitted row satisfies
+    kept + removed = original token count, n_tokens matches the
+    source doc, and dedup_text re-tokenizes to exactly n_kept."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_removal(docs, min_run=8)
+    orig = docs.select(
+        "doc_id", F.size(token_array(F.col("text"))).alias("n_src")
+    )
+    bad = (
+        out.join(orig, on="doc_id")
+        .filter(
+            (F.col("n_kept") + F.col("n_removed") != F.col("n_tokens"))
+            | (F.col("n_tokens") != F.col("n_src"))
+            | (
+                F.size(token_array(F.col("dedup_text")))
+                != F.col("n_kept")
+            )
+            | (F.col("n_removed") <= 0)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert out.count() > 0  # the corpus does contain long shared spans
+
+
+def test_overlapping_islands_never_double_count(spark):
+    """Two removable islands whose token spans OVERLAP (gap of ≤ n-1
+    gram positions) must not remove a position twice — coverage is a
+    membership test, so conservation still holds exactly."""
+    # doc 2 carries two copies of the span separated by one unique
+    # token: islands overlap in token space around the separator
+    d = _docs(
+        spark,
+        [
+            (1, SPAN),
+            (2, f"{SPAN} x {SPAN}"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in span_removal(d, min_run=8).collect()}
+    for r in out.values():
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+        assert len(r["dedup_text"].split()) == r["n_kept"] or (
+            r["dedup_text"] == "" and r["n_kept"] == 0
+        )
+
+
+def test_shared_gram_positions_approx_matches_exact_small(spark):
+    """approx=True (approx_count_distinct gate) flags the same
+    positions as the exact min≠max fold at small cardinalities —
+    the sketch is exact when every gram has ≤2 distinct docs."""
+    d = _docs(
+        spark,
+        [(1, f"u1 {SPAN} t1"), (2, f"u2 {SPAN} t2"), (3, "zz yy xx ww vv")],
+    )
+    exact = {
+        (r["doc_id"], r["pos"])
+        for r in shared_gram_positions(d).collect()
+    }
+    approx = {
+        (r["doc_id"], r["pos"])
+        for r in shared_gram_positions(d, approx=True).collect()
+    }
+    assert exact == approx and exact
