@@ -157,3 +157,60 @@ def mixture_sample(
         float(1 << 60)
     )
     return with_p.filter(u < F.col("_p")).drop("_n_src", "_p")
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    seed: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic uniform GLOBAL shuffle into balanced fixed-count
+    shards — the training-data export staple: break all source
+    locality (domain/time/quality runs) so every shard is an unbiased
+    sample a data loader can stream independently, yet the layout is
+    a pure function of ``(key, seed)`` — reproducible across runs,
+    engines, and partitionings, and re-derivable for any single key
+    without touching the corpus.
+
+    Construction: seeded 60-bit draw ``md5(seed:key)`` → exact global
+    rank over ``(draw, key)`` via the bucketed two-phase
+    :func:`~.order_stats.with_global_rank` (never a global sort; the
+    key tiebreak makes rank assignment deterministic even on draw
+    collisions) → round-robin ``shard = (rank-1) mod num_shards`` (so
+    shard SIZES differ by at most one, by construction) and
+    within-shard order ``pos = (rank-1) div num_shards``.
+
+    Scale: one draw-keyed exchange for the rank's bucket window;
+    per-bucket counts are the only cross-partition traffic beyond it.
+    SQL twin of the draw: ``('0x' ||
+    substr(md5('<seed>:' || CAST(key AS VARCHAR)), 1, 15))::BIGINT``.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    from air_quality_etl_pipeline_spark.operators.order_stats import (
+        with_global_rank,
+    )
+
+    drawn = df.withColumn(
+        "_draw", md5_long(F.col(key_col).cast("string"), salt=seed)
+    )
+    ranked = with_global_rank(
+        drawn,
+        F.col("_draw"),
+        [F.col("_draw").asc(), F.col(key_col).asc()],
+        "_rn",
+    )
+    return (
+        ranked.withColumn(
+            shard_col,
+            ((F.col("_rn") - 1) % num_shards).cast("long"),
+        )
+        .withColumn(
+            pos_col,
+            F.expr(f"(_rn - 1) div {num_shards}").cast("long"),
+        )
+        .drop("_draw", "_rn")
+    )

@@ -215,6 +215,45 @@ def scrub_text(text: Column) -> Column:
     )
 
 
+#: RE2-safe PII patterns (no lookaround/backrefs, so Spark's Java regex
+#: and DuckDB's RE2 agree match-for-match) — the C4/CCNet scrub set
+#: beyond URL/email. ``\b`` sits between word and non-word chars in
+#: both engines, and digits ARE word chars, so digit runs embedded in
+#: identifiers ("abc123456789x") never match the ID rule.
+#: ≥3 colon-separated hex groups — full or ::-compressed IPv6 tails;
+#: two-group times ("12:30") stay out
+IPV6_PATTERN = r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){2,7}\b"
+IPV4_PATTERN = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+#: NANP-style with separators (555-123-4567, (555) 123-4567, optional
+#: +CC). Dates can't match: the exchange group needs 3 digits between
+#: separators. Unseparated 10-digit runs fall through to the ID rule.
+PHONE_PATTERN = (
+    r"(\+[0-9]{1,2}[ .-])?(\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])"
+    r"[0-9]{3}[ .-][0-9]{4}\b"
+)
+#: SSN-shaped triples and standalone digit runs of ≥9 (account/credit
+#: card/SSN-sized) — the "ID-like digit run" rule
+ID_PATTERN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b|\b[0-9]{9,}\b"
+
+
+def scrub_text_pii(text: Column) -> Column:
+    """Full PII scrub — URL/email (:func:`scrub_text`) plus phone
+    numbers, IPv4/IPv6 addresses, and ID-like digit runs, each to a
+    typed placeholder tag. Order matters and is part of the contract:
+    URLs first (so an IP inside a URL is already swallowed by
+    ``<URL>``), then email, IPv6 before IPv4 (an IPv4-mapped IPv6
+    would otherwise split), phone before the ID rule (a separated
+    phone is more specific than a digit run). Pure Catalyst
+    ``regexp_replace`` chain — six scan-local passes, no shuffle, no
+    UDF; the SQL twin is the same chain with the ``'g'`` flag."""
+    out = scrub_text(text)
+    out = F.regexp_replace(out, IPV6_PATTERN, "<IP>")
+    out = F.regexp_replace(out, IPV4_PATTERN, "<IP>")
+    out = F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+    out = F.regexp_replace(out, ID_PATTERN, "<ID>")
+    return out
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """Canonicalize: lowercase, strip non-alphanumerics."""
     return F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")

@@ -267,3 +267,40 @@ def write_with_metrics(
     obs = Observation("write_metrics")
     df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
     return dict(obs.get)
+
+
+def write_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    num_shards: int,
+    seed: str = "shuffle",
+) -> None:
+    """Seeded global shuffle-to-shards sink: lay the dataset out as
+    ``shard=K/`` hive partitions whose membership, sizes (±1), and
+    within-shard row order are a pure function of ``(key, seed)`` —
+    byte-stable across runs and re-derivable per key without a corpus
+    scan (:func:`~.operators.sampling.seeded_shuffle` builds the
+    assignment; this sink only fixes the physical layout).
+
+    ``repartition(num_shards, shard)`` keys the exchange on the shard
+    id so each output directory is written by few tasks;
+    ``sortWithinPartitions(shard, pos)`` pins the row order inside
+    every file, which (with parquet's deterministic encoding) makes
+    re-runs produce identical bytes — the property the writer test
+    asserts. At 100 TB, bump ``num_shards`` so a shard fits an
+    executor's write buffer; the shuffle payload is one pass of the
+    dataset keyed by an 8-byte column, the same cost class as any
+    partitioned write."""
+    from air_quality_etl_pipeline_spark.operators.sampling import (
+        seeded_shuffle,
+    )
+
+    out = seeded_shuffle(df, key_col, num_shards, seed)
+    (
+        out.repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -2190,10 +2190,9 @@ def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 4096
 _DSIR_TARGET = ("src1", "src2", "src3")
 
-
-@register(
-    "dsir_importance_weights",
-    f"""
+#: shared CTE chain ending in ``doc(doc_id, n_tokens, weight_micro)``
+#: — the raw-pool document weights both DSIR oracles select from
+_DSIR_DOC_CTE = f"""
     WITH toks AS (
       SELECT doc_id,
              source IN ('src1', 'src2', 'src3') AS is_t,
@@ -2225,6 +2224,13 @@ _DSIR_TARGET = ("src1", "src2", "src3")
       FROM toks t JOIN lam l USING (b)
       WHERE NOT t.is_t
       GROUP BY 1)
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    _DSIR_DOC_CTE
+    + """
     SELECT doc_id, n_tokens, weight_micro
     FROM doc ORDER BY weight_micro DESC, doc_id ASC LIMIT 20
     """,
@@ -2254,6 +2260,18 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream, then a BROADCAST join back onto it; the per-doc sum
     shuffles once on doc_id; top-20 is TakeOrderedAndProject (no global
     sort). The token stream is never shuffled with its text."""
+    doc = _dsir_doc_weights(spark, sf_dir)
+    return doc.orderBy(
+        F.desc("weight_micro"), F.asc("doc_id")
+    ).limit(20)
+
+
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-pool per-document DSIR weights ``(doc_id, n_tokens,
+    weight_micro)`` — the relation both the deterministic top-k and
+    the Gumbel resampling variant select from (SQL twin:
+    ``_DSIR_DOC_CTE``). See ``q_dsir_importance_weights`` for the
+    scale/portability argument."""
     d = _t(spark, sf_dir, "documents")
     is_t = F.col("source").isin(*_DSIR_TARGET)
     toks = d.select(
@@ -2295,7 +2313,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lam"),
     )
-    doc = (
+    return (
         toks.filter(~F.col("is_t"))
         .join(F.broadcast(lam), on="b")
         .groupBy("doc_id")
@@ -2306,9 +2324,107 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_micro"),
         )
     )
-    return doc.orderBy(
-        F.desc("weight_micro"), F.asc("doc_id")
-    ).limit(20)
+
+
+@register(
+    "dsir_gumbel_sample",
+    _DSIR_DOC_CTE
+    + f""",
+    gum AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('gmb7:' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT AS m
+      FROM doc),
+    t1 AS (SELECT doc_id,
+                  {sql_ln_ratio('1152921504606846977', '(m + 1)')} AS t
+           FROM gum),
+    t2 AS (SELECT doc_id,
+                  greatest(CAST(CAST(CAST(t AS DECIMAL(18,15))
+                    AS DECIMAL(34,15)) * 1000000000000000 AS BIGINT),
+                    1) AS bigt
+           FROM t1),
+    t3 AS (SELECT doc_id,
+                  {sql_quantize_micro9(sql_ln_ratio('1000000000000000', 'bigt'))}
+                    AS gumbel_micro
+           FROM t2),
+    sel AS (
+      SELECT d.doc_id, d.n_tokens, d.weight_micro,
+             CAST(t3.gumbel_micro AS BIGINT) AS gumbel_micro,
+             CAST(d.weight_micro + t3.gumbel_micro AS BIGINT) AS key_micro
+      FROM doc d JOIN t3 USING (doc_id))
+    SELECT doc_id, n_tokens, weight_micro, gumbel_micro, key_micro
+    FROM sel ORDER BY key_micro DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's ACTUAL selection step — Gumbel-top-k importance
+    RESAMPLING (Xie et al., NeurIPS 2023 §3; Vieira 2014's
+    Gumbel-max trick): sample k raw-pool documents without
+    replacement with probability ∝ exp(weight) by ranking on
+    ``weight + G_i`` where ``G_i = −ln(−ln u_i)`` is standard Gumbel
+    noise — the variant ``dsir_importance_weights``' docstring
+    deferred.
+
+    The draw is DETERMINISTIC and engine-portable end to end:
+    ``u_i = (m+1)/(2^60+1)`` from the seeded 60-bit md5 of the doc id
+    (like ``sample_weighted``'s draw), ``−ln u_i`` via the
+    bit-portable integer-ratio ln (both arguments exact int64), the
+    intermediate re-quantized to femto-units (double→DECIMAL(18,15)
+    — the one double→decimal cast both engines perform identically —
+    clamped to ≥1), and the outer ``−ln`` again as an integer-ratio
+    ln of ``10^15 / T``. Every step is either exact integer
+    arithmetic or the portable-ln construction, so DuckDB recomputes
+    the IDENTICAL Gumbel key bit for bit — the resampling itself,
+    not just the ranking weight, is covered cross-engine.
+
+    Scale: the Gumbel key is a per-row projection on the per-doc
+    weight relation (no extra shuffle beyond
+    ``dsir_importance_weights``); top-20 is TakeOrderedAndProject."""
+    doc = _dsir_doc_weights(spark, sf_dir)
+    # each stage lands in its own column: the portable-ln Horner chain
+    # replicates its ARGUMENT subtree per term, so nesting the two ln
+    # expansions as one Column expression blows the analysis tree up
+    # exponentially (observed: analyzer OOM) — attribute references
+    # keep it linear, and whole-stage codegen still fuses the chain
+    sel = (
+        doc.withColumn(
+            "_m", md5_long(F.col("doc_id").cast("string"), salt="gmb7")
+        )
+        .withColumn(
+            "_t",
+            ln_ratio_portable(
+                F.lit((1 << 60) + 1).cast("long"),
+                (F.col("_m") + F.lit(1)).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_bigt",
+            F.greatest(
+                (F.col("_t").cast("decimal(18,15)") * F.lit(10**15)).cast(
+                    "long"
+                ),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_g",
+            quantize_micro9(
+                ln_ratio_portable(
+                    F.lit(10**15).cast("long"), F.col("_bigt")
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_micro",
+            F.col("_g").cast("long").alias("gumbel_micro"),
+            (F.col("weight_micro") + F.col("_g"))
+            .cast("long")
+            .alias("key_micro"),
+        )
+    )
+    return sel.orderBy(F.desc("key_micro"), F.asc("doc_id")).limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,11 @@ from air_quality_etl_pipeline_spark.operators.similarity import (
 from air_quality_etl_pipeline_spark.operators.text import (
     BPE_PRETOKEN_PATTERN,
     EMAIL_PATTERN,
+    ID_PATTERN,
+    IPV4_PATTERN,
+    IPV6_PATTERN,
     LANG_STOPWORDS,
+    PHONE_PATTERN,
     URL_PATTERN,
     bpe_token_count,
     fingerprint,
@@ -270,6 +274,52 @@ def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shuffle_shards_audit",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle7:' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT AS draw
+      FROM documents),
+    r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY draw ASC, doc_id ASC) AS rn
+          FROM d)
+    SELECT CAST((rn - 1) % 16 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min((rn - 1) // 16) AS BIGINT) AS min_pos,
+           CAST(max((rn - 1) // 16) AS BIGINT) AS max_pos,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM r GROUP BY 1
+    """,
+)
+def q_shuffle_shards_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the seeded global shuffle-to-shards layout
+    (:func:`~.operators.sampling.seeded_shuffle`, the assignment
+    behind :func:`~.sources.writers.write_shuffled_shards`): per
+    shard, the document count (±1-balanced by the round-robin rank
+    construction — asserted in tests/test_span_removal.py's sibling
+    writer test), the within-shard position range (0-based, dense),
+    and the membership checksum ``sum(doc_id)``. Because the draw is
+    ``md5(seed:key)`` and the rank runs over ``(draw, key)``, the
+    oracle recomputes the IDENTICAL assignment in SQL — determinism
+    across engines is the whole point of the seeded construction.
+    The global rank rides the bucketed two-phase ``with_global_rank``
+    (no single-partition sort); everything after it is shard-keyed."""
+    from air_quality_etl_pipeline_spark.operators.sampling import (
+        seeded_shuffle,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s = seeded_shuffle(d, "doc_id", 16, seed="shuffle7")
+    return s.groupBy(F.col("shard")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("pos").cast("long").alias("min_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+@register(
     "bpe_token_count",
     f"""
     SELECT doc_id,
@@ -303,6 +353,41 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the replacement semantics must match exactly."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", scrub_text(F.col("text")).alias("clean_text"))
+
+
+@register(
+    "text_scrub_pii",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(text,
+               '{URL_PATTERN}', '<URL>', 'g'),
+               '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+               '{IPV6_PATTERN}', '<IP>', 'g'),
+               '{IPV4_PATTERN}', '<IP>', 'g'),
+               '{PHONE_PATTERN}', '<PHONE>', 'g'),
+               '{ID_PATTERN}', '<ID>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full C4/CCNet-style PII scrub: URL, email, IPv4/IPv6, phone
+    numbers, SSN-shaped and ≥9-digit ID runs, each to a typed
+    placeholder (:func:`~.operators.text.scrub_text_pii` — the
+    pattern order is part of the contract and documented there).
+    Full-text output is hash-compared cross-engine, so every pattern
+    is RE2-safe and the replacement chain is identical on both sides;
+    boundary behavior (digits embedded in words untouched) is pinned
+    by tests/test_text_similarity_ops.py. Six scan-local regex
+    passes — no shuffle, no UDF."""
+    from air_quality_etl_pipeline_spark.operators.text import (
+        scrub_text_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", scrub_text_pii(F.col("text")).alias("clean_text")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -833,3 +833,85 @@ def test_cascade_pair_expansion_matches_brute_force(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (C4/CCNet set: URL/email + phone, IP, ID-like digit runs)
+# ---------------------------------------------------------------------------
+
+PII_CASES = [
+    # (input, expected)
+    ("visit https://ex.com/a?b=1 now", "visit <URL> now"),
+    ("mail bob.smith+x@corp.example.org ok", "mail <EMAIL> ok"),
+    ("host 192.168.100.1 down", "host <IP> down"),
+    ("v6 2001:db8:85a3:0:0:8a2e:370:7334 up", "v6 <IP> up"),
+    ("short 12:30 meeting", "short 12:30 meeting"),  # time, not IPv6
+    ("call 555-123-4567 today", "call <PHONE> today"),
+    ("call (555) 123-4567 today", "call <PHONE> today"),
+    ("call +1 555.123.4567 today", "call <PHONE> today"),
+    ("on 2020-01-02 we met", "on 2020-01-02 we met"),  # date, not phone
+    ("ssn 123-45-6789 leaked", "ssn <ID> leaked"),
+    ("acct 123456789012 closed", "acct <ID> closed"),
+    ("digits in id abc123456789x stay", "digits in id abc123456789x stay"),
+    ("short run 12345678 kept", "short run 12345678 kept"),  # < 9 digits
+    ("ip in url https://1.2.3.4/x ok", "ip in url <URL> ok"),
+]
+
+
+def test_scrub_text_pii_boundaries(spark):
+    from air_quality_etl_pipeline_spark.operators.text import scrub_text_pii
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(PII_CASES)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["clean"]
+        for r in df.select(
+            "i", scrub_text_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(PII_CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_scrub_text_pii_cross_engine(spark):
+    """The registry oracle hash-compares full scrubbed text over the
+    corpus; this pins the Java-regex vs RE2 agreement on inputs that
+    actually CONTAIN every PII shape (the corpus may not)."""
+    import duckdb
+
+    from air_quality_etl_pipeline_spark.operators.text import (
+        EMAIL_PATTERN,
+        ID_PATTERN,
+        IPV4_PATTERN,
+        IPV6_PATTERN,
+        PHONE_PATTERN,
+        URL_PATTERN,
+        scrub_text_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(PII_CASES)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["clean"]
+        for r in df.select(
+            "i", scrub_text_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    con = duckdb.connect()
+    chain = "text"
+    for pat, tag in [
+        (URL_PATTERN, "<URL>"),
+        (EMAIL_PATTERN, "<EMAIL>"),
+        (IPV6_PATTERN, "<IP>"),
+        (IPV4_PATTERN, "<IP>"),
+        (PHONE_PATTERN, "<PHONE>"),
+        (ID_PATTERN, "<ID>"),
+    ]:
+        chain = f"regexp_replace({chain}, '{pat}', '{tag}', 'g')"
+    for i, (s, _) in enumerate(PII_CASES):
+        (duck,) = con.execute(
+            f"SELECT {chain} FROM (SELECT ? AS text)", [s]
+        ).fetchone()
+        assert got[i] == duck, f"case {i}: spark {got[i]!r} != duck {duck!r}"
