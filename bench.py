@@ -4,10 +4,16 @@ local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Per query we force a full materialization with ``df.count()`` after a
-``cache``-free run — timing covers plan + execution + result, the same
-work DuckDB does for the oracle. A tiny warmup query first so JVM/codegen
-startup isn't billed to the first headline query.
+Per query we force a full materialization with the built-in ``noop``
+sink (``df.write.format("noop")``) — every output column is computed
+and handed to the sink, the same work DuckDB does for the oracle.
+``df.count()`` (used through round 9) is NOT that action: Catalyst
+prunes columns the action doesn't need, so projection-terminal
+queries were under-billed — measured at sf0.1: lang_id 5.1x,
+text_stats 2.8x, text_scrub 2x, gold_star_fact 1.8x under count();
+aggregate-terminal queries within ±5% (receipt in SCALE.md round 10).
+A tiny warmup query first so JVM/codegen startup isn't billed to the
+first headline query.
 """
 
 from __future__ import annotations
@@ -137,7 +143,9 @@ def main() -> None:
             if silenced:
                 _set_windowexec_level(spark, "ERROR")
             try:
-                QUERIES[warm_name][0](spark, warm_dir).count()
+                QUERIES[warm_name][0](spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
             finally:
                 if silenced:
                     _set_windowexec_level(spark, "WARN")
@@ -161,7 +169,9 @@ def main() -> None:
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                prepared(spark, sf_dir, name).count()
+                prepared(spark, sf_dir, name).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 samples.append(round(time.perf_counter() - t0, 3))
         finally:
             if silenced:

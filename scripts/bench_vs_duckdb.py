@@ -4,6 +4,10 @@ queries. Runs the Spark headline exactly as bench.py does (prepared
 plans, best-of-3, window-logger hygiene), then DuckDB best-of-3 on the
 same oracle SQL over the same sf0.1 parquet, in the same process run
 (Spark stopped before DuckDB starts so neither side is perturbed).
+Round 10: the Spark action is the noop sink (bench.py change) —
+DuckDB's fetchall always materialized every output column, while
+Spark's count() let Catalyst prune projection-terminal outputs, so
+pre-r10 ratios were tilted IN SPARK'S FAVOR on those queries.
 
 Prints one JSON line: both totals, the ratio, and per-query seconds.
 
@@ -43,7 +47,9 @@ def main() -> None:
         if silenced:
             _set_windowexec_level(spark, "ERROR")
         try:
-            QUERIES[name][0](spark, "/root/testdata/sf0.001").count()
+            QUERIES[name][0](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
         finally:
             if silenced:
                 _set_windowexec_level(spark, "WARN")
@@ -56,7 +62,9 @@ def main() -> None:
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                prepared(spark, sf_dir, name).count()
+                prepared(spark, sf_dir, name).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 best = min(best, time.perf_counter() - t0)
         finally:
             if silenced:

@@ -144,7 +144,9 @@ def main() -> None:
 
     # warm codegen at sf0.001
     for name in QUERIES_SF1:
-        QUERIES[name][0](spark, "/root/testdata/sf0.001").count()
+        QUERIES[name][0](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     results = {}
     for name in QUERIES_SF1:
@@ -153,7 +155,9 @@ def main() -> None:
             group = f"sf1:{name}:{i}"
             spark.sparkContext.setJobGroup(group, name)
             t0 = time.perf_counter()
-            QUERIES[name][0](spark, SF1).count()
+            QUERIES[name][0](spark, SF1).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = time.perf_counter() - t0
             spark.sparkContext.setJobGroup("", "")
             if dt < best:

@@ -130,3 +130,103 @@ def test_shared_gram_positions_approx_matches_exact_small(spark):
         for r in shared_gram_positions(d, approx=True).collect()
     }
     assert exact == approx and exact
+
+
+# ---------------------------------------------------------------------------
+# Property: random corpora == pure-Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_span_removal(rows, n=5, min_run=8):
+    """Pure-Python reference of operators.dedup.span_removal — same
+    contract, brute-force: flag shared grams, islands, cluster by
+    exact span content, cut non-canonical occurrences."""
+    toks = {
+        i: ([t.lower() for t in txt.split()] if txt.strip() else [])
+        for i, txt in rows
+    }
+    grams = {}  # (doc, pos) -> gram text
+    by_gram = {}
+    for i, ts in toks.items():
+        for p in range(1, max(len(ts) - (n - 1), 1) + 1):
+            g = " ".join(ts[p - 1 : p - 1 + n])
+            grams[(i, p)] = g
+            by_gram.setdefault(g, set()).add(i)
+    flagged = {
+        i: sorted(p for (d, p), g in grams.items() if d == i and len(by_gram[g]) >= 2)
+        for i in toks
+    }
+    spans = []  # (content, doc, p1, tend)
+    for i, ps in flagged.items():
+        run = []
+        for p in ps + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_run:
+                    p1, p2 = run[0], run[-1]
+                    tend = min(p2 + n - 1, len(toks[i]))
+                    spans.append(
+                        (" ".join(toks[i][p1 - 1 : tend]), i, p1, tend)
+                    )
+                run = []
+            if p is not None:
+                run.append(p)  # run was cleared above if non-consecutive
+    clusters = {}
+    for content, i, p1, tend in spans:
+        clusters.setdefault(content, []).append((i, p1, tend))
+    cut = {}
+    for occs in clusters.values():
+        for i, p1, tend in sorted(occs)[1:]:
+            cut.setdefault(i, set()).update(range(p1, tend + 1))
+    out = {}
+    for i, pos in cut.items():
+        ts = toks[i]
+        kept = [t for j, t in enumerate(ts, start=1) if j not in pos]
+        out[i] = (
+            len(ts),
+            len(ts) - len(kept),
+            len(kept),
+            " ".join(kept),
+        )
+    return out
+
+
+_BLOCKS = [
+    "qa qb qc qd qe qf qg qh qi qj qk ql qm",
+    "ra rb rc rd re rf rg rh ri rj rk rl",
+    "sa sb sc sd se sf sg sh si sj sk sl sm sn",
+]
+_seg = st.one_of(
+    st.sampled_from(_BLOCKS),
+    st.lists(
+        st.sampled_from(["u1", "u2", "u3", "u4", "u5", "u6"]),
+        min_size=1,
+        max_size=6,
+    ).map(" ".join),
+)
+_doc = st.lists(_seg, min_size=0, max_size=4).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=st.lists(_doc, min_size=2, max_size=6))
+def test_span_removal_property_matches_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from air_quality_etl_pipeline_spark.operators.dedup import span_removal
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_kept"],
+            r["dedup_text"],
+        )
+        for r in span_removal(df, min_run=8).collect()
+    }
+    assert got == _ref_span_removal(rows)
