@@ -62,10 +62,14 @@ def decontaminate(
         .select(md5_long(F.col("_raw")).alias("_g"))
         .distinct()
     )
+    # plain count, not countDistinct: word_shingles_of_tokens emits
+    # DISTINCT shingles per document, so (_id, _g) pairs are already
+    # unique and the distinct-set state per group would be pure waste
+    # (the oracle's count(DISTINCT) is equivalent on this input)
     hits = (
         t_sh.join(F.broadcast(e_sh), on="_g")
         .groupBy("_id")
-        .agg(F.countDistinct("_g").alias("n_overlap"))
+        .agg(F.count("_g").alias("n_overlap"))
     )
     return (
         train.select(F.col(id_col).alias("_id"))

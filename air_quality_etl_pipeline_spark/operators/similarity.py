@@ -1069,30 +1069,44 @@ def semantic_dedup(
         F.col("_v").alias("v_b"),
         F.col("_n").alias("n_b"),
     )
-    dup_stats = (
-        assigned.join(earlier, on="cluster")
-        .filter(F.col("id_b") < F.col("_id"))
-        .withColumn(
-            "_cos", _pair_cosine("_v", "_n", "v_b", "n_b", dims, sim_decimals)
-        )
-        .filter(F.col("_cos") >= threshold)
-        .groupBy("_id")
-        .agg(
-            F.count("*").cast("long").alias("n_dup_neighbors"),
-            F.max("_cos").alias("max_dup_cosine"),
-        )
+    # LEFT self-join with the dup predicate as the join residual, so
+    # every vector survives into the aggregate and no third join is
+    # needed to restore the keeps: the assignment subtree is executed
+    # exactly twice (the self-join's two sides — its floor), not
+    # three times. This matters doubly in this runtime, which never
+    # reuses identical exchange subtrees (each reference re-executes
+    # the broadcast-centroid assignment pass).
+    L, R = assigned.alias("L"), earlier.alias("R")
+    paired = L.join(
+        R,
+        (F.col("L.cluster") == F.col("R.cluster"))
+        & (F.col("R.id_b") < F.col("L._id"))
+        & (
+            # _v/_n live only on L, v_b/n_b only on R — unqualified
+            # names are unambiguous (_pair_cosine backticks its
+            # arguments whole, so qualified names would not resolve)
+            _pair_cosine("_v", "_n", "v_b", "n_b", dims, sim_decimals)
+            >= threshold
+        ),
+        "left",
+    ).select(
+        F.col("_id"),
+        F.col("L.cluster").alias("cluster"),
+        F.col("id_b"),
+        F.when(
+            F.col("id_b").isNotNull(),
+            _pair_cosine("_v", "_n", "v_b", "n_b", dims, sim_decimals),
+        ).alias("_cos"),
     )
-    return (
-        assigned.join(dup_stats, on="_id", how="left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("cluster"),
-            F.when(F.col("n_dup_neighbors").isNotNull(), F.lit("drop"))
-            .otherwise(F.lit("keep"))
-            .alias("status"),
-            F.coalesce(F.col("n_dup_neighbors"), F.lit(0).cast("long")).alias(
-                "n_dup_neighbors"
-            ),
-            "max_dup_cosine",
-        )
+    return paired.groupBy("_id", "cluster").agg(
+        F.count("id_b").cast("long").alias("_nd"),
+        F.max("_cos").alias("max_dup_cosine"),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("cluster"),
+        F.when(F.col("_nd") > 0, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("status"),
+        F.col("_nd").alias("n_dup_neighbors"),
+        "max_dup_cosine",
     )

