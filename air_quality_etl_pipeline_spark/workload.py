@@ -82,6 +82,16 @@ _SCAN_CACHE: dict[tuple, DataFrame] = {}
 #: downstream use is a broadcast anyway
 _SPREAD_MIN_BYTES = 100_000
 
+#: spread only PAYLOAD-HEAVY tables (stored bytes/row): text and
+#: vector columns mean heavy per-row scan compute (tokenize, regex,
+#: md5, dot products) where serial scanning starves 31 cores —
+#: documents ≈119 B/row, embeddings ≈400 B/row. Narrow relational
+#: rows (lineitem 18 B, orders 18 B, events 20 B) do trivial per-row
+#: work, and for them the added round-robin exchange costs MORE than
+#: the serial scan (measured: +0.1–0.3 s per query across the
+#: relational headline when spread unconditionally)
+_SPREAD_MIN_BYTES_PER_ROW = 64
+
 
 def _spread_small_scan(
     spark: SparkSession, df: DataFrame, path: str
@@ -97,13 +107,24 @@ def _spread_small_scan(
     round-robin repartition so downstream per-row work uses the
     machine; at scale the condition is false and this is a no-op.
     Filters/pruning still reach the scan (Catalyst pushes both
-    through Repartition). Measured: decontaminate_eval 2.77→0.4 s
-    class at sf0.1 — the whole suite's scan stages were serial."""
+    through Repartition). Gated on stored bytes/row
+    (``_SPREAD_MIN_BYTES_PER_ROW``): only payload-heavy tables
+    (text/vectors) benefit; for narrow relational rows the exchange
+    costs more than the serial scan saves (both directions measured —
+    SCALE.md round 10). decontaminate_eval 2.77→0.56 s at sf0.1."""
     try:
         size = os.path.getsize(path)
     except OSError:
         return df
     if size < _SPREAD_MIN_BYTES:
+        return df
+    try:
+        import pyarrow.parquet as pq
+
+        rows = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return df
+    if rows <= 0 or size / rows < _SPREAD_MIN_BYTES_PER_ROW:
         return df
     dp = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < dp:
