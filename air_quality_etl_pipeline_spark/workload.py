@@ -82,14 +82,13 @@ _SCAN_CACHE: dict[tuple, DataFrame] = {}
 #: downstream use is a broadcast anyway
 _SPREAD_MIN_BYTES = 100_000
 
-#: spread only PAYLOAD-HEAVY tables (stored bytes/row): text and
-#: vector columns mean heavy per-row scan compute (tokenize, regex,
-#: md5, dot products) where serial scanning starves 31 cores —
-#: documents ≈119 B/row, embeddings ≈400 B/row. Narrow relational
-#: rows (lineitem 18 B, orders 18 B, events 20 B) do trivial per-row
-#: work, and for them the added round-robin exchange costs MORE than
-#: the serial scan (measured: +0.1–0.3 s per query across the
-#: relational headline when spread unconditionally)
+#: spread only PAYLOAD-HEAVY tables (stored bytes/row): wide text
+#: payloads mean heavy per-row scan compute (tokenize, regex, md5)
+#: where serial scanning starves 31 cores — documents ≈119 B/row vs
+#: narrow relational rows (lineitem 18 B, orders 18 B, events 20 B)
+#: whose trivial per-row work makes the added round-robin exchange
+#: cost MORE than the serial scan (measured: +0.1–0.3 s per query
+#: across the relational headline when spread unconditionally)
 _SPREAD_MIN_BYTES_PER_ROW = 64
 
 
@@ -125,6 +124,18 @@ def _spread_small_scan(
     except Exception:
         return df
     if rows <= 0 or size / rows < _SPREAD_MIN_BYTES_PER_ROW:
+        return df
+    # string payload required: the serial-scan bottleneck class is
+    # per-row STRING compute. Fixed-width numeric/array tables (e.g.
+    # the 2000-row embeddings table, 400 B/row) measured a NET LOSS
+    # when spread — their vector math streams fine from one scan task
+    # and the pq/ivf builders pay an extra stage per rebuilt job
+    # (family total 4.03→4.83 s with embeddings spread; SCALE.md r10)
+    from pyspark.sql.types import StringType
+
+    if not any(
+        isinstance(f.dataType, StringType) for f in df.schema.fields
+    ):
         return df
     dp = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < dp:

@@ -99,3 +99,47 @@ def test_writer_bytes_stable_across_runs(spark, sf_dir, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# Property: assignment == pure-Python reference
+# ---------------------------------------------------------------------------
+
+import hashlib as _hl
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_assignment(keys, num_shards, seed):
+    """Pure-Python twin of sampling.seeded_shuffle: 60-bit md5 draw,
+    rank by (draw, key), round-robin shard, div position."""
+    draws = {
+        k: int(_hl.md5(f"{seed}:{k}".encode()).hexdigest()[:15], 16)
+        for k in keys
+    }
+    ranked = sorted(keys, key=lambda k: (draws[k], k))
+    return {
+        k: ((i % num_shards), (i // num_shards))
+        for i, k in enumerate(ranked)
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    keys=st.lists(
+        st.integers(0, 10**6), min_size=1, max_size=60, unique=True
+    ),
+    num_shards=st.integers(1, 7),
+)
+def test_seeded_shuffle_property_matches_reference(spark, keys, num_shards):
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in seeded_shuffle(df, "doc_id", num_shards, seed="p").collect()
+    }
+    assert got == _ref_assignment(keys, num_shards, "p")
