@@ -304,3 +304,40 @@ def write_shuffled_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_span_deduped_corpus(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_run: int = 8,
+) -> None:
+    """Emit the span-DEDUPLICATED corpus (Lee et al., ACL 2022): every
+    document, with non-canonical duplicated spans cut — untouched
+    documents pass through verbatim, affected documents carry their
+    cut text (:func:`~.operators.dedup.span_removal`; empty string
+    for fully-removed whole clones). The schema is the input schema
+    with *text_col* rewritten, so the output is a drop-in replacement
+    corpus for every downstream stage.
+
+    Scale: the affected relation is bounded by the corpus duplication
+    rate, so the join back onto the corpus is key-sized on the
+    non-duplicated side (AQE broadcasts it when small); untouched
+    text never moves through any extra exchange beyond the write
+    itself."""
+    from air_quality_etl_pipeline_spark.operators.dedup import span_removal
+
+    cut = span_removal(docs, text_col, id_col, n=n, min_run=min_run).select(
+        id_col, F.col("dedup_text").alias("_dedup_text")
+    )
+    out = docs.join(cut, on=id_col, how="left").select(
+        *[
+            F.coalesce(F.col("_dedup_text"), F.col(c)).alias(c)
+            if c == text_col
+            else F.col(c)
+            for c in docs.columns
+        ]
+    )
+    out.write.mode("overwrite").parquet(path)

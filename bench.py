@@ -219,6 +219,11 @@ def main() -> None:
                 "anchor": anchor,
                 "anchor_first": anchor_first,
                 "anchor_last": anchor_last,
+                # r1-r9 used count(), which let Catalyst prune
+                # computed output columns (up to 38x under-billing on
+                # projection-terminal queries — SCALE.md r10); totals
+                # from the two actions are NOT comparable
+                "action": "noop_sink",
             }
         )
     )

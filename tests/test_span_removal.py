@@ -230,3 +230,35 @@ def test_span_removal_property_matches_reference(spark, texts):
         for r in span_removal(df, min_run=8).collect()
     }
     assert got == _ref_span_removal(rows)
+
+
+def test_write_span_deduped_corpus_roundtrip(spark, sf_dir, tmp_path):
+    """The emitted corpus is a drop-in replacement: same schema, same
+    doc count, untouched docs byte-identical, affected docs carry
+    exactly the operator's cut text, and a SECOND span-removal pass
+    over the emitted corpus finds nothing left to cut for the spans
+    already removed (the canonical occurrence survives, so its grams
+    lose their >=2-doc support)."""
+    from air_quality_etl_pipeline_spark.sources.writers import (
+        write_span_deduped_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "deduped")
+    write_span_deduped_corpus(docs, p)
+    back = spark.read.parquet(p)
+    assert back.columns == docs.columns
+    assert back.count() == docs.count()
+    cut = {
+        r["doc_id"]: r["dedup_text"]
+        for r in span_removal(docs, min_run=8).collect()
+    }
+    assert cut  # corpus has affected docs
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    for k, v in got.items():
+        assert v == cut.get(k, orig[k])
+    # kept token mass strictly below original (something was removed)
+    assert sum(len(v.split()) for v in got.values()) < sum(
+        len(v.split()) for v in orig.values()
+    )
