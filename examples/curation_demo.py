@@ -1,7 +1,7 @@
 """End-to-end training-corpus curation demo on the synthetic documents
-table: scrub → quality gate → near-dup dedup decision → decontaminate
-→ mixture downsample → pack into training windows, printing a one-line
-report per stage.
+table: scrub → span removal → quality gate → near-dup dedup decision →
+decontaminate → mixture downsample → pack into training windows →
+seeded shuffle-to-shards export, printing a one-line report per stage.
 
 Run:  python examples/curation_demo.py [sf_dir]
 """
@@ -21,9 +21,11 @@ from air_quality_etl_pipeline_spark.operators.packing import (
     pack_sequences,
 )
 from air_quality_etl_pipeline_spark.operators.sampling import mixture_sample
+from air_quality_etl_pipeline_spark.operators.sampling import seeded_shuffle
+from air_quality_etl_pipeline_spark.operators.dedup import span_removal
 from air_quality_etl_pipeline_spark.operators.text import (
     quality_score,
-    scrub_text,
+    scrub_text_pii,
 )
 from air_quality_etl_pipeline_spark.session import get_spark
 
@@ -35,8 +37,18 @@ def main() -> None:
     n0 = docs.count()
     print(f"corpus            : {n0} docs")
 
-    # 1. scrub PII-ish spans (URLs, emails) in place
-    docs = docs.withColumn("text", scrub_text(F.col("text")))
+    # 1. scrub PII (URLs, emails, phones, IPs, ID runs) in place
+    docs = docs.withColumn("text", scrub_text_pii(F.col("text")))
+
+    # 1b. cut duplicated >=12-token spans, keeping one canonical copy
+    cut = span_removal(docs).select(
+        "doc_id", F.col("dedup_text").alias("_cut")
+    )
+    docs = docs.join(cut, on="doc_id", how="left").withColumn(
+        "text", F.coalesce(F.col("_cut"), F.col("text"))
+    ).drop("_cut")
+    reclaimed = cut.count()
+    print(f"span removal      : {reclaimed} docs had duplicated spans cut")
 
     # 2. quality gate: drop the bottom of the quality distribution
     scored = docs.withColumn("q", quality_score(F.col("text")))
@@ -85,6 +97,15 @@ def main() -> None:
         f"sequence packing  : {agg['windows']} windows, "
         f"{agg['tokens']} tokens"
     )
+
+    # 7. deterministic seeded shuffle into balanced loader shards
+    shards = seeded_shuffle(mixed, "doc_id", 8, seed="demo")
+    sizes = sorted(
+        r["n"] for r in shards.groupBy("shard").agg(
+            F.count("*").alias("n")
+        ).collect()
+    )
+    print(f"shard export      : 8 shards, sizes {sizes[0]}-{sizes[-1]}")
     spark.stop()
 
 
