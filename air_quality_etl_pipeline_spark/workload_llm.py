@@ -297,8 +297,8 @@ def q_shuffle_shards_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`~.operators.sampling.seeded_shuffle`, the assignment
     behind :func:`~.sources.writers.write_shuffled_shards`): per
     shard, the document count (±1-balanced by the round-robin rank
-    construction — asserted in tests/test_span_removal.py's sibling
-    writer test), the within-shard position range (0-based, dense),
+    construction — asserted in tests/test_shuffle_shards.py), the
+    within-shard position range (0-based, dense),
     and the membership checksum ``sum(doc_id)``. Because the draw is
     ``md5(seed:key)`` and the rank runs over ``(draw, key)``, the
     oracle recomputes the IDENTICAL assignment in SQL — determinism
