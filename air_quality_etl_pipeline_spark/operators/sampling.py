@@ -183,6 +183,12 @@ def seeded_shuffle(
     shard SIZES differ by at most one, by construction) and
     within-shard order ``pos = (rank-1) div num_shards``.
 
+    Contract: *key_col* must be UNIQUE — the rank's total order is
+    ``(draw, key)``, so duplicate keys tie completely and their
+    relative order (hence shard/pos) would be partition-dependent,
+    breaking both determinism claims. Dedup or add a disambiguating
+    suffix first.
+
     Scale: one draw-keyed exchange for the rank's bucket window;
     per-bucket counts are the only cross-partition traffic beyond it.
     SQL twin of the draw: ``('0x' ||
