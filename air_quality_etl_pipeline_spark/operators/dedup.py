@@ -1065,24 +1065,35 @@ def span_removal(
 
     Returns one row per AFFECTED document: ``(id_col, n_tokens,
     n_removed, n_kept, dedup_text)`` where ``dedup_text`` is the
-    surviving tokens rejoined with single spaces (empty string when a
-    whole-clone document is cut entirely) and
+    surviving ORIGINAL-CASE tokens rejoined with single spaces (empty
+    string when a whole-clone document is cut entirely) and
     ``n_kept + n_removed == n_tokens`` by construction.
+
+    Fidelity contract: gram flagging and span-content clustering are
+    case-insensitive (tokens are lowercased ONLY for hashing), but the
+    emitted text keeps each surviving token's original bytes — like
+    the reference technique, cutting a span does not case-fold the
+    rest of the document (round-10 advisor). Whitespace IS normalized:
+    the emit is token-based, so runs of whitespace between surviving
+    tokens collapse to single spaces.
 
     Scale: token arrays never enter a gram-keyed exchange — they ride
     exactly two doc-keyed joins (span-content slice, final cut), both
     inner against relations bounded by the corpus duplication rate, so
-    AQE broadcast-joins them when small. Cut positions collapse to one
-    per-doc array (bounded by doc length) before touching the corpus;
-    the removal itself is a pure Catalyst ``filter`` lambda over the
-    token array — no token-level shuffle anywhere. Overlapping islands
-    cannot double-count: coverage is a per-position membership test,
-    not interval arithmetic.
+    AQE broadcast-joins them when small. Cut spans collapse to one
+    per-doc INTERVAL array (one entry per removable span, NOT one per
+    position — a whole-clone document carries a single interval, so
+    the removal filter is O(tokens × spans), never O(tokens²); round-10
+    advisor) before touching the corpus; the removal itself is a pure
+    Catalyst ``filter`` lambda over the token array — no token-level
+    shuffle anywhere. Overlapping islands cannot double-count:
+    coverage is a per-position interval-membership test, and
+    ``n_removed`` counts positions, not interval lengths.
     """
     t = df.select(
         id_col,
-        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
-    )
+        token_array(F.col(text_col)).alias("otoks"),
+    ).withColumn("toks", F.transform(F.col("otoks"), F.lower))
     flagged = shared_gram_positions(df, text_col, id_col, n, approx=approx)
     from pyspark.sql import Window as W
 
@@ -1127,26 +1138,29 @@ def span_removal(
         .filter(F.col("rn") >= 2)
         .select(id_col, "p1", "tend")
     )
-    cut = (
-        removable.select(
-            id_col,
-            F.explode(F.sequence(F.col("p1"), F.col("tend"))).alias("tp"),
+    # one struct per removable SPAN (not per position): the coverage
+    # test below is interval membership, so a whole-clone doc costs
+    # O(tokens), not O(tokens²)
+    cut = removable.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("p1", "tend"))).alias(
+            "cut_ivals"
         )
-        .groupBy(id_col)
-        .agg(F.collect_set("tp").alias("cut_pos"))
     )
     out = t.join(cut, on=id_col).select(
         id_col,
-        F.col("toks"),
+        F.col("otoks"),
         F.filter(
-            F.col("toks"),
-            lambda x, i: ~F.array_contains(F.col("cut_pos"), i + 1),
+            F.col("otoks"),
+            lambda x, i: ~F.exists(
+                F.col("cut_ivals"),
+                lambda iv: (i + 1 >= iv["p1"]) & (i + 1 <= iv["tend"]),
+            ),
         ).alias("kept"),
     )
     return out.select(
         id_col,
-        F.size("toks").cast("long").alias("n_tokens"),
-        (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+        F.size("otoks").cast("long").alias("n_tokens"),
+        (F.size("otoks") - F.size("kept")).cast("long").alias("n_removed"),
         F.size("kept").cast("long").alias("n_kept"),
         F.array_join(F.col("kept"), " ").alias("dedup_text"),
     )

@@ -481,6 +481,7 @@ def with_global_rank(
     materialize: bool = True,
     total_col: str | None = None,
     nulls_last: bool = False,
+    strict_error: str | None = None,
 ) -> DataFrame:
     """Exact global ``row_number()`` in ``order_cols`` order without a
     single-partition sort. *key* must be numeric and non-strictly
@@ -494,7 +495,16 @@ def with_global_rank(
     literal column — it is the sum of the already-collected group
     counts, so median positions / decile cut ranks / Pareto
     denominators cost zero extra jobs (a separate ``count()`` would
-    re-execute the input subquery end to end)."""
+    re-execute the input subquery end to end).
+
+    ``strict_error`` (optional) makes the plan RAISE with that message
+    if ``order_cols`` ties anywhere — i.e. asserts the ordering is a
+    strict total order. The check is ``rank() != row_number()`` over
+    the SAME window (one extra window function in the existing
+    WindowExec — zero extra exchanges, zero extra actions), and it is
+    exhaustive: the bucket is a function of *key*, which is monotone
+    in the order, so every tied pair shares a bucket and every tie is
+    visible to the within-bucket rank."""
     base, rows, num_ranges = _summary(
         df, key, [], num_ranges, materialize, nulls_last
     )
@@ -506,13 +516,16 @@ def with_global_rank(
     carve = _Carve(rows, num_ranges, nulls_last)
     out = base.withColumn("__obkt", carve.bucket_expr(key))
     w = Window.partitionBy("__obkt").orderBy(*order_cols)
-    out = out.withColumn(
-        out_col,
-        (
-            F.row_number().over(w).cast("long")
-            + _offset_lookup(carve.count_offsets).cast("long")
-        ).cast("long"),
-    ).drop("__obkt")
+    rn_expr = (
+        F.row_number().over(w).cast("long")
+        + _offset_lookup(carve.count_offsets).cast("long")
+    ).cast("long")
+    if strict_error is not None:
+        rn_expr = F.when(
+            F.rank().over(w) != F.row_number().over(w),
+            F.raise_error(F.lit(strict_error)).cast("long"),
+        ).otherwise(rn_expr)
+    out = out.withColumn(out_col, rn_expr).drop("__obkt")
     if total_col is not None:
         out = out.withColumn(
             total_col, F.lit(int(carve.grand_n)).cast("long")

@@ -220,9 +220,17 @@ def scrub_text(text: Column) -> Column:
 #: beyond URL/email. ``\b`` sits between word and non-word chars in
 #: both engines, and digits ARE word chars, so digit runs embedded in
 #: identifiers ("abc123456789x") never match the ID rule.
-#: ≥3 colon-separated hex groups — full or ::-compressed IPv6 tails;
-#: two-group times ("12:30") stay out
-IPV6_PATTERN = r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){2,7}\b"
+#: IPv6-specific shapes only (round-10 advisor: a bare "≥3 hex-ish
+#: groups" rule scrubbed clock times with seconds ("12:30:45"),
+#: scores/ratios, and hex-word runs ("cafe:face:bead")): either ≥4
+#: colon-separated hex groups, or a ``::``-compressed form with a
+#: non-empty tail ("fe80::1"). A trailing-``::`` address ("2001:db8::")
+#: is NOT matched — ``\b`` cannot assert after ``:`` — an accepted gap
+#: pinned in tests/test_text_similarity_ops.py PII_CASES.
+IPV6_PATTERN = (
+    r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){3,7}\b"
+    r"|\b([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5}\b"
+)
 IPV4_PATTERN = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
 #: NANP-style with separators (555-123-4567, (555) 123-4567, optional
 #: +CC). Dates can't match: the exchange group needs 3 digits between
@@ -440,6 +448,195 @@ def bpe_encode_vocab(
         "word",
         F.length("word").cast("long").alias("char_len"),
         F.size("syms").cast("long").alias("tok_len"),
+    )
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "qc",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al., ICML'09; the
+    fastText input layer): lowercased word unigrams ∪ bigrams, each
+    hashed to one of *n_buckets* feature ids via the engine-portable
+    :func:`~.functions.core.md5_long`. Returns one row per gram
+    occurrence: ``(id_col, *keep_cols, bucket)``.
+
+    Bigrams are built by zipping the token array against its own
+    1-shifted slice — no ``sequence()`` positional indexing, so empty
+    and single-token documents yield exactly their unigrams (no
+    0-index edge). Pure scan-local Catalyst; the caller's aggregation
+    is the only shuffle.
+    """
+    extra = [F.col(c) for c in (keep_cols or [])]
+    t = df.select(
+        F.col(id_col),
+        *extra,
+        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    grams = t.select(
+        F.col(id_col),
+        *extra,
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, n1),
+                    F.slice(F.col("toks"), 2, n1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            )
+        ).alias("gram"),
+    )
+    from air_quality_etl_pipeline_spark.functions.core import md5_long
+
+    return grams.select(
+        F.col(id_col),
+        *extra,
+        (md5_long(F.col("gram"), salt=salt) % F.lit(n_buckets))
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+def quality_classifier_weights(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "y",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "qc",
+) -> DataFrame:
+    """Train a linear text-quality classifier (the CCNet/fastText
+    curation stage) on a labeled split: multinomial Naive Bayes
+    log-odds over hashed n-gram features — a TRAINED linear model
+    whose fit reduces to exact count aggregates, so training is
+    deterministic and bit-identical cross-engine (unlike SGD logistic
+    regression, which needs non-portable transcendental steps; NB is
+    its classic closed-form log-linear counterpart).
+
+    *labeled* needs ``label_col`` ∈ {0, 1} with both classes present.
+    Returns ``(bucket, w_micro9)``: one row per feature bucket in
+    ``[0, n_buckets)`` with the Laplace-smoothed log-odds weight
+
+        w(b) = ln(c1(b)+1) − ln(T1+B) − ln(c0(b)+1) + ln(T0+B)
+
+    in exact 1e-9 integer units (each ln via the bit-portable
+    :func:`~.functions.portable_math.ln_int_portable`, quantized
+    BEFORE combining so the arithmetic is integer-exact), plus one
+    ``bucket = -1`` row carrying the class-prior log-odds
+    ``ln(n_docs_1) − ln(n_docs_0)``. Scoring a document is then
+    ``prior + Σ_b count_d(b)·w(b)`` — a dot product, i.e. a linear
+    classifier.
+
+    Scale: the corpus-sized gram stream collapses to the
+    ``n_buckets``-grain count relation in ONE map-side-combined
+    aggregation; everything after (totals, lns, the all-buckets
+    fill-in) is O(n_buckets) work on a relation that broadcasts.
+    """
+    from air_quality_etl_pipeline_spark.functions.portable_math import (
+        ln_int_portable,
+        quantize_micro9,
+    )
+
+    spark = labeled.sparkSession
+    y = F.col(label_col).cast("int")
+    g = hashed_gram_buckets(
+        labeled, text_col, id_col, n_buckets, salt, keep_cols=[label_col]
+    )
+    cnt = g.groupBy("bucket").agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("c0"),
+    )
+    # every bucket gets a row (unseen buckets still carry the
+    # smoothing-only weight — exactly what an absent feature scores)
+    allb = (
+        spark.range(n_buckets)
+        .withColumnRenamed("id", "bucket")
+        .join(cnt, on="bucket", how="left")
+        .fillna(0, subset=["c1", "c0"])
+    )
+    tot = F.broadcast(
+        allb.agg(
+            (F.sum("c1") + F.lit(n_buckets)).alias("t1b"),
+            (F.sum("c0") + F.lit(n_buckets)).alias("t0b"),
+        )
+    )
+    qln = lambda c: quantize_micro9(ln_int_portable(c))  # noqa: E731
+    w = allb.crossJoin(tot).select(
+        "bucket",
+        (
+            qln(F.col("c1") + 1)
+            - qln(F.col("t1b"))
+            - qln(F.col("c0") + 1)
+            + qln(F.col("t0b"))
+        ).alias("w_micro9"),
+    )
+    prior = (
+        labeled.agg(
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("bucket"),
+            (qln(F.col("n1")) - qln(F.col("n0"))).alias("w_micro9"),
+        )
+    )
+    return w.unionByName(prior)
+
+
+def quality_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "qc",
+) -> DataFrame:
+    """Score documents with a trained :func:`quality_classifier_weights`
+    model: ``score = prior + Σ_b count_d(b)·w(b)`` in exact 1e-9
+    integer units. Returns ``(id_col, n_grams, score_micro9, pred)``
+    with ``pred = 1`` iff the score is positive (class-1-like).
+
+    Scale: the gram stream aggregates to ``(doc, bucket)`` grain in
+    one doc-keyed exchange; the ≤ ``n_buckets + 1``-row weight
+    relation broadcasts onto it, and the prior rides the same
+    broadcast as a 1-row cross join — the corpus is scanned once and
+    the only shuffle is the per-doc aggregation.
+    """
+    gb = (
+        hashed_gram_buckets(docs, text_col, id_col, n_buckets, salt)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = F.broadcast(weights.filter(F.col("bucket") >= 0))
+    prior = F.broadcast(
+        weights.filter(F.col("bucket") == -1).select(
+            F.col("w_micro9").alias("_prior")
+        )
+    )
+    scored = (
+        gb.join(w, on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("w_micro9"))
+            .cast("long")
+            .alias("_dot"),
+        )
+        .crossJoin(prior)
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        (F.col("_dot") + F.col("_prior")).cast("long").alias("score_micro9"),
+        ((F.col("_dot") + F.col("_prior")) > 0)
+        .cast("long")
+        .alias("pred"),
     )
 
 

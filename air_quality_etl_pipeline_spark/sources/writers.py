@@ -322,6 +322,13 @@ def write_span_deduped_corpus(
     with *text_col* rewritten, so the output is a drop-in replacement
     corpus for every downstream stage.
 
+    Fidelity: untouched documents are byte-identical; affected
+    documents keep every surviving token's original casing (matching
+    is case-insensitive, the emit is not), but their inter-token
+    whitespace is normalized to single spaces — the cut text is a
+    token-level rejoin, the one fidelity loss of the token-based
+    emit (documented per the round-10 advisor).
+
     Scale: the affected relation is bounded by the corpus duplication
     rate, so the join back onto the corpus is key-sized on the
     non-duplicated side (AQE broadcasts it when small); untouched

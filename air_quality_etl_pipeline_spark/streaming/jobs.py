@@ -533,17 +533,21 @@ def run_cdc_scd2_stream(
 
     Unlike the SCD-1 state fold (:func:`run_cdc_stream`), the log is
     APPEND-ONLY — no read-modify-replace of a snapshot. The full-row
-    comparison does NOT ride the exchange as full rows: both sides are
-    projected to a 128-bit null-safe row hash (two independently
-    seeded ``xxhash64`` words over every column — ``xxhash64`` folds
-    NULL deterministically, so delete events with NULL payloads match
-    their logged copies), and the anti-join shuffles only those two
-    8-byte words per logged event, never the payload. At 100 TB the
-    log would additionally be partitioned by ingest date and the
-    anti-join pruned to the batch's date range (or replaced by a Delta
-    MERGE insert-if-absent on a real lakehouse). Collision risk of the
-    128-bit composite is ~2^-64 per pair — the same exposure as the
-    md5 content fingerprints the exact-dedup family standardizes on."""
+    comparison never scans the log as full rows: the batch's 64-bit
+    null-safe row hashes (one ``xxhash64`` over isNull-flag/value
+    pairs — the flags keep the encoding injective across NULL
+    placements) broadcast into the log scan as a semi-join
+    PRE-FILTER, so only hash-candidate log rows (≈ batch-sized, plus
+    collision noise) survive to the decision join. The DECISION is
+    exact: a null-safe equality anti-join over every column between
+    the batch and the candidate rows — a hash collision costs one
+    extra verified candidate, never a silently-dropped genuinely-new
+    event (round-10 advisor: the previous 128-bit-composite-as-
+    decision variant had a ~2^-64-per-pair silent-drop exposure, and
+    its two words were not independent). At 100 TB the log would
+    additionally be partitioned by ingest date and the pre-filter
+    pruned to the batch's date range (or replaced by a Delta MERGE
+    insert-if-absent on a real lakehouse)."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -553,34 +557,41 @@ def run_cdc_scd2_stream(
         fs = jlog.getFileSystem(hconf)
         all_cols = batch_df.columns
 
-        def rh(df: DataFrame) -> tuple[Column, Column]:
-            # two independent 64-bit words (seed folded in via a
-            # leading literal) → 128-bit null-safe row fingerprint.
-            # xxhash64 SKIPS null inputs (accumulator unchanged), so
-            # (1, NULL) and (NULL, 1) in same-typed columns would
-            # collide — interleaving an explicit isNull flag per
-            # column keeps the encoding injective.
+        def rh(df: DataFrame) -> Column:
+            # 64-bit null-safe row fingerprint — a PRE-FILTER only,
+            # never the drop decision. xxhash64 SKIPS null inputs
+            # (accumulator unchanged), so (1, NULL) and (NULL, 1) in
+            # same-typed columns would collide — interleaving an
+            # explicit isNull flag per column keeps the encoding
+            # injective.
             cols: list[Column] = []
             for c in all_cols:
                 cols.append(df[c].isNull())
                 cols.append(df[c])
-            return (
-                F.xxhash64(F.lit(1), *cols),
-                F.xxhash64(F.lit(2), *cols),
-            )
+            return F.xxhash64(*cols)
 
         batch = batch_df.dropDuplicates(all_cols)
         if fs.exists(jlog):
-            b1, b2 = rh(batch)
-            batch = batch.withColumn("_rh1", b1).withColumn("_rh2", b2)
+            batch = batch.withColumn("_rh", rh(batch))
             log = s.read.parquet(log_path)
-            l1, l2 = rh(log)
-            # the log side carries ONLY the 16-byte hash through the
-            # exchange — payload columns never enter the join
-            seen = log.select(l1.alias("_rh1"), l2.alias("_rh2"))
-            batch = batch.join(
-                seen, on=["_rh1", "_rh2"], how="left_anti"
-            ).drop("_rh1", "_rh2")
+            # hash pre-filter: the batch's hash set broadcasts into
+            # the log scan, so only candidate rows (≈ batch-sized)
+            # carry payload out of the scan
+            cand = (
+                log.withColumn("_rh", rh(log))
+                .join(F.broadcast(batch.select("_rh").distinct()), on="_rh")
+                .alias("l")
+            )
+            # exact decision: null-safe equality on EVERY column — a
+            # hash collision adds a candidate here, it cannot drop a
+            # genuinely-new event
+            b = batch.alias("b")
+            cond = F.col("b._rh") == F.col("l._rh")
+            for c in all_cols:
+                cond = cond & F.col(f"b.`{c}`").eqNullSafe(
+                    F.col(f"l.`{c}`")
+                )
+            batch = b.join(cand, on=cond, how="left_anti").drop("_rh")
         batch.write.mode("append").parquet(log_path)
 
     q = (

