@@ -977,6 +977,30 @@ def simhash_component_edges(
     return rep_pairs.unionByName(star)
 
 
+def _gram_hashes(t: DataFrame, id_col: str, n: int) -> DataFrame:
+    """``(id_col, pos, gh)`` — 1-based word-*n*-gram start positions
+    with 60-bit md5 gram hashes, over a prepared ``(id, toks)``
+    relation (lowered tokens). Documents shorter than *n* tokens
+    contribute one truncated gram (the whole doc). Positions ride the
+    explode — one scan, no shuffle."""
+    return t.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        md5_long(F.col("gram")).alias("gh"),
+    )
+
+
 def shared_gram_positions(
     df: DataFrame,
     text_col: str = "text",
@@ -1011,22 +1035,7 @@ def shared_gram_positions(
         id_col,
         F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
     )
-    g = t.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1)),
-                ),
-                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
-            )
-        ).alias("pos0", "gram"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("pos"),
-        md5_long(F.col("gram")).alias("gh"),
-    )
+    g = _gram_hashes(t, id_col, n)
     if approx:
         shared = (
             g.groupBy("gh")
@@ -1145,6 +1154,108 @@ def span_removal(
         F.sort_array(F.collect_list(F.struct("p1", "tend"))).alias(
             "cut_ivals"
         )
+    )
+    out = t.join(cut, on=id_col).select(
+        id_col,
+        F.col("otoks"),
+        F.filter(
+            F.col("otoks"),
+            lambda x, i: ~F.exists(
+                F.col("cut_ivals"),
+                lambda iv: (i + 1 >= iv["p1"]) & (i + 1 <= iv["tend"]),
+            ),
+        ).alias("kept"),
+    )
+    return out.select(
+        id_col,
+        F.size("otoks").cast("long").alias("n_tokens"),
+        (F.size("otoks") - F.size("kept")).cast("long").alias("n_removed"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.array_join(F.col("kept"), " ").alias("dedup_text"),
+    )
+
+
+def span_removal_between(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_run: int = 8,
+) -> DataFrame:
+    """INCREMENTAL exact-substring span removal — the production shape
+    of :func:`span_removal` (round-10 verdict #6): cut from each BATCH
+    document every run of ≥ *min_run* consecutive grams already
+    present in the CORPUS, without re-deduplicating the corpus. The
+    canonical occurrence of every flagged span lives in the corpus by
+    definition, so every covered batch occurrence is removable — no
+    span-content clustering or keep-one logic is needed (that is what
+    makes the incremental pass cheaper than the batch one).
+
+    Strictly CROSS-RELATION, mirroring ``minhash_lsh_pairs_between``:
+    duplication WITHIN the batch is deliberately not flagged — compose
+    with :func:`span_removal` over the batch for that. The flags for a
+    batch document depend only on (document, corpus), so the output is
+    independent of how a crawl is sliced into batches (pinned by the
+    batch-boundary-independence test).
+
+    Same output contract as :func:`span_removal`: one row per AFFECTED
+    batch document ``(id_col, n_tokens, n_removed, n_kept,
+    dedup_text)``, original casing preserved, whitespace normalized,
+    interval-based cut application (O(tokens × spans)).
+
+    Scale: the corpus contributes ONLY its distinct gram-hash table —
+    8 bytes per distinct gram, the relation a production pipeline
+    persists once and reuses per crawl; the batch's gram stream
+    semi-joins it on ``gh`` (broadcast when the batch is small — at
+    100 TB the gram table is bucketed on ``gh`` and the join
+    co-locates), and token arrays never enter that exchange: they ride
+    one batch-keyed join for the final cut, exactly as in the batch
+    operator.
+    """
+    t = batch.select(
+        id_col,
+        token_array(F.col(text_col)).alias("otoks"),
+    ).withColumn("toks", F.transform(F.col("otoks"), F.lower))
+    ct = corpus.select(
+        id_col,
+        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
+    )
+    cg = _gram_hashes(ct, id_col, n).select("gh").distinct()
+    flagged = _gram_hashes(t, id_col, n).join(cg, on="gh").select(
+        id_col, "pos"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.asc("pos"))
+    islands = flagged.select(
+        id_col,
+        "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("island"),
+    )
+    runs = (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("p1"),
+            F.max("pos").alias("p2"),
+            F.count("*").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .drop("island", "run_len")
+    )
+    cut = (
+        runs.join(t.select(id_col, F.size("toks").alias("_sz")), on=id_col)
+        .select(
+            id_col,
+            F.struct(
+                F.col("p1"),
+                F.least(F.col("p2") + F.lit(n - 1), F.col("_sz")).alias(
+                    "tend"
+                ),
+            ).alias("_iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_iv")).alias("cut_ivals"))
     )
     out = t.join(cut, on=id_col).select(
         id_col,

@@ -957,6 +957,111 @@ def label_centroid_micro(
     return prepped.groupBy("_l").applyInPandas(centroid, out_schema)
 
 
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    method: str = "exact",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL'19): mine
+    translation pairs between two embedding spaces (*src*, *tgt* —
+    e.g. two languages under LASER-style aligned encoders) by the
+    RATIO margin
+
+        margin(x, y) = cos(x, y) /
+            ((Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)} cos(z,y)) / 2k)
+
+    over forward (src→tgt) and backward (tgt→src) kNN candidates,
+    keeping only MUTUAL-BEST pairs (y is x's margin-argmax AND x is
+    y's). The margin normalizes away hubness: a pair only survives if
+    it stands out from BOTH points' neighborhoods, which is what makes
+    this the standard multilingual training-data miner (CCMatrix).
+
+    Returns ``(src_id, tgt_id, cos_micro, margin_micro)``. Arithmetic
+    is engine-portable end to end: cosines quantize to integer
+    micro-units once, neighborhood sums are exact integer aggregates,
+    and the margin is ONE integer division ``(cos·2k·10^6) div
+    (sum_f + sum_b)`` over non-negative operands (truncation == floor
+    on both engines). Pairs with negative cosine, and nodes whose
+    neighborhood-sum denominator is ≤ 0, are excluded — a
+    negative-similarity "translation" is never mineable.
+
+    ``method="exact"`` composes :func:`cosine_topk` (the oracle-exact
+    baseline — O(|src|·|tgt|) scoring); ``method="ivf"`` composes
+    :func:`ivf_topk` with ``**ivf_kwargs`` — the 100 TB path: each
+    direction probes inverted lists instead of the full cross product,
+    and with ``nprobe`` = all lists it degenerates to the exact
+    answer (pinned in tests). Both kNN relations are ``persist()``-ed:
+    each is referenced twice (neighborhood sums + candidate pairs),
+    and under this runtime's no-subtree-reuse behavior an uncached
+    second reference would re-run the whole scoring pass.
+    """
+    knn = cosine_topk if method == "exact" else ivf_topk
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"unknown method: {method!r}")
+    cm = F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    fwd = (
+        knn(tgt, src, id_col=id_col, vec_col=vec_col, k=k, **ivf_kwargs)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            cm.alias("cm"),
+        )
+        .persist()
+    )
+    bwd = (
+        knn(src, tgt, id_col=id_col, vec_col=vec_col, k=k, **ivf_kwargs)
+        .select(
+            F.col("neighbor_id").alias("src_id"),
+            F.col("query_id").alias("tgt_id"),
+            cm.alias("cm"),
+        )
+        .persist()
+    )
+    sum_f = fwd.groupBy("src_id").agg(
+        F.sum("cm").cast("long").alias("sum_f")
+    )
+    sum_b = bwd.groupBy("tgt_id").agg(
+        F.sum("cm").cast("long").alias("sum_b")
+    )
+    cand = fwd.unionByName(bwd).dropDuplicates(["src_id", "tgt_id"])
+    m = (
+        cand.join(sum_f, on="src_id")
+        .join(sum_b, on="tgt_id")
+        .filter(
+            (F.col("cm") >= 0) & (F.col("sum_f") + F.col("sum_b") > 0)
+        )
+        .withColumn(
+            "margin_micro",
+            F.expr(f"(cm * {2 * k} * 1000000) div (sum_f + sum_b)").cast(
+                "long"
+            ),
+        )
+    )
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("margin_micro").desc(), F.col("tgt_id").asc()
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin_micro").desc(), F.col("src_id").asc()
+    )
+    return (
+        m.withColumn("_qf", F.row_number().over(wf))
+        .withColumn("_qb", F.row_number().over(wb))
+        .filter((F.col("_qf") == 1) & (F.col("_qb") == 1))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("cm").alias("cos_micro"),
+            "margin_micro",
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1326,14 +1326,15 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
 #: tests/test_invariants.py asserts this set equals the queries whose
 #: registered oracle is ``None``.
 #:
-#: The one member: ``bpe_encode_corpus`` applies a LEARNED merge list
-#: (the output of the iterative trainer) as a rank-ordered fold —
-#: encode exactness is pinned against a pure-Python BPE reference in
-#: tests/test_training_ops.py, which is the accepted correctness
-#: contract for it (round-4 verdict Next-round #2c). The trainer
-#: itself (``bpe_learn_merges``) and ``pca_project`` got real oracles
-#: in round 5 (unrolled-CTE / invariant-contract) and are NOT here.
-ROWS_ONLY_QUERIES: frozenset[str] = frozenset({"bpe_encode_corpus"})
+#: EMPTY since round 11: the last member, ``bpe_encode_corpus``,
+#: gained a real unrolled-CTE oracle (the trainer oracle's round-t
+#: rewrite relation IS the encoded vocabulary — see
+#: workload_training._bpe_encode_oracle), so every registered query is
+#: now hash-compared cross-engine. Leaving the set (per the round-5
+#: advisor rule below in _driver_checked_rounds) drops its old
+#: ``no_oracle`` credit, re-queueing it at the front of the driver
+#: gate so the new oracle is driver-verified immediately.
+ROWS_ONLY_QUERIES: frozenset[str] = frozenset()
 
 #: Driver-verification priority. The driver's correctness gate checks
 #: the FIRST 50 registered queries per round. Lifetime through round 3:

@@ -1,0 +1,67 @@
+"""Margin-based bitext mining (Artetxe & Schwenk, ACL'19).
+
+Pins the operator contract of operators.similarity.bitext_margin_mine:
+a hand-traceable margin fixture (the round-10 verdict's ask), the
+mutual-best filter, and exact↔IVF path equivalence when the IVF
+probes every list. The cross-engine value check lives in the registry
+oracle (``bitext_margin_mine``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.similarity import (
+    bitext_margin_mine,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hand_traced_margins(spark):
+    """2-D fixture, k=1. cos(x0,y1)=1.0, cos(x0,y3)=0.0, cos(x2,y1)=0.6,
+    cos(x2,y3)=0.8 ⇒ fwd sums: x0→1e6, x2→8e5; bwd sums: y1→1e6,
+    y3→8e5. Margins (2k·10^6 numerator scale): (0,1) = 10^6·2·10^6 /
+    2·10^6 = 1000000; (2,3) = 8·10^5·2·10^6 / 1.6·10^6 = 1000000.
+    Both pairs are mutual-best."""
+    src = _vecs(spark, [(0, [1.0, 0.0]), (2, [0.6, 0.8])])
+    tgt = _vecs(spark, [(1, [1.0, 0.0]), (3, [0.0, 1.0])])
+    got = sorted(
+        tuple(r) for r in bitext_margin_mine(src, tgt, k=1).collect()
+    )
+    assert got == [(0, 1, 1000000, 1000000), (2, 3, 800000, 1000000)]
+
+
+def test_mutual_best_filters_hub(spark):
+    """A hub target that is every source's cosine-argmax can be
+    mutual-best with only ONE source — the other source must either
+    lose its pair or mine a different target; it never double-claims
+    the hub (the failure mode the mutual-best filter exists for)."""
+    # y1 is close to both x0 and x2; y3 is far from everything
+    src = _vecs(spark, [(0, [1.0, 0.0]), (2, [0.9, 0.4358898943540674])])
+    tgt = _vecs(spark, [(1, [1.0, 0.1]), (3, [-1.0, 0.5])])
+    out = bitext_margin_mine(src, tgt, k=1).collect()
+    claimed = [r["src_id"] for r in out if r["tgt_id"] == 1]
+    assert len(claimed) <= 1
+
+
+def test_ivf_path_matches_exact_when_probing_all(spark, sf_dir):
+    """method='ivf' with nprobe ≥ the list count degenerates to the
+    exact answer — the scale path loses recall only through probe
+    selectivity, never through the margin/mutual-best algebra."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    exact = sorted(
+        tuple(r) for r in bitext_margin_mine(src, tgt, k=3).collect()
+    )
+    ivf = sorted(
+        tuple(r)
+        # stride must be ODD so the odd-id (tgt) half gets centroids
+        # at all — ivf_topk samples centroids by `id % stride == 0`
+        for r in bitext_margin_mine(
+            src, tgt, k=3, method="ivf", centroid_stride=25, nprobe=16
+        ).collect()
+    )
+    assert exact == ivf and exact

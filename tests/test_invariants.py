@@ -614,19 +614,18 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
                 },
                 "rows_only_green": {"rows_match": True, "err": None},
                 "rows_only_keeps": {"rows_match": True, "err": None},
-                # a ROWS_ONLY_QUERIES receipt: rows returned, no oracle
-                # to compare — counts as a checked rows-only PASS so it
-                # stops re-entering the gate window every round (the
-                # name must be a CURRENT ROWS_ONLY_QUERIES member)
+                # bpe_encode_corpus's historical no_oracle receipts: it
+                # GAINED an oracle in round 11 (ROWS_ONLY_QUERIES is now
+                # empty), so the stale rows-only credit must NOT stick —
+                # the query re-queues at the front so the new oracle is
+                # driver-verified immediately (round-5 advisor rule)
                 "bpe_encode_corpus": {
                     "rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": 6,
                     "oracle_rows": None, "err": "no_oracle",
                 },
-                # no_oracle + rows but NOT a ROWS_ONLY_QUERIES member
-                # (it has since gained an oracle): the stale credit
-                # must NOT stick, or the new oracle goes unverified
-                # for rounds (round-5 advisor finding)
+                # same shape under a synthetic name: no_oracle + rows
+                # but not a ROWS_ONLY_QUERIES member — credit dropped
                 "no_oracle_rows": {
                     "rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": 6,
@@ -667,13 +666,12 @@ def test_driver_priority_rotation_from_receipts(tmp_path):
         "green_old": 2,  # re-checked green in r2 -> latest wins
         "green_new": 2,
         "rows_only_keeps": 1,  # rows-only (no hash field) still green
-        # no-oracle + rows + declared rows-only = checked
-        "bpe_encode_corpus": 1,
     }
     assert "failed" not in latest and "errored" not in latest
     assert "rows_only_green" not in latest  # latest check failed
     assert "no_oracle_empty" not in latest  # no rows -> not a pass
     assert "no_oracle_rows" not in latest  # gained an oracle: re-queue
+    assert "bpe_encode_corpus" not in latest  # gained an oracle (r11)
 
     base = ["failed", "green_new", "never_a", "green_old", "never_b"]
     pos = {n: i for i, n in enumerate(base)}

@@ -1,0 +1,88 @@
+"""Incremental (cross-snapshot) exact-substring span removal.
+
+Pins the operator contract of operators.dedup.span_removal_between:
+strictly cross-relation flagging, whole-clone cut, and batch-boundary
+independence (the round-10 verdict's ask: the same documents give the
+same answer however the crawl is sliced into batches). Cross-engine
+values are checked by the registry oracle (``span_removal_between``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from air_quality_etl_pipeline_spark.operators.dedup import (
+    span_removal,
+    span_removal_between,
+)
+
+SPAN = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_batch_span_covered_by_corpus_is_cut(spark):
+    corpus = _docs(spark, [(1, f"corpus holds {SPAN} already")])
+    batch = _docs(spark, [(10, f"new crawl prefix {SPAN} suffix x")])
+    out = span_removal_between(batch, corpus, min_run=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == 10
+    assert r["n_removed"] == 12
+    assert r["dedup_text"] == "new crawl prefix suffix x"
+
+
+def test_strictly_cross_relation(spark):
+    """Duplication WITHIN the batch is not this operator's job — two
+    identical batch docs with an unrelated corpus flag nothing."""
+    corpus = _docs(spark, [(1, "totally unrelated corpus text here")])
+    batch = _docs(spark, [(10, SPAN), (11, SPAN)])
+    assert span_removal_between(batch, corpus, min_run=8).count() == 0
+
+
+def test_whole_clone_of_corpus_doc_cut_entirely(spark):
+    corpus = _docs(spark, [(1, SPAN)])
+    batch = _docs(spark, [(10, SPAN)])
+    out = span_removal_between(batch, corpus, min_run=8).collect()
+    assert len(out) == 1
+    assert out[0]["n_kept"] == 0 and out[0]["dedup_text"] == ""
+
+
+def test_batch_boundary_independence(spark, sf_dir):
+    """Slicing the batch differently cannot change any document's
+    result: processing the two halves of the batch separately against
+    the same corpus equals processing the whole batch at once."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    whole = {
+        r["doc_id"]: tuple(r)
+        for r in span_removal_between(batch, corpus).collect()
+    }
+    sliced = {}
+    for half in (0, 1):
+        part = batch.filter((F.col("doc_id") % 8 == 4 * half))
+        for r in span_removal_between(part, corpus).collect():
+            sliced[r["doc_id"]] = tuple(r)
+    assert whole and sliced == whole
+
+
+def test_composes_with_batch_twin_on_full_clone_corpus(spark):
+    """When the 'corpus' is the rest of the same snapshot, incremental
+    flags exactly the spans the batch twin would cut from those docs
+    whose duplicates all live OUTSIDE the batch (canonical included —
+    between-mode cuts every covered occurrence, so a batch doc whose
+    twin lives in the corpus is cut even though the batch twin would
+    have kept one of the two)."""
+    corpus = _docs(spark, [(1, f"one copy {SPAN} here")])
+    batch = _docs(spark, [(2, f"two copy {SPAN} there")])
+    between = span_removal_between(batch, corpus, min_run=8).collect()
+    both = span_removal(
+        corpus.unionByName(batch), min_run=8
+    ).collect()
+    # batch twin keeps the canonical (doc 1), cuts doc 2; between-mode
+    # cuts doc 2 as well — same surviving text for the batch doc
+    assert len(between) == 1 and len(both) == 1
+    assert between[0]["doc_id"] == both[0]["doc_id"] == 2
+    assert between[0]["dedup_text"] == both[0]["dedup_text"]
