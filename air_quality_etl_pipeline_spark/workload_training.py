@@ -1793,3 +1793,98 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % 2 == 1),
         k=4,
     )
+
+
+@register(
+    "quality_classifier_eval",
+    f"""
+    WITH lab AS (SELECT doc_id, {_LTOKS} AS toks,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                 FROM documents WHERE doc_id % 5 <> 0),
+    lg AS ({_QC_GRAMS.format(rel="lab", keep="y")}),
+    lb AS (SELECT {_QC_BUCKET} AS bucket, y FROM lg),
+    cnt AS (SELECT bucket,
+                   CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1,
+                   CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0
+            FROM lb GROUP BY 1),
+    allb AS (SELECT r.range AS bucket,
+                    coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
+             FROM range(0, {_QC_B}) r
+             LEFT JOIN cnt ON r.range = cnt.bucket),
+    tot AS (SELECT CAST(sum(c1) + {_QC_B} AS BIGINT) AS t1b,
+                   CAST(sum(c0) + {_QC_B} AS BIGINT) AS t0b
+            FROM allb),
+    w AS (SELECT bucket,
+                 {_qc_qln("c1 + 1")} - {_qc_qln("t1b")}
+                 - {_qc_qln("c0 + 1")} + {_qc_qln("t0b")} AS wm
+          FROM allb, tot),
+    pr AS (SELECT {_qc_qln("n1")} - {_qc_qln("n0")} AS pm FROM (
+             SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1,
+                    CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0
+             FROM lab)),
+    d AS (SELECT doc_id, {_LTOKS} AS toks,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents WHERE doc_id % 5 = 0),
+    dg AS ({_QC_GRAMS.format(rel="d", keep="doc_id")}),
+    db AS (SELECT doc_id, {_QC_BUCKET} AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM dg GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(sum(cnt * wm) AS BIGINT) AS dot
+          FROM db JOIN w USING (bucket) GROUP BY 1),
+    scored AS (SELECT d.doc_id, d.y,
+                      CASE WHEN (dot + pm) > 0 THEN 1 ELSE 0 END AS pred
+               FROM s JOIN d USING (doc_id), pr)
+    SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(count(*) FILTER (y = 1 AND pred = 1) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (y = 0 AND pred = 1) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (y = 0 AND pred = 0) AS BIGINT) AS tn,
+           CAST(count(*) FILTER (y = 1 AND pred = 0) AS BIGINT) AS fn,
+           floor(CAST(count(*) FILTER (y = pred) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS accuracy
+    FROM scored
+    """,
+)
+def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the trained quality classifier — the
+    validate half of the train/validate workflow every curation
+    classifier ships with: train on the 80% split (``doc_id % 5 !=
+    0``), score the UNSEEN 20%, and report the confusion matrix +
+    accuracy against the same labeling rule. One aggregate row, every
+    cell an exact integer (the accuracy division is the only double,
+    portable-rounded). Scale shape identical to
+    quality_classifier_score — the eval split adds one broadcast-
+    weight scoring pass and a 5-long aggregation."""
+    from air_quality_etl_pipeline_spark.operators.text import (
+        quality_classifier_score,
+        quality_classifier_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    y = (F.col("lang") == "en").cast("int")
+    train = d.filter(F.col("doc_id") % 5 != 0).withColumn("y", y)
+    held = d.filter(F.col("doc_id") % 5 == 0).withColumn("y", y)
+    w = quality_classifier_weights(
+        train, label_col="y", n_buckets=_QC_B
+    ).persist()
+    scored = quality_classifier_score(held, w, n_buckets=_QC_B).join(
+        held.select("doc_id", "y"), on="doc_id"
+    )
+    agree = (F.col("y") == F.col("pred")).cast("int")
+    return scored.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 1)).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 1)).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("y") == 0) & (F.col("pred") == 0)).cast("int"))
+        .cast("long")
+        .alias("tn"),
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 0)).cast("int"))
+        .cast("long")
+        .alias("fn"),
+        round_portable(
+            F.sum(agree).cast("double") / F.count("*"), 6
+        ).alias("accuracy"),
+    )
