@@ -548,9 +548,17 @@ def quality_classifier_weights(
     g = hashed_gram_buckets(
         labeled, text_col, id_col, n_buckets, salt, keep_cols=[label_col]
     )
-    cnt = g.groupBy("bucket").agg(
-        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("c1"),
-        F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("c0"),
+    # persist the ≤n_buckets-row count relation: it is referenced
+    # twice below (per-bucket weights + the totals), and this runtime
+    # performs no subtree reuse — uncached, the corpus-sized gram
+    # aggregation would execute once per reference
+    cnt = (
+        g.groupBy("bucket")
+        .agg(
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        )
+        .persist()
     )
     # every bucket gets a row (unseen buckets still carry the
     # smoothing-only weight — exactly what an absent feature scores)
