@@ -1175,13 +1175,33 @@ def span_removal(
     )
 
 
-def span_removal_between(
-    batch: DataFrame,
+def corpus_gram_hashes(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+) -> DataFrame:
+    """The corpus side of :func:`span_removal_between` as a standalone
+    relation: DISTINCT 60-bit gram hashes (single ``gh`` column) over
+    lowered word-*n*-grams — 8 bytes per distinct gram, the table a
+    production pipeline materializes ONCE per corpus snapshot and
+    reuses for every incoming crawl batch (persist it, or write it
+    bucketed by ``gh`` so the batch semi-join co-locates)."""
+    t = corpus.select(
+        id_col,
+        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
+    )
+    return _gram_hashes(t, id_col, n).select("gh").distinct()
+
+
+def span_removal_between(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
     min_run: int = 8,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL exact-substring span removal — the production shape
     of :func:`span_removal` (round-10 verdict #6): cut from each BATCH
@@ -1211,17 +1231,24 @@ def span_removal_between(
     100 TB the gram table is bucketed on ``gh`` and the join
     co-locates), and token arrays never enter that exchange: they ride
     one batch-keyed join for the final cut, exactly as in the batch
-    operator.
+    operator. Pass a prebuilt (persisted/bucketed)
+    :func:`corpus_gram_hashes` relation via *corpus_grams* to amortize
+    the corpus pass across many batches — the streaming twin does
+    exactly this, one gram-table build for the whole drain.
     """
+    if (corpus is None) == (corpus_grams is None):
+        raise ValueError(
+            "exactly one of corpus / corpus_grams must be given"
+        )
     t = batch.select(
         id_col,
         token_array(F.col(text_col)).alias("otoks"),
     ).withColumn("toks", F.transform(F.col("otoks"), F.lower))
-    ct = corpus.select(
-        id_col,
-        F.transform(token_array(F.col(text_col)), F.lower).alias("toks"),
+    cg = (
+        corpus_grams.select("gh")
+        if corpus_grams is not None
+        else corpus_gram_hashes(corpus, text_col, id_col, n)
     )
-    cg = _gram_hashes(ct, id_col, n).select("gh").distinct()
     flagged = _gram_hashes(t, id_col, n).join(cg, on="gh").select(
         id_col, "pos"
     )

@@ -1577,9 +1577,10 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_removal(d, "text", "doc_id", n=5, min_run=8)
 
 
-@register(
-    "span_removal_between",
-    f"""
+#: shared by the batch query below and its streaming twin in
+#: workload_sources (same oracle applies because per-document output
+#: depends only on (document, corpus), never on batch slicing)
+SPAN_BETWEEN_ORACLE = f"""
     WITH t AS (SELECT doc_id, {TOKS} AS otoks, {LTOKS} AS toks
                FROM documents),
     b AS (SELECT * FROM t WHERE doc_id % 4 = 0),
@@ -1617,8 +1618,10 @@ def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(string_agg(tok, ' ' ORDER BY tp)
                     FILTER (NOT removed), '') AS dedup_text
     FROM joined GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("span_removal_between", SPAN_BETWEEN_ORACLE)
 def q_span_removal_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL span dedup — new-crawl-vs-corpus, the production
     shape (round-10 verdict #6): the ``doc_id % 4 = 0`` quarter of

@@ -970,6 +970,75 @@ def _register_streaming_dedup_incremental() -> None:
 _register_streaming_dedup_incremental()
 
 
+def _register_streaming_span_removal() -> None:
+    """Lazy import of the shared oracle, same pattern as the LSH
+    streaming twin above."""
+    from air_quality_etl_pipeline_spark.workload_corpus import (
+        SPAN_BETWEEN_ORACLE,
+    )
+
+    @register("streaming_span_removal", SPAN_BETWEEN_ORACLE)
+    def q_streaming_span_removal(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The continuous-ingestion form of ``span_removal_between``
+        (completing the streaming symmetry the LSH family already has):
+        the incoming quarter of documents arrives as a STREAM
+        (availableNow, ``doc_id % 4 = 0``) and each micro-batch is
+        span-cut against the STATIC corpus inside ``foreachBatch``.
+        The corpus's distinct gram-hash table is built ONCE
+        (:func:`operators.dedup.corpus_gram_hashes`, persisted) and
+        reused by every micro-batch — the production amortization the
+        operator's ``corpus_grams=`` hook exists for. Per-document cuts
+        depend only on (document, corpus), never on batch slicing
+        (pinned by the batch twin's boundary-independence test), so the
+        drained output equals the batch twin row-for-row and the SAME
+        DuckDB oracle applies — that equality IS the exactly-once
+        test. No stream-side state store."""
+        from air_quality_etl_pipeline_spark.operators.dedup import (
+            corpus_gram_hashes,
+            span_removal_between,
+        )
+
+        out_dir = f"{SCRATCH}/streaming_span_removal"
+        ckpt = out_dir + "_ckpt"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        docs = _t(spark, sf_dir, "documents")
+        cg = corpus_gram_hashes(
+            docs.filter(F.col("doc_id") % 4 != 0)
+        ).persist()
+
+        def cut(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                span_removal_between(
+                    batch_df, None, "text", "doc_id",
+                    n=5, min_run=8, corpus_grams=cg,
+                )
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        base, glob = stream_table_path(spark, sf_dir, "documents")
+        reader = spark.readStream.schema(docs.schema)
+        if glob is not None:
+            reader = reader.option("pathGlobFilter", glob)
+        stream = reader.parquet(base).filter(F.col("doc_id") % 4 == 0)
+        q = (
+            stream.writeStream.foreachBatch(cut)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cg.unpersist()
+        return spark.read.parquet(out_dir)
+
+
+_register_streaming_span_removal()
+
+
 # Builders above that DO the work at construction time (write a sink,
 # run an ingest/DAG, or drive a stream to completion) — their returned
 # DataFrame is a read-back, so bench/prepared must rebuild per sample
@@ -997,5 +1066,6 @@ SIDE_EFFECT_QUERIES.update(
         "streaming_rest_ingest",
         "streaming_dedup_incremental",
         "streaming_session_windows",
+        "streaming_span_removal",
     }
 )
