@@ -86,3 +86,92 @@ def test_composes_with_batch_twin_on_full_clone_corpus(spark):
     assert len(between) == 1 and len(both) == 1
     assert between[0]["doc_id"] == both[0]["doc_id"] == 2
     assert between[0]["dedup_text"] == both[0]["dedup_text"]
+
+
+# ---------------------------------------------------------------------------
+# Property: random batch/corpus == pure-Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_between(batch_rows, corpus_rows, n=5, min_run=8):
+    """Pure-Python reference of span_removal_between: flag batch gram
+    positions present in the corpus's distinct gram set, gaps-and-
+    islands, cut every run of >= min_run (no canonical-keeping), emit
+    original-case survivors."""
+    def toks(txt):
+        return txt.split() if txt.strip() else []
+
+    corpus_grams = set()
+    for _, txt in corpus_rows:
+        ts = [t.lower() for t in toks(txt)]
+        for p in range(1, max(len(ts) - (n - 1), 1) + 1):
+            corpus_grams.add(" ".join(ts[p - 1 : p - 1 + n]))
+    out = {}
+    for i, txt in batch_rows:
+        ots = toks(txt)
+        ts = [t.lower() for t in ots]
+        flagged = [
+            p
+            for p in range(1, max(len(ts) - (n - 1), 1) + 1)
+            if " ".join(ts[p - 1 : p - 1 + n]) in corpus_grams
+        ]
+        cut = set()
+        run = []
+        for p in flagged + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_run:
+                    tend = min(run[-1] + n - 1, len(ts))
+                    cut.update(range(run[0], tend + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+        if not cut:
+            continue
+        kept = [t for j, t in enumerate(ots, start=1) if j not in cut]
+        out[i] = (len(ots), len(ots) - len(kept), len(kept), " ".join(kept))
+    return out
+
+
+_BLOCKS = [
+    "qa qb qc qd qe qf qg qh qi qj qk ql qm",
+    "ra rb rc rd re rf rg rh ri rj rk rl",
+    "sa sb sc sd se sf sg sh si sj sk sl sm sn",
+]
+_seg = st.one_of(
+    st.sampled_from(_BLOCKS),
+    st.lists(
+        st.sampled_from(["u1", "u2", "U3", "u4", "u5", "U6"]),
+        min_size=1,
+        max_size=6,
+    ).map(" ".join),
+)
+_doc = st.lists(_seg, min_size=0, max_size=4).map(" ".join)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    batch_texts=st.lists(_doc, min_size=1, max_size=4),
+    corpus_texts=st.lists(_doc, min_size=1, max_size=4),
+)
+def test_between_property_matches_reference(spark, batch_texts, corpus_texts):
+    batch = [(i, t) for i, t in enumerate(batch_texts)]
+    corpus = [(100 + i, t) for i, t in enumerate(corpus_texts)]
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_kept"],
+            r["dedup_text"],
+        )
+        for r in span_removal_between(bdf, cdf, min_run=8).collect()
+    }
+    assert got == _ref_between(batch, corpus)
