@@ -1888,3 +1888,111 @@ def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(agree).cast("double") / F.count("*"), 6
         ).alias("accuracy"),
     )
+
+
+def _bitext_ivf_oracle(stride: int = 25, nprobe: int = 2, k: int = 4) -> str:
+    """DuckDB twin of bitext_margin_mine(method='ivf'): each direction
+    replays ivf_topk relationally (deterministic centroid sample →
+    rank-1 assignment → nprobe probe join → rounded-cosine top-k, the
+    same construction as workload_llm._ivf_oracle), then the margin /
+    mutual-best algebra of the exact oracle runs over the IVF candidate
+    sets. The centroid stride is ODD so both id-parity halves sample
+    centroids at all."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> x * x))))"
+        )
+
+    def r6(x: str) -> str:
+        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+    def cm(x: str) -> str:
+        return f"CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT)"
+
+    def knn(qrel, qid, qv, crel, cid_, cv, out):
+        # one IVF direction: corpus=crel, queries=qrel → top-k per query
+        return f"""
+    cent_{out} AS (SELECT {cid_} AS cid, {cv} AS cv
+                   FROM {crel} WHERE {cid_} % {stride} = 0),
+    assign_{out} AS (
+      SELECT {cid_} AS nid, {cv} AS nv, cid FROM (
+        SELECT c.{cid_}, c.{cv}, ct.cid,
+               row_number() OVER (PARTITION BY c.{cid_}
+                 ORDER BY {r6(cos(f"c.{cv}", "ct.cv"))} DESC,
+                          ct.cid ASC) AS rn
+        FROM {crel} c, cent_{out} ct) WHERE rn = 1),
+    probes_{out} AS (
+      SELECT qid, qv, cid FROM (
+        SELECT q.{qid} AS qid, q.{qv} AS qv, ct.cid,
+               row_number() OVER (PARTITION BY q.{qid}
+                 ORDER BY {r6(cos(f"q.{qv}", "ct.cv"))} DESC,
+                          ct.cid ASC) AS rn
+        FROM {qrel} q, cent_{out} ct) WHERE rn <= {nprobe}),
+    {out} AS (
+      SELECT qid, nid, cmv FROM (
+        SELECT p.qid, a.nid, {cm(cos("p.qv", "a.nv"))} AS cmv,
+               row_number() OVER (PARTITION BY p.qid
+                 ORDER BY {r6(cos("p.qv", "a.nv"))} DESC,
+                          a.nid ASC) AS rk
+        FROM probes_{out} p JOIN assign_{out} a
+          ON p.cid = a.cid AND a.nid <> p.qid)
+      WHERE rk <= {k})"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id AS src_id, v AS sv FROM e WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS tgt_id, v AS tv FROM e WHERE vec_id % 2 = 1),
+    {knn("s", "src_id", "sv", "t", "tgt_id", "tv", "fwd")},
+    {knn("t", "tgt_id", "tv", "s", "src_id", "sv", "bwd")},
+    sf AS (SELECT qid AS src_id, CAST(sum(cmv) AS BIGINT) AS sum_f
+           FROM fwd GROUP BY 1),
+    sb AS (SELECT qid AS tgt_id, CAST(sum(cmv) AS BIGINT) AS sum_b
+           FROM bwd GROUP BY 1),
+    cand AS (SELECT DISTINCT src_id, tgt_id, cmv FROM (
+               SELECT qid AS src_id, nid AS tgt_id, cmv FROM fwd
+               UNION ALL
+               SELECT nid AS src_id, qid AS tgt_id, cmv FROM bwd)),
+    m AS (SELECT c.src_id, c.tgt_id, c.cmv,
+                 CAST((c.cmv * {2 * k * 1000000}) // (sum_f + sum_b)
+                      AS BIGINT) AS margin_micro
+          FROM cand c JOIN sf USING (src_id) JOIN sb USING (tgt_id)
+          WHERE c.cmv >= 0 AND sum_f + sum_b > 0),
+    r AS (SELECT *,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY margin_micro DESC, tgt_id ASC) AS qf,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY margin_micro DESC, src_id ASC) AS qb
+          FROM m)
+    SELECT src_id, tgt_id, cmv AS cos_micro, margin_micro
+    FROM r WHERE qf = 1 AND qb = 1
+    """
+
+
+@register("bitext_margin_mine_ivf", _bitext_ivf_oracle())
+def q_bitext_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the bitext miner with its own driver receipt:
+    forward+backward kNN through the IVF machinery (deterministic
+    centroid sample, rank-1 inverted-list assignment, nprobe=2 probe
+    join — odd stride 25 so both id-parity halves sample centroids),
+    then the identical margin / mutual-best algebra as
+    ``bitext_margin_mine``. At 100 TB each direction probes lists
+    instead of the full cross product; recall is lost only through
+    probe selectivity, never the margin algebra (exact-equivalence
+    when probing all lists is pinned in tests/test_bitext_mining.py)."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return bitext_margin_mine(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        k=4,
+        method="ivf",
+        centroid_stride=25,
+        nprobe=2,
+    )
