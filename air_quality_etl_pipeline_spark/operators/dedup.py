@@ -1244,8 +1244,14 @@ def span_removal_between(
         id_col,
         token_array(F.col(text_col)).alias("otoks"),
     ).withColumn("toks", F.transform(F.col("otoks"), F.lower))
+    # The semi-join side must be DISTINCT: duplicate gh rows would
+    # multiply flagged (doc, pos) rows and break the pos − row_number
+    # gaps-and-islands (round-11 advisor). corpus_gram_hashes is
+    # distinct by construction; a caller-supplied relation is not
+    # trusted — the extra distinct is a no-op exchange on the bucketed
+    # gram table and corpus-sized only when the caller skipped it.
     cg = (
-        corpus_grams.select("gh")
+        corpus_grams.select("gh").distinct()
         if corpus_grams is not None
         else corpus_gram_hashes(corpus, text_col, id_col, n)
     )

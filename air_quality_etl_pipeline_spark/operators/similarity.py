@@ -88,14 +88,22 @@ def cosine_topk(
     k: int = 5,
     sim_decimals: int = 6,
     dims: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
     Returns ``(query_id, neighbor_id, cosine, rank)``; self-matches are
-    excluded; rank ties broken by neighbor id on the *rounded* cosine so
+    excluded by id when *exclude_self* (the within-relation default);
+    rank ties broken by neighbor id on the *rounded* cosine so
     results are engine-reproducible. Pass *dims* for fixed-width
     embeddings: the dot product unrolls into codegen and norms
     precompute per row (see :func:`_pair_cosine`).
+
+    CROSS-RELATION callers (queries and corpus are different tables
+    with independent id spaces — e.g. bitext mining) must pass
+    ``exclude_self=False``: the id-equality exclusion is meaningless
+    across relations and would silently drop every equal-id cross
+    pair — often exactly the aligned rows (round-11 advisor).
     """
     q = F.broadcast(
         queries.select(
@@ -107,12 +115,11 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("cn", _norm_expr("cv"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
-        )
+    scored = q.crossJoin(c)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
+        "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -212,6 +219,7 @@ def ivf_topk(
     sim_decimals: int = 6,
     dims: int | None = None,
     assign_mode: str = "catalyst",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k — the inverted-file architecture
     (coarse quantizer → probe lists) expressed relationally:
@@ -234,7 +242,9 @@ def ivf_topk(
        the full corpus scan, cutting work by ~``nprobe/num_centroids``.
 
     Ties everywhere break on the rounded cosine + id so the result is
-    engine-reproducible.
+    engine-reproducible. As in :func:`cosine_topk`, *exclude_self*
+    applies the id-equality self-exclusion — cross-relation callers
+    with independent id spaces must pass ``exclude_self=False``.
     """
     c = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
@@ -310,12 +320,11 @@ def ivf_topk(
     )
     # queries × nprobe is tiny — broadcast it so the inverted lists
     # stream through the probe join without shuffling the corpus.
-    scored = (
-        F.broadcast(probes).join(assigned, on="cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
-        )
+    scored = F.broadcast(probes).join(assigned, on="cid")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
+        "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -997,7 +1006,18 @@ def bitext_margin_mine(
     answer (pinned in tests). Both kNN relations are ``persist()``-ed:
     each is referenced twice (neighborhood sums + candidate pairs),
     and under this runtime's no-subtree-reuse behavior an uncached
-    second reference would re-run the whole scoring pass.
+    second reference would re-run the whole scoring pass. Cache
+    lifecycle is CALLER-OWNED (round-11 advisor): the persists live
+    until the session evicts them — a caller that mines repeatedly in
+    one session (e.g. a stress loop) should
+    ``spark.catalog.clearCache()`` (or materialize and unpersist)
+    between builds to bound cache growth.
+
+    *src* and *tgt* may share id values (two independently-numbered
+    embedding tables — the natural bitext shape): the kNN passes run
+    with ``exclude_self=False``, so an equal-id cross pair — often
+    exactly the aligned translation — is fully mineable (round-11
+    advisor; pinned by the overlapping-id test).
     """
     knn = cosine_topk if method == "exact" else ivf_topk
     if method not in ("exact", "ivf"):
@@ -1006,7 +1026,15 @@ def bitext_margin_mine(
         "long"
     )
     fwd = (
-        knn(tgt, src, id_col=id_col, vec_col=vec_col, k=k, **ivf_kwargs)
+        knn(
+            tgt,
+            src,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            exclude_self=False,
+            **ivf_kwargs,
+        )
         .select(
             F.col("query_id").alias("src_id"),
             F.col("neighbor_id").alias("tgt_id"),
@@ -1015,7 +1043,15 @@ def bitext_margin_mine(
         .persist()
     )
     bwd = (
-        knn(src, tgt, id_col=id_col, vec_col=vec_col, k=k, **ivf_kwargs)
+        knn(
+            src,
+            tgt,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            exclude_self=False,
+            **ivf_kwargs,
+        )
         .select(
             F.col("neighbor_id").alias("src_id"),
             F.col("query_id").alias("tgt_id"),

@@ -222,14 +222,19 @@ def scrub_text(text: Column) -> Column:
 #: identifiers ("abc123456789x") never match the ID rule.
 #: IPv6-specific shapes only (round-10 advisor: a bare "≥3 hex-ish
 #: groups" rule scrubbed clock times with seconds ("12:30:45"),
-#: scores/ratios, and hex-word runs ("cafe:face:bead")): either ≥4
-#: colon-separated hex groups, or a ``::``-compressed form with a
-#: non-empty tail ("fe80::1"). A trailing-``::`` address ("2001:db8::")
-#: is NOT matched — ``\b`` cannot assert after ``:`` — an accepted gap
+#: scores/ratios, and hex-word runs ("cafe:face:bead")): either a
+#: ``::``-compressed form with a non-empty tail ("fe80::1",
+#: "fe80:1:2:3::5"), or ≥4 plain colon-separated hex groups. The
+#: compressed alternation comes FIRST (round-11 advisor): both Java
+#: regex and RE2 pick alternatives leftmost-first, so with the plain
+#: branch first a mixed full+compressed address ("fe80:1:2:3::5")
+#: matched only its plain prefix and left an address-tail residue
+#: ("<IP>::5"). A trailing-``::`` address ("2001:db8::") is NOT
+#: matched — ``\b`` cannot assert after ``:`` — an accepted gap
 #: pinned in tests/test_text_similarity_ops.py PII_CASES.
 IPV6_PATTERN = (
-    r"\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){3,7}\b"
-    r"|\b([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5}\b"
+    r"\b([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5}\b"
+    r"|\b[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){3,7}\b"
 )
 IPV4_PATTERN = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
 #: NANP-style with separators (555-123-4567, (555) 123-4567, optional
@@ -537,6 +542,13 @@ def quality_classifier_weights(
     ``n_buckets``-grain count relation in ONE map-side-combined
     aggregation; everything after (totals, lns, the all-buckets
     fill-in) is O(n_buckets) work on a relation that broadcasts.
+
+    Cache lifecycle is CALLER-OWNED (round-11 advisor): the internal
+    ``persist()`` of the ≤ n_buckets-row count relation lives until
+    the session evicts it. Callers that retrain in a loop should
+    materialize the weight table once (persist + count, as the
+    streaming twin does) or ``spark.catalog.clearCache()`` between
+    fits to bound cache growth.
     """
     from air_quality_etl_pipeline_spark.functions.portable_math import (
         ln_int_portable,

@@ -1938,7 +1938,7 @@ def _bitext_ivf_oracle(stride: int = 25, nprobe: int = 2, k: int = 4) -> str:
                  ORDER BY {r6(cos("p.qv", "a.nv"))} DESC,
                           a.nid ASC) AS rk
         FROM probes_{out} p JOIN assign_{out} a
-          ON p.cid = a.cid AND a.nid <> p.qid)
+          ON p.cid = a.cid)
       WHERE rk <= {k})"""
 
     return f"""

@@ -46,6 +46,30 @@ def test_mutual_best_filters_hub(spark):
     assert len(claimed) <= 1
 
 
+def test_overlapping_id_spaces_mine_equal_id_pairs(spark):
+    """src and tgt may be independently numbered (both ids 0..n-1 —
+    the natural bitext shape): the equal-id cross pair, often exactly
+    the aligned translation, must be mineable. Pins the round-11
+    advisory: cosine_topk/ivf_topk's within-relation self-exclusion
+    must NOT fire across relations (bitext passes exclude_self=False),
+    else every (i, i) pair — here the only correct answers — would be
+    silently dropped."""
+    src = _vecs(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    tgt = _vecs(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    got = sorted(
+        tuple(r) for r in bitext_margin_mine(src, tgt, k=1).collect()
+    )
+    assert got == [(0, 0, 1000000, 1000000), (1, 1, 1000000, 1000000)]
+    # the IVF scale path honors the same cross-relation contract
+    ivf = sorted(
+        tuple(r)
+        for r in bitext_margin_mine(
+            src, tgt, k=1, method="ivf", centroid_stride=1, nprobe=2
+        ).collect()
+    )
+    assert ivf == got
+
+
 def test_ivf_path_matches_exact_when_probing_all(spark, sf_dir):
     """method='ivf' with nprobe ≥ the list count degenerates to the
     exact answer — the scale path loses recall only through probe

@@ -49,6 +49,36 @@ def test_whole_clone_of_corpus_doc_cut_entirely(spark):
     assert out[0]["n_kept"] == 0 and out[0]["dedup_text"] == ""
 
 
+def test_duplicate_gram_rows_in_corpus_grams_are_harmless(spark):
+    """A caller-supplied corpus_grams relation with duplicate gh rows
+    (e.g. a raw non-distinct gram dump) must give the same answer as
+    the distinct table: the operator dedups the semi-join side itself
+    (round-11 advisor — duplicated gh rows would otherwise multiply
+    flagged (doc, pos) rows and fragment the gaps-and-islands runs)."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        corpus_gram_hashes,
+    )
+
+    corpus = _docs(spark, [(1, f"corpus holds {SPAN} already")])
+    batch = _docs(spark, [(10, f"new crawl prefix {SPAN} suffix x")])
+    cg = corpus_gram_hashes(corpus)
+    dup_cg = cg.unionByName(cg).unionByName(cg)  # every gh three times
+    want = sorted(
+        tuple(r)
+        for r in span_removal_between(
+            batch, None, corpus_grams=cg, min_run=8
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in span_removal_between(
+            batch, None, corpus_grams=dup_cg, min_run=8
+        ).collect()
+    )
+    assert got == want
+    assert len(want) == 1 and want[0][4] == "new crawl prefix suffix x"
+
+
 def test_batch_boundary_independence(spark, sf_dir):
     """Slicing the batch differently cannot change any document's
     result: processing the two halves of the batch separately against

@@ -854,6 +854,11 @@ PII_CASES = [
     # common false positives the round-10 advisor flagged)
     ("ratio 3:2:1:4 cut", "ratio <IP> cut"),
     ("v6 2001:db8:: trailing", "v6 2001:db8:: trailing"),  # accepted gap
+    # mixed full+compressed form: the ::-branch is FIRST in the
+    # alternation so the whole address matches, not just the plain
+    # prefix (round-11 advisor: plain-branch-first left '<IP>::5')
+    ("link fe80:1:2:3::5 up", "link <IP> up"),
+    ("deep 1:2:3:4:5:6::7 form", "deep <IP> form"),
     ("call 555-123-4567 today", "call <PHONE> today"),
     ("call (555) 123-4567 today", "call <PHONE> today"),
     ("call +1 555.123.4567 today", "call <PHONE> today"),
