@@ -1098,6 +1098,89 @@ def bitext_margin_mine(
     )
 
 
+def doc_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool sentence embeddings to ONE vector per *label_col*
+    (document): engine-exact arithmetic end to end — per-element micro
+    quantization + int64 dimension sums via
+    :func:`label_centroid_micro`, then a single IEEE division
+    ``sum_micro / (n_vectors · 1e6)`` per dimension (exactly-rounded
+    and order-free on both engines, unlike a float64 running mean).
+    Returns ``(label_col, vec_col)`` with the centroid as
+    ``array<double>``, dimensions in order.
+
+    Scale: one shuffle on the label (the grouped-map accumulation),
+    then a label-local pivot of ``dims`` rows back to an array — the
+    output is document-count-sized, never sentence-count-sized.
+    """
+    c = label_centroid_micro(
+        df.select(
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("embedding"),
+        ),
+        "label",
+        "embedding",
+    )
+    val = F.col("sum_micro").cast("double") / (
+        F.col("n_vectors").cast("double") * F.lit(1000000.0)
+    )
+    return (
+        c.withColumn("_val", val)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "_val"))),
+                lambda s: s["_val"],
+            ).alias(vec_col)
+        )
+        .withColumnRenamed("label", label_col)
+    )
+
+
+def bitext_doc_align(
+    src_sents: DataFrame,
+    tgt_sents: DataFrame,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    method: str = "exact",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Parallel-DOCUMENT mining — the other half of the
+    Artetxe-Schwenk bitext pipeline (round-11 verdict #3, the
+    CCAligned/CCMatrix document-level recipe): mean-pool each side's
+    sentence embeddings to per-document centroids
+    (:func:`doc_centroids`) and run the ratio-margin + mutual-best
+    algebra of :func:`bitext_margin_mine` over the DOCUMENT grain.
+    Input: two sentence-embedding relations carrying ``(doc_col,
+    vec_col)``; output: ``(src_id, tgt_id, cos_micro, margin_micro)``
+    — one row per mined document pair.
+
+    The two sides' document id spaces may overlap (independently
+    numbered corpora — the natural shape): the margin miner runs its
+    kNN with ``exclude_self=False``, so equal-id cross pairs are fully
+    mineable. Both centroid relations are ``persist()``-ed — each is
+    referenced by BOTH kNN directions, and under this runtime's
+    no-subtree-reuse behavior an uncached second reference would
+    re-run the grouped-map pooling; cache lifecycle is caller-owned,
+    as in :func:`bitext_margin_mine`.
+
+    Scale: centroid pooling is one label shuffle per side and shrinks
+    the problem from sentences to documents BEFORE any cross-relation
+    scoring; ``method="ivf"`` then probes inverted lists instead of
+    the doc×doc cross product, exactly as in the sentence-grain miner.
+    """
+    s = doc_centroids(src_sents, doc_col, vec_col).persist()
+    t = doc_centroids(tgt_sents, doc_col, vec_col).persist()
+    return bitext_margin_mine(
+        s, t, id_col=doc_col, vec_col=vec_col, k=k, method=method,
+        **ivf_kwargs,
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

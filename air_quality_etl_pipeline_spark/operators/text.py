@@ -616,11 +616,18 @@ def quality_classifier_score(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     salt: str = "qc",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Score documents with a trained :func:`quality_classifier_weights`
     model: ``score = prior + Σ_b count_d(b)·w(b)`` in exact 1e-9
-    integer units. Returns ``(id_col, n_grams, score_micro9, pred)``
-    with ``pred = 1`` iff the score is positive (class-1-like).
+    integer units. Returns ``(id_col, *keep_cols, n_grams,
+    score_micro9, pred)`` with ``pred = 1`` iff the score is positive
+    (class-1-like). *keep_cols* are carried through the aggregation
+    (grouped alongside ``id_col`` — they must be functionally
+    dependent on it), so a pipeline can score and keep its payload
+    columns in ONE corpus pass instead of scoring then self-joining —
+    under this runtime's no-subtree-reuse behavior a join-back would
+    re-execute the whole upstream plan.
 
     Scale: the gram stream aggregates to ``(doc, bucket)`` grain in
     one doc-keyed exchange; the ≤ ``n_buckets + 1``-row weight
@@ -628,9 +635,12 @@ def quality_classifier_score(
     broadcast as a 1-row cross join — the corpus is scanned once and
     the only shuffle is the per-doc aggregation.
     """
+    keep = list(keep_cols or [])
     gb = (
-        hashed_gram_buckets(docs, text_col, id_col, n_buckets, salt)
-        .groupBy(id_col, "bucket")
+        hashed_gram_buckets(
+            docs, text_col, id_col, n_buckets, salt, keep_cols=keep
+        )
+        .groupBy(id_col, *keep, "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     w = F.broadcast(weights.filter(F.col("bucket") >= 0))
@@ -641,7 +651,7 @@ def quality_classifier_score(
     )
     scored = (
         gb.join(w, on="bucket")
-        .groupBy(id_col)
+        .groupBy(id_col, *keep)
         .agg(
             F.sum("cnt").cast("long").alias("n_grams"),
             F.sum(F.col("cnt") * F.col("w_micro9"))
@@ -652,6 +662,7 @@ def quality_classifier_score(
     )
     return scored.select(
         id_col,
+        *keep,
         "n_grams",
         (F.col("_dot") + F.col("_prior")).cast("long").alias("score_micro9"),
         ((F.col("_dot") + F.col("_prior")) > 0)

@@ -398,6 +398,153 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_corpus_curation_e2e_v2() -> None:
+    """Lazy import of the shared classifier-oracle fragments (the
+    same early-trigger pattern workload_sources uses for the span
+    oracle): workload_training loads once, here or at workload.py's
+    own import — registration stays single-shot either way."""
+    from air_quality_etl_pipeline_spark.workload_training import (
+        _QC_B,
+        _QC_BUCKET,
+        _QC_GRAMS,
+        _qc_qln,
+    )
+
+    oracle = f"""
+    WITH scrubbed AS (
+      SELECT doc_id, source, lang,
+             regexp_replace(regexp_replace(text,
+                 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g') AS text
+      FROM documents),
+    lab AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM scrubbed WHERE doc_id % 5 <> 0),
+    lg AS ({_QC_GRAMS.format(rel="lab", keep="y")}),
+    lb AS (SELECT {_QC_BUCKET} AS bucket, y FROM lg),
+    cnt AS (SELECT bucket,
+                   CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1,
+                   CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0
+            FROM lb GROUP BY 1),
+    allb AS (SELECT r.range AS bucket,
+                    coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
+             FROM range(0, {_QC_B}) r
+             LEFT JOIN cnt ON r.range = cnt.bucket),
+    tot AS (SELECT CAST(sum(c1) + {_QC_B} AS BIGINT) AS t1b,
+                   CAST(sum(c0) + {_QC_B} AS BIGINT) AS t0b
+            FROM allb),
+    w AS (SELECT bucket,
+                 {_qc_qln("c1 + 1")} - {_qc_qln("t1b")}
+                 - {_qc_qln("c0 + 1")} + {_qc_qln("t0b")} AS wm
+          FROM allb, tot),
+    pr AS (SELECT {_qc_qln("n1")} - {_qc_qln("n0")} AS pm FROM (
+             SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1,
+                    CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0
+             FROM lab)),
+    tokd AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM scrubbed),
+    gated AS (
+      SELECT doc_id, source, text, toks,
+             0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / nullif(len(toks), 0), 0.0)
+             + 0.3 * coalesce(CAST(len(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to'], lower(x))))
+                   AS DOUBLE) / nullif(len(toks), 0), 0.0) AS q
+      FROM tokd),
+    kept AS (SELECT doc_id, source, text, toks FROM gated WHERE q >= 0.5),
+    kd AS (SELECT doc_id, list_transform(toks, x -> lower(x)) AS toks
+           FROM kept),
+    kg AS ({_QC_GRAMS.format(rel="kd", keep="doc_id")}),
+    kb AS (SELECT doc_id, {_QC_BUCKET} AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM kg GROUP BY 1, 2),
+    ks AS (SELECT doc_id, CAST(sum(cnt * wm) AS BIGINT) AS dot
+           FROM kb JOIN w USING (bucket) GROUP BY 1),
+    cls AS (SELECT doc_id FROM ks, pr WHERE dot + pm > 0),
+    deduped AS (
+      SELECT * FROM (
+        SELECT k.doc_id, k.source, k.toks,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(lower(k.text),
+                                  '[^a-z0-9]', '', 'g'))
+                 ORDER BY k.doc_id) AS rn
+        FROM kept k JOIN cls USING (doc_id)) WHERE rn = 1)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM deduped GROUP BY source
+    """
+
+    @register("corpus_curation_e2e_v2", oracle)
+    def q_corpus_curation_e2e_v2(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The production curation pipeline in CCNet stage order
+        (round-11 verdict #2): scrub URLs/emails -> cheap rule gate
+        (composite quality >= 0.5) -> TRAINED quality classifier
+        (Naive Bayes log-odds over hashed grams, fit on the lang='en'
+        labeled 80% split of the scrubbed corpus, keep pred = 1) ->
+        exact dedup on the normalized-content fingerprint -> per-source
+        document/token budget report. Still ONE fused DAG: the rule
+        gate is a scan-level predicate, the classifier stage carries
+        (source, n_toks, fp) through its scoring aggregation via
+        ``keep_cols`` — one corpus pass, no score-then-self-join (this
+        runtime re-executes referenced subtrees) — and the ≤1025-row
+        weight table is trained once, persisted, and broadcast into
+        the scoring join. The rules-then-classifier ordering matters
+        at 100 TB: the cheap predicate prunes the gram explosion the
+        classifier pays for, so the expensive stage sees only
+        rule-surviving documents."""
+        from air_quality_etl_pipeline_spark.functions.core import (
+            token_array,
+        )
+        from air_quality_etl_pipeline_spark.operators.cleaning import (
+            dedup_first,
+        )
+        from air_quality_etl_pipeline_spark.operators.text import (
+            fingerprint,
+            quality_classifier_score,
+            quality_classifier_weights,
+            quality_score,
+            scrub_text,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        scrubbed = d.select(
+            "doc_id", "source", "lang",
+            scrub_text(F.col("text")).alias("text"),
+        )
+        labeled = scrubbed.filter(F.col("doc_id") % 5 != 0).withColumn(
+            "y", (F.col("lang") == "en").cast("int")
+        )
+        w = quality_classifier_weights(
+            labeled, label_col="y", n_buckets=_QC_B
+        ).persist()
+        gated = scrubbed.filter(quality_score(F.col("text")) >= 0.5)
+        keyed = gated.select(
+            "doc_id",
+            "source",
+            F.size(token_array(F.col("text"))).alias("n_toks"),
+            fingerprint(F.col("text")).alias("fp"),
+            "text",
+        )
+        scored = quality_classifier_score(
+            keyed, w, n_buckets=_QC_B, keep_cols=["source", "n_toks", "fp"]
+        )
+        kept = scored.filter(F.col("pred") == 1).select(
+            "doc_id", "source", "n_toks", "fp"
+        )
+        deduped = dedup_first(kept, ["fp"], order_by=["doc_id"])
+        return deduped.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+
+
+_register_corpus_curation_e2e_v2()
+
+
 @register(
     "sample_weighted",
     f"""

@@ -1653,9 +1653,12 @@ _QC_GRAMS = """
 _QC_BUCKET = "(('0x' || substr(md5('qc:' || gram), 1, 15))::BIGINT % 1024)"
 
 
-@register(
-    "quality_classifier_score",
-    f"""
+#: Shared by the batch query below and its streaming twin
+#: (workload_sources.q_streaming_quality_score): the streaming twin
+#: scores the same corpus micro-batch-by-micro-batch with the same
+#: once-built weight table, so the SAME oracle applies — that equality
+#: is its exactly-once check.
+QC_SCORE_ORACLE = f"""
     WITH lab AS (SELECT doc_id, {_LTOKS} AS toks,
                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
                  FROM documents WHERE doc_id % 5 <> 0),
@@ -1692,8 +1695,10 @@ _QC_BUCKET = "(('0x' || substr(md5('qc:' || gram), 1, 15))::BIGINT % 1024)"
            CAST(dot + pm AS BIGINT) AS score_micro9,
            CAST((dot + pm) > 0 AS BIGINT) AS pred
     FROM s, pr
-    """,
-)
+    """
+
+
+@register("quality_classifier_score", QC_SCORE_ORACLE)
 def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality-classifier scoring — the CCNet/fastText curation
     stage the rule gates and LM-perplexity proxies don't cover (round-10
@@ -1995,4 +2000,88 @@ def q_bitext_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="ivf",
         centroid_stride=25,
         nprobe=2,
+    )
+
+
+#: one side's doc-centroid CTEs: micro-quantize each element, exact
+#: int64 dimension sums, ONE IEEE division per dim — the SQL twin of
+#: operators.similarity.doc_centroids (sentences → 16-id doc groups)
+_DOCCENT = """
+    {raw} AS (SELECT vec_id // 16 AS did, v FROM e WHERE vec_id % 2 = {par}),
+    {dim} AS (SELECT did, u.i AS dim,
+                     CAST(sum(CAST(floor(v[u.i] * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS sm,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM {raw}, unnest(range(1, 65)) AS u(i) GROUP BY 1, 2),
+    {out} AS (SELECT did AS {id}, list(CAST(sm AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1000000.0)
+                       ORDER BY dim) AS {vec}
+              FROM {dim} GROUP BY 1)"""
+
+
+@register(
+    "bitext_doc_align",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_DOCCENT.format(raw="sraw", dim="sdim", out="s", par=0,
+                     id="src_id", vec="sv")},
+    {_DOCCENT.format(raw="traw", dim="tdim", out="t", par=1,
+                     id="tgt_id", vec="tv")},
+    p AS (SELECT src_id, tgt_id, {_BM_CM} AS cm FROM s, t),
+    f AS (SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY cm DESC, tgt_id ASC) AS rf
+          FROM p),
+    b AS (SELECT *, row_number() OVER (
+            PARTITION BY tgt_id ORDER BY cm DESC, src_id ASC) AS rb
+          FROM p),
+    sf AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS sum_f
+           FROM f WHERE rf <= 3 GROUP BY 1),
+    sb AS (SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS sum_b
+           FROM b WHERE rb <= 3 GROUP BY 1),
+    cand AS (SELECT DISTINCT src_id, tgt_id, cm FROM (
+               SELECT src_id, tgt_id, cm FROM f WHERE rf <= 3
+               UNION ALL
+               SELECT src_id, tgt_id, cm FROM b WHERE rb <= 3)),
+    m AS (SELECT c.src_id, c.tgt_id, c.cm,
+                 CAST((c.cm * 6000000) // (sum_f + sum_b) AS BIGINT)
+                   AS margin_micro
+          FROM cand c JOIN sf USING (src_id) JOIN sb USING (tgt_id)
+          WHERE c.cm >= 0 AND sum_f + sum_b > 0),
+    r AS (SELECT *,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY margin_micro DESC, tgt_id ASC) AS qf,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY margin_micro DESC, src_id ASC) AS qb
+          FROM m)
+    SELECT src_id, tgt_id, cm AS cos_micro, margin_micro
+    FROM r WHERE qf = 1 AND qb = 1
+    """,
+)
+def q_bitext_doc_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level cross-lingual alignment (round-11 verdict #3):
+    groups of 16 consecutive ``vec_id``s form a "document" on each
+    parity half, sentences mean-pool to exact doc centroids
+    (:func:`operators.similarity.doc_centroids` — micro-quantized
+    int64 sums, one IEEE division per dim), and the Artetxe-Schwenk
+    ratio-margin + mutual-best algebra runs at the DOC grain with
+    k=3 (:func:`operators.similarity.bitext_doc_align`). The two
+    sides' doc id spaces OVERLAP by construction (both are
+    ``vec_id // 16``) — exercising the id-collision-safe
+    cross-relation kNN in production, not just in tests. Hand-traced
+    fixture in tests/test_bitext_mining.py."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        bitext_doc_align,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return bitext_doc_align(
+        e.filter(F.col("vec_id") % 2 == 0).select(
+            F.expr("vec_id DIV 16").alias("did"), "embedding"
+        ),
+        e.filter(F.col("vec_id") % 2 == 1).select(
+            F.expr("vec_id DIV 16").alias("did"), "embedding"
+        ),
+        doc_col="did",
+        k=3,
     )

@@ -70,6 +70,35 @@ def test_overlapping_id_spaces_mine_equal_id_pairs(spark):
     assert ivf == got
 
 
+def test_doc_align_hand_traced(spark):
+    """Document-grain mining over mean-pooled centroids, hand-traced:
+    src doc 0 pools to [1,0], doc 1 to [0,2]; tgt doc 0 pools to
+    [3,0], doc 1 to [0,5]. k=1 ⇒ each doc's only neighborhood member
+    is its translation, margins collapse to exactly 1e6, both pairs
+    mutual-best — and the doc id spaces overlap (0,1 on both sides),
+    so equal-id pairs must survive the cross-relation kNN."""
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        bitext_doc_align,
+        doc_centroids,
+    )
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [0.0, 1.0]), (1, [0.0, 3.0])],
+        "d long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(0, [2.0, 0.0]), (0, [4.0, 0.0]), (1, [0.0, 5.0])],
+        "d long, embedding array<double>",
+    )
+    cents = {r["d"]: r["embedding"] for r in doc_centroids(src, "d").collect()}
+    assert cents == {0: [1.0, 0.0], 1: [0.0, 2.0]}
+    got = sorted(
+        tuple(r)
+        for r in bitext_doc_align(src, tgt, doc_col="d", k=1).collect()
+    )
+    assert got == [(0, 0, 1000000, 1000000), (1, 1, 1000000, 1000000)]
+
+
 def test_ivf_path_matches_exact_when_probing_all(spark, sf_dir):
     """method='ivf' with nprobe ≥ the list count degenerates to the
     exact answer — the scale path loses recall only through probe

@@ -45,6 +45,34 @@ def test_separates_training_classes(spark):
         assert out[100 + i]["pred"] == 0 and out[100 + i]["score_micro9"] < 0
 
 
+def test_keep_cols_thread_through_scoring(spark):
+    """keep_cols carries payload columns through the scoring
+    aggregation without changing any score: same (n_grams,
+    score_micro9, pred) per doc as the plain call, plus the threaded
+    column — the one-pass shape corpus_curation_e2e_v2 relies on
+    (a score-then-self-join would re-execute the upstream plan under
+    this runtime's no-subtree-reuse behavior)."""
+    d = _corpus(spark).withColumn(
+        "src", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string"))
+    )
+    w = quality_classifier_weights(d, label_col="y", n_buckets=256)
+    plain = {
+        r["doc_id"]: (r["n_grams"], r["score_micro9"], r["pred"])
+        for r in quality_classifier_score(d, w, n_buckets=256).collect()
+    }
+    kept = quality_classifier_score(
+        d, w, n_buckets=256, keep_cols=["src"]
+    ).collect()
+    assert kept and kept[0].__fields__ == [
+        "doc_id", "src", "n_grams", "score_micro9", "pred",
+    ]
+    for r in kept:
+        assert plain[r["doc_id"]] == (
+            r["n_grams"], r["score_micro9"], r["pred"],
+        )
+        assert r["src"] == f"s{r['doc_id'] % 2}"
+
+
 def test_weights_shape_and_prior(spark):
     """One weight row per bucket plus exactly one prior row (bucket
     -1); with balanced classes the prior log-odds is exactly 0."""
