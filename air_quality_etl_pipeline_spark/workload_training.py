@@ -1895,31 +1895,35 @@ def q_quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bitext_ivf_oracle(stride: int = 25, nprobe: int = 2, k: int = 4) -> str:
-    """DuckDB twin of bitext_margin_mine(method='ivf'): each direction
-    replays ivf_topk relationally (deterministic centroid sample →
-    rank-1 assignment → nprobe probe join → rounded-cosine top-k, the
-    same construction as workload_llm._ivf_oracle), then the margin /
-    mutual-best algebra of the exact oracle runs over the IVF candidate
-    sets. The centroid stride is ODD so both id-parity halves sample
-    centroids at all."""
+def _ivf_cos(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) / "
-            f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
-            f"sqrt(list_sum(list_transform({b}, x -> x * x))))"
-        )
 
-    def r6(x: str) -> str:
-        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+def _ivf_r6(x: str) -> str:
+    return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
 
-    def cm(x: str) -> str:
-        return f"CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT)"
 
-    def knn(qrel, qid, qv, crel, cid_, cv, out):
-        # one IVF direction: corpus=crel, queries=qrel → top-k per query
-        return f"""
+def _ivf_cm(x: str) -> str:
+    return f"CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _ivf_knn_ctes(
+    qrel: str, qid: str, qv: str, crel: str, cid_: str, cv: str, out: str,
+    stride: int, nprobe: int, k: int,
+) -> str:
+    """One relational IVF direction (corpus=*crel*, queries=*qrel* →
+    top-*k* per query): deterministic centroid sample → rank-1
+    assignment → nprobe probe join → rounded-cosine top-k — the SQL
+    twin of operators.similarity.ivf_topk (same construction as
+    workload_llm._ivf_oracle), shared by the sentence-grain and
+    doc-grain bitext oracles. No self-exclusion in the probe join:
+    cross-relation kNN, exclude_self=False (round-11 advisor)."""
+    cos, r6, cm = _ivf_cos, _ivf_r6, _ivf_cm
+    return f"""
     cent_{out} AS (SELECT {cid_} AS cid, {cv} AS cv
                    FROM {crel} WHERE {cid_} % {stride} = 0),
     assign_{out} AS (
@@ -1938,13 +1942,26 @@ def _bitext_ivf_oracle(stride: int = 25, nprobe: int = 2, k: int = 4) -> str:
         FROM {qrel} q, cent_{out} ct) WHERE rn <= {nprobe}),
     {out} AS (
       SELECT qid, nid, cmv FROM (
-        SELECT p.qid, a.nid, {cm(cos("p.qv", "a.nv"))} AS cmv,
+        SELECT p.qid, a.nid, {_ivf_cm(_ivf_cos("p.qv", "a.nv"))} AS cmv,
                row_number() OVER (PARTITION BY p.qid
                  ORDER BY {r6(cos("p.qv", "a.nv"))} DESC,
                           a.nid ASC) AS rk
         FROM probes_{out} p JOIN assign_{out} a
           ON p.cid = a.cid)
       WHERE rk <= {k})"""
+
+
+def _bitext_ivf_oracle(stride: int = 25, nprobe: int = 2, k: int = 4) -> str:
+    """DuckDB twin of bitext_margin_mine(method='ivf'): each direction
+    replays ivf_topk relationally (:func:`_ivf_knn_ctes`), then the
+    margin / mutual-best algebra of the exact oracle runs over the IVF
+    candidate sets. The centroid stride is ODD so both id-parity
+    halves sample centroids at all."""
+
+    def knn(qrel, qid, qv, crel, cid_, cv, out):
+        return _ivf_knn_ctes(
+            qrel, qid, qv, crel, cid_, cv, out, stride, nprobe, k
+        )
 
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -2001,6 +2018,81 @@ def q_bitext_margin_mine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=25,
         nprobe=2,
     )
+
+
+def _bitext_doc_ivf_oracle(stride: int = 25, nprobe: int = 2, k: int = 3) -> str:
+    """DuckDB twin of bitext_doc_align(method='ivf'): the doc-centroid
+    CTEs of the exact doc-align oracle feed the shared relational IVF
+    kNN (:func:`_ivf_knn_ctes`), then the margin / mutual-best algebra
+    runs over the IVF candidate sets — the 100 TB shape: centroid
+    pooling shrinks sentences to docs BEFORE scoring, and probing
+    inverted lists replaces the doc×doc cross product."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    {_DOCCENT.format(raw="sraw", dim="sdim", out="s", par=0,
+                     id="src_id", vec="sv")},
+    {_DOCCENT.format(raw="traw", dim="tdim", out="t", par=1,
+                     id="tgt_id", vec="tv")},
+    {_ivf_knn_ctes("s", "src_id", "sv", "t", "tgt_id", "tv", "fwd",
+                   stride, nprobe, k)},
+    {_ivf_knn_ctes("t", "tgt_id", "tv", "s", "src_id", "sv", "bwd",
+                   stride, nprobe, k)},
+    sf AS (SELECT qid AS src_id, CAST(sum(cmv) AS BIGINT) AS sum_f
+           FROM fwd GROUP BY 1),
+    sb AS (SELECT qid AS tgt_id, CAST(sum(cmv) AS BIGINT) AS sum_b
+           FROM bwd GROUP BY 1),
+    cand AS (SELECT DISTINCT src_id, tgt_id, cmv FROM (
+               SELECT qid AS src_id, nid AS tgt_id, cmv FROM fwd
+               UNION ALL
+               SELECT nid AS src_id, qid AS tgt_id, cmv FROM bwd)),
+    m AS (SELECT c.src_id, c.tgt_id, c.cmv,
+                 CAST((c.cmv * {2 * k * 1000000}) // (sum_f + sum_b)
+                      AS BIGINT) AS margin_micro
+          FROM cand c JOIN sf USING (src_id) JOIN sb USING (tgt_id)
+          WHERE c.cmv >= 0 AND sum_f + sum_b > 0),
+    r AS (SELECT *,
+            row_number() OVER (PARTITION BY src_id
+              ORDER BY margin_micro DESC, tgt_id ASC) AS qf,
+            row_number() OVER (PARTITION BY tgt_id
+              ORDER BY margin_micro DESC, src_id ASC) AS qb
+          FROM m)
+    SELECT src_id, tgt_id, cmv AS cos_micro, margin_micro
+    FROM r WHERE qf = 1 AND qb = 1
+    """
+
+
+def _register_bitext_doc_align_ivf() -> None:
+    @register("bitext_doc_align_ivf", _bitext_doc_ivf_oracle())
+    def q_bitext_doc_align_ivf(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The SCALE path of document alignment with its own driver
+        receipt (mirroring ``bitext_margin_mine_ivf`` at the doc
+        grain): sentences mean-pool to exact doc centroids, then each
+        direction's kNN probes inverted lists (odd stride 25 over doc
+        ids, nprobe=2) instead of the doc×doc cross product, and the
+        identical k=3 margin / mutual-best algebra runs over the
+        candidate sets. Recall is lost only through probe selectivity,
+        never the pooling or margin algebra."""
+        from air_quality_etl_pipeline_spark.operators.similarity import (
+            bitext_doc_align,
+        )
+
+        e = _t(spark, sf_dir, "embeddings")
+        return bitext_doc_align(
+            e.filter(F.col("vec_id") % 2 == 0).select(
+                F.expr("vec_id DIV 16").alias("did"), "embedding"
+            ),
+            e.filter(F.col("vec_id") % 2 == 1).select(
+                F.expr("vec_id DIV 16").alias("did"), "embedding"
+            ),
+            doc_col="did",
+            k=3,
+            method="ivf",
+            centroid_stride=25,
+            nprobe=2,
+        )
 
 
 #: one side's doc-centroid CTEs: micro-quantize each element, exact
@@ -2085,3 +2177,7 @@ def q_bitext_doc_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_col="did",
         k=3,
     )
+
+
+# deferred: the oracle interpolates _DOCCENT, defined just above
+_register_bitext_doc_align_ivf()

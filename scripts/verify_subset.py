@@ -3,6 +3,13 @@
 while iterating: ``python scripts/verify_subset.py name1 name2``
 (no names = all).  ``--sf=/root/testdata/sf0.1`` (or env
 ``SPARK_GRAFT_VERIFY_SF``) retargets the scale factor; default sf0.01.
+
+``--since=N`` slices to queries first driver-receipted at round ≥ N
+plus never-receipted ones (i.e. "registered since round N") — the
+round-close mode at 295+ registrations (round-11 verdict #8): run
+changed queries by NAME plus ``--since=<round>`` at sf0.1, and save
+the FULL sweep for registry-affecting changes. Composable with
+explicit names (union).
 """
 
 from __future__ import annotations
@@ -41,13 +48,43 @@ def main() -> int:
     import os
 
     sf = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
+    since = None
     args = []
     for a in sys.argv[1:]:
         if a.startswith("--sf="):
             sf = a[5:]
+        elif a.startswith("--since="):
+            since = int(a[8:])
         else:
             args.append(a)
-    names = args or list(QUERIES)
+    names = args
+    if since is not None:
+        # first-receipt round per query, from the driver's own files —
+        # never-receipted queries (first seen this round) always slice in
+        import glob
+        import json as _json
+        import re
+
+        first_seen: dict[str, int] = {}
+        for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as f:
+                    data = _json.load(f)
+            except (OSError, ValueError):
+                continue
+            for qn in data if isinstance(data, dict) else ():
+                first_seen.setdefault(qn, rnd)
+        sliced = [
+            n for n in QUERIES
+            if first_seen.get(n, 10**9) >= since and n not in names
+        ]
+        print(f"--since={since}: +{len(sliced)} queries")
+        names = names + sliced
+    names = names or list(QUERIES)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")

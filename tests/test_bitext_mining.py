@@ -99,6 +99,40 @@ def test_doc_align_hand_traced(spark):
     assert got == [(0, 0, 1000000, 1000000), (1, 1, 1000000, 1000000)]
 
 
+def test_doc_centroids_match_pure_python_reference(spark):
+    """The pooling arithmetic contract: centroid[dim] ==
+    sum(floor(x*1e6 + 0.5)) / (n * 1e6) computed in exact Python ints
+    — including NEGATIVE components (floor(+0.5) is round-half-up,
+    not half-away-from-zero) and unequal group sizes. Float64 IEEE
+    division of exact ints is exactly rounded, so Spark and the
+    reference agree bit-for-bit."""
+    import math
+
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        doc_centroids,
+    )
+
+    rows = [
+        (0, [0.1, -0.25, 3.0000004]),
+        (0, [0.2, -0.75, 1.0000004]),
+        (0, [-0.3, 0.5, -2.0]),
+        (7, [1.5, -1.5, 0.0000005]),
+    ]
+    want = {}
+    by_label: dict[int, list[list[float]]] = {}
+    for lab, v in rows:
+        by_label.setdefault(lab, []).append(v)
+    for lab, vecs in by_label.items():
+        n = len(vecs)
+        want[lab] = [
+            sum(math.floor(v[d] * 1e6 + 0.5) for v in vecs) / (n * 1e6)
+            for d in range(3)
+        ]
+    df = spark.createDataFrame(rows, "d long, embedding array<double>")
+    got = {r["d"]: r["embedding"] for r in doc_centroids(df, "d").collect()}
+    assert got == want
+
+
 def test_ivf_path_matches_exact_when_probing_all(spark, sf_dir):
     """method='ivf' with nprobe ≥ the list count degenerates to the
     exact answer — the scale path loses recall only through probe
