@@ -1244,19 +1244,20 @@ def span_removal_between(
         id_col,
         token_array(F.col(text_col)).alias("otoks"),
     ).withColumn("toks", F.transform(F.col("otoks"), F.lower))
-    # The semi-join side must be DISTINCT: duplicate gh rows would
-    # multiply flagged (doc, pos) rows and break the pos − row_number
-    # gaps-and-islands (round-11 advisor). corpus_gram_hashes is
-    # distinct by construction; a caller-supplied relation is not
-    # trusted — the extra distinct is a no-op exchange on the bucketed
-    # gram table and corpus-sized only when the caller skipped it.
     cg = (
-        corpus_grams.select("gh").distinct()
+        corpus_grams.select("gh")
         if corpus_grams is not None
         else corpus_gram_hashes(corpus, text_col, id_col, n)
     )
-    flagged = _gram_hashes(t, id_col, n).join(cg, on="gh").select(
-        id_col, "pos"
+    # LEFT SEMI: flagging needs only gh EXISTENCE, and a semi join is
+    # duplicate-immune by construction — a caller-supplied corpus_grams
+    # with duplicate gh rows cannot multiply flagged (doc, pos) rows
+    # and fragment the gaps-and-islands runs (round-11 advisor),
+    # without paying a defensive corpus-sized distinct exchange.
+    flagged = (
+        _gram_hashes(t, id_col, n)
+        .join(cg, on="gh", how="left_semi")
+        .select(id_col, "pos")
     )
     from pyspark.sql import Window as W
 

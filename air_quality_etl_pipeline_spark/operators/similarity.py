@@ -1022,6 +1022,15 @@ def bitext_margin_mine(
     knn = cosine_topk if method == "exact" else ivf_topk
     if method not in ("exact", "ivf"):
         raise ValueError(f"unknown method: {method!r}")
+    if "exclude_self" in ivf_kwargs:
+        # the miner OWNS this decision (cross-relation kNN is always
+        # exclude_self=False here); without this check the duplicate
+        # keyword surfaces as an opaque TypeError from knn(...)
+        raise ValueError(
+            "bitext_margin_mine always runs its kNN with "
+            "exclude_self=False (cross-relation id spaces); do not "
+            "pass exclude_self"
+        )
     cm = F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast(
         "long"
     )
@@ -1115,6 +1124,12 @@ def doc_centroids(
     Scale: one shuffle on the label (the grouped-map accumulation),
     then a label-local pivot of ``dims`` rows back to an array — the
     output is document-count-sized, never sentence-count-sized.
+
+    PRECONDITION: *label_col* must be integer-typed (or losslessly
+    castable to long) — :func:`label_centroid_micro` casts it to long
+    for the engine-portable output schema, so a string doc id would
+    null out and collapse every document into one group. Map string
+    ids to a dense long (e.g. ``md5_long`` or ``dense_id``) first.
     """
     c = label_centroid_micro(
         df.select(
@@ -1172,6 +1187,9 @@ def bitext_doc_align(
     the problem from sentences to documents BEFORE any cross-relation
     scoring; ``method="ivf"`` then probes inverted lists instead of
     the doc×doc cross product, exactly as in the sentence-grain miner.
+
+    PRECONDITION: *doc_col* must be integer-typed on both sides (see
+    :func:`doc_centroids` — the pooling casts it to long).
     """
     s = doc_centroids(src_sents, doc_col, vec_col).persist()
     t = doc_centroids(tgt_sents, doc_col, vec_col).persist()

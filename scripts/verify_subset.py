@@ -84,6 +84,11 @@ def main() -> int:
         ]
         print(f"--since={since}: +{len(sliced)} queries")
         names = names + sliced
+        if not names:
+            # an empty slice must NOT fall through to the full sweep —
+            # that would fire the ~45-min run the flag exists to avoid
+            print("RESULT: ALL MATCH (empty --since slice, nothing to run)")
+            return 0
     names = names or list(QUERIES)
     spark = (
         SparkSession.builder.master("local[8]")
