@@ -121,7 +121,11 @@ def kmv_jaccard(
     token set collapses to its k smallest 60-bit md5 hashes (k rows,
     ONE partial-aggregated pass — bottom-k is a per-group min-heap
     map-side), and every pairwise comparison afterwards touches only
-    sketch-sized relations: J ≈ |{h ∈ bottom-k(A ∪ B)} ∩ A ∩ B| / k.
+    sketch-sized relations: J ≈ |{h ∈ bottom-K(A ∪ B)} ∩ A ∩ B| / K
+    with **K = min(k, |union sketch|)** — when two small sets' merged
+    sketch holds fewer than k hashes, the union sketch IS the exact
+    union and a fixed-k denominator would bias the estimate toward 0
+    (A = B with 10 tokens at k=64 must estimate 1.0, not 10/64).
     The exact-Jaccard columns exist for the contract check and a small
     demo corpus — at scale you'd emit only the estimates.
 
@@ -172,11 +176,15 @@ def kmv_jaccard(
         .agg(
             F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
                 "kmv_matches"
-            )
+            ),
+            # K = min(k, |union sketch|): the kept-row count per pair
+            F.count("*").cast("long").alias("_uk"),
         )
         .withColumn(
-            "kmv_jaccard", F.col("kmv_matches").cast("double") / F.lit(k)
+            "kmv_jaccard",
+            F.col("kmv_matches").cast("double") / F.col("_uk"),
         )
+        .drop("_uk")
     )
     sizes = toks.groupBy("g").agg(F.count("*").cast("long").alias("n"))
     inter = (

@@ -123,7 +123,8 @@ _KMV_TOKS = (
         FROM pairs p JOIN sig s ON s.g = p.b)
       GROUP BY 1, 2, 3),
     est AS (
-      SELECT a, b, CAST(sum(in_a * in_b) AS BIGINT) AS kmv_matches FROM (
+      SELECT a, b, CAST(sum(in_a * in_b) AS BIGINT) AS kmv_matches,
+             CAST(count(*) AS BIGINT) AS uk FROM (
         SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn
         FROM merged) WHERE rn <= 64
       GROUP BY 1, 2),
@@ -132,7 +133,7 @@ _KMV_TOKS = (
       SELECT p.g AS a, q.g AS b, CAST(count(*) AS BIGINT) AS ninter
       FROM toks p JOIN toks q USING (tok) WHERE p.g < q.g GROUP BY 1, 2)
     SELECT p.a AS source_a, p.b AS source_b, e.kmv_matches,
-           CAST(e.kmv_matches AS DOUBLE) / 64 AS kmv_jaccard,
+           CAST(e.kmv_matches AS DOUBLE) / e.uk AS kmv_jaccard,
            CAST(COALESCE(i.ninter, 0) AS DOUBLE)
              / (sa.n + sb.n - COALESCE(i.ninter, 0)) AS exact_jaccard
     FROM pairs p

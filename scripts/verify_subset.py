@@ -97,7 +97,13 @@ def main() -> int:
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # testdata tables are single files; Spark-written ones (the
+        # sf1 stress dirs) are DIRECTORIES of part files — DuckDB
+        # needs the explicit glob for those
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     fails = []
     for name in names:
         fn, oracle = QUERIES[name]
