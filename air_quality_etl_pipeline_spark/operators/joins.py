@@ -49,6 +49,22 @@ def asof_join(
     ``{prefix}{right_ts}`` (the matched row's timestamp).
     """
     keys = list(on)
+    if tiebreak is not None:
+        from pyspark.sql import types as T
+
+        dt = right.schema[tiebreak].dataType
+        if not isinstance(
+            dt,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        ):
+            # the tiebreak is cast to long for the window order — a
+            # string column would cast to NULL and silently make the
+            # equal-ts resolution partition-order-dependent
+            raise ValueError(
+                f"asof_join tiebreak column {tiebreak!r} must be "
+                f"numeric, got {dt.simpleString()}"
+            )
     pay_inner = [F.col(c).alias(c) for c in payload_cols] + [
         F.col(right_ts).alias(right_ts)
     ]

@@ -51,6 +51,11 @@ def moment_sums_micro(
         import pandas as pd
 
         for pdf in batches:
+            if not len(pdf):
+                # empty Arrow batches arrive from empty partitions
+                # (e.g. a filtered/repartitioned input) — np.stack
+                # raises on an empty sequence
+                continue
             m = np.stack(pdf["_v"].to_numpy()).astype("float64")
             q = np.floor(
                 m[:, :, None] * m[:, None, :] * 1e6 + 0.5

@@ -233,6 +233,21 @@ def test_pca_moment_pass_is_exact_across_runs(embeddings):
     assert (g1, s1, n1) == (g2, s2, n2)  # integer sums ⇒ partition-proof
 
 
+def test_pca_moment_pass_survives_empty_partitions(embeddings):
+    """Empty Arrow batches (empty partitions after a filter over a wide
+    repartition) must be skipped, not np.stack'ed (round-12
+    self-review: the one mapInPandas closure without the guard)."""
+    from pyspark.sql import functions as F
+
+    from air_quality_etl_pipeline_spark.operators.pca import (
+        moment_sums_micro,
+    )
+
+    few = embeddings.repartition(16).filter(F.col("vec_id") < 3)
+    g, s, n = moment_sums_micro(few)
+    assert n == 3 and len(s) == 64 and len(g) == 64
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
