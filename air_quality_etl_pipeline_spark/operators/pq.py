@@ -141,9 +141,13 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     topk: int = 5,
     encode_mode: str = "arrow",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: exact query sub-vector → quantized
-    corpus. Returns ``(query_id, neighbor_id, adc_micro, rank)`` where
+    corpus. Cross-relation callers with independent id spaces must
+    pass ``exclude_self=False`` (same contract as
+    ``similarity.cosine_topk``). Returns ``(query_id, neighbor_id,
+    adc_micro, rank)`` where
     ``adc_micro`` is the ADC squared-L2 distance in integer micro-units
     (sum of m per-sub-space distances, each pre-quantized — exact, so
     cross-engine and partition-order independent).
@@ -174,12 +178,12 @@ def pq_adc_topk(
             "dmicro",
         )
     )
-    scored = (
-        codes.join(lut, on=["subspace", "code"])
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dmicro").cast("long").alias("adc_micro"))
-    )
+    scored = codes.join(lut, on=["subspace", "code"])
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("vec_id"))
+    scored = scored.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(F.sum("dmicro").cast("long").alias("adc_micro"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_micro").asc(), F.col("neighbor_id").asc()
     )
@@ -260,6 +264,7 @@ def ivf_pq_topk(
     centroid_stride: int = 128,
     nprobe: int = 2,
     sim_decimals: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the full billion-scale ANN index architecture (Jégou et
     al., TPAMI'11 §V) — coarse quantizer partitions the corpus into
@@ -341,12 +346,12 @@ def ivf_pq_topk(
         )
     )
     cand = codes.join(assign, on="vec_id").join(probes, on="cid")
-    adc = (
-        cand.join(lut, on=["query_id", "subspace", "code"])
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dmicro").cast("long").alias("adc_micro"))
-    )
+    adc = cand.join(lut, on=["query_id", "subspace", "code"])
+    if exclude_self:
+        adc = adc.filter(F.col("query_id") != F.col("vec_id"))
+    adc = adc.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(F.sum("dmicro").cast("long").alias("adc_micro"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_micro").asc(), F.col("neighbor_id").asc()
     )

@@ -155,6 +155,7 @@ def sign_lsh_topk(
     tables: int = 4,
     sim_decimals: int = 6,
     dims: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign LSH: *tables* independent
     hash tables, each bucketing on a different slice of dimensions;
@@ -162,7 +163,8 @@ def sign_lsh_topk(
     tables have poor recall — a true neighbor only has to disagree on
     one of 6 signs to be lost; with L tables the miss probability
     decays as ``(1-p)^L``). Exact cosine ranks the deduplicated
-    candidate set."""
+    candidate set. As in :func:`cosine_topk`, cross-relation callers
+    with independent id spaces must pass ``exclude_self=False``."""
 
     def tabled(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         base = df.select(
@@ -188,13 +190,12 @@ def sign_lsh_topk(
 
     q = tabled(queries, "query_id", "qv")
     c = tabled(corpus, "neighbor_id", "cv")
-    cands = (
-        F.broadcast(q)
-        .join(c, on=["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "qv_n", "neighbor_id", "cv", "cv_n")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    cands = F.broadcast(q).join(c, on=["tbl", "bucket"])
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+    cands = cands.select(
+        "query_id", "qv", "qv_n", "neighbor_id", "cv", "cv_n"
+    ).dropDuplicates(["query_id", "neighbor_id"])
     scored = cands.withColumn(
         "cosine", _pair_cosine("qv", "qv_n", "cv", "cv_n", dims, sim_decimals)
     )
@@ -347,6 +348,7 @@ def ivf_batch_knn_bucketed(
     sim_decimals: int = 6,
     dims: int | None = None,
     num_buckets: int = 8,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batch kNN over a PERSISTED BUCKETED inverted file — the
     amortized-index shape SCALE.md's IVF note names: the ``(vec_id,
@@ -418,13 +420,11 @@ def ivf_batch_knn_bucketed(
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "qv", "qn", "cid")
     )
-    scored = (
-        probes.hint("shuffle_hash")
-        .join(index, on="cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
-        )
+    scored = probes.hint("shuffle_hash").join(index, on="cid")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn(
+        "cosine", _pair_cosine("qv", "qn", "cv", "cn", dims, sim_decimals)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
