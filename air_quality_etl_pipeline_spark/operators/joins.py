@@ -58,9 +58,8 @@ def asof_join(
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
              T.FloatType, T.DoubleType, T.DecimalType),
         ):
-            # the tiebreak is cast to long for the window order — a
-            # string column would cast to NULL and silently make the
-            # equal-ts resolution partition-order-dependent
+            # a string tiebreak would compare lexicographically ("10"
+            # < "9") and silently change the equal-ts resolution
             raise ValueError(
                 f"asof_join tiebreak column {tiebreak!r} must be "
                 f"numeric, got {dt.simpleString()}"
@@ -68,11 +67,16 @@ def asof_join(
     pay_inner = [F.col(c).alias(c) for c in payload_cols] + [
         F.col(right_ts).alias(right_ts)
     ]
+    # the window orders by the NATIVELY-typed tiebreak — casting to
+    # long would truncate fractional tiebreaks (1.2 vs 1.9 → equal)
+    # and re-introduce partition-order-dependent equal-ts resolution
     r = right.select(
         *keys,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tb"),
+        (
+            F.col(tiebreak) if tiebreak else F.lit(0).cast("long")
+        ).alias("_tb"),
         F.struct(*pay_inner).alias("_pay"),
     )
     left_row = F.struct(*[F.col(c) for c in left.columns]).alias("_row")
@@ -80,7 +84,9 @@ def asof_join(
         *keys,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit(0).cast("long").alias("_tb"),
+        # left rows never compete on _tb (_side separates them at
+        # equal ts); a typed NULL just satisfies the union schema
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
         F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
         left_row,
     )

@@ -11,9 +11,10 @@
   (quadratic by design — documented brute path); the IVF-composed
   scale variant is timed as a custom callable alongside it, the same
   split the sentence-grain miner receipts used in r11.
-* ``span_removal_between`` — gained a defensive ``.distinct()`` on the
-  caller-supplied gram relation this round; receipt it stays within
-  noise of the r11 rows (sf1 1.93x then).
+* ``span_removal_between`` — the flagging join switched to a
+  duplicate-immune LEFT SEMI join this round (no defensive
+  corpus-sized distinct exchange); receipt it stays within noise of
+  the r11 rows (sf1 1.93x then).
 * ``text_scrub_pii`` — the IPv6 alternation was reordered (compressed
   branch first); receipt the regex-chain cost is unchanged.
 * ``bitext_margin_mine_ivf`` (custom callable, same params as r11) —

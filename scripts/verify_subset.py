@@ -77,7 +77,10 @@ def main() -> int:
             except (OSError, ValueError):
                 continue
             for qn in data if isinstance(data, dict) else ():
-                first_seen.setdefault(qn, rnd)
+                # minimum round, NOT setdefault: the glob sorts
+                # lexicographically (r10..r12 before r2..r9), so
+                # setdefault would record a later round as "first"
+                first_seen[qn] = min(first_seen.get(qn, rnd), rnd)
         sliced = [
             n for n in QUERIES
             if first_seen.get(n, 10**9) >= since and n not in names

@@ -5,6 +5,7 @@ nested-loop plan a raw range predicate gets)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from air_quality_etl_pipeline_spark.operators.joins import (
@@ -39,6 +40,30 @@ def test_asof_backward_match_and_ties(spark):
     assert got["c"] == (None, None, None)  # right row is in the future
     assert got["d"] == (None, None, None)  # no right rows for key
     assert out.count() == left.count()  # left-preserving
+
+
+def test_asof_fractional_tiebreak_not_truncated(spark):
+    # r12 advisor: a long-cast of the tiebreak would truncate 1.2 and
+    # 1.9 to equal longs, making the equal-ts winner partition-order-
+    # dependent; the window must order by the NATIVE double
+    left = spark.createDataFrame([(1, 100)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 100, 1.9, "lo"), (1, 100, 1.2, "hi-id-lo-tb")],
+        "k long, rt long, tb double, tag string",
+    )
+    out = asof_join(
+        left, right, ["k"], "lt", "rt", ["tag"], tiebreak="tb"
+    )
+    assert out.first().asof_tag == "lo"  # 1.9 > 1.2 after NO truncation
+
+
+def test_asof_rejects_string_tiebreak(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 100, "9")], "k long, rt long, tb string"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        asof_join(left, right, ["k"], "lt", "rt", [], tiebreak="tb")
 
 
 def test_asof_equal_ts_is_inclusive(spark):
