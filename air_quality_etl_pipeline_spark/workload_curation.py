@@ -399,15 +399,15 @@ def q_corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_corpus_curation_e2e_v2() -> None:
-    """Lazy import of the shared classifier-oracle fragments (the
-    same early-trigger pattern workload_sources uses for the span
-    oracle): workload_training loads once, here or at workload.py's
-    own import — registration stays single-shot either way."""
-    from air_quality_etl_pipeline_spark.workload_training import (
-        _QC_B,
-        _QC_BUCKET,
-        _QC_GRAMS,
-        _qc_qln,
+    """Classifier-oracle fragments come from the LEAF module
+    oracle_fragments (r13): importing them from workload_training
+    here was a circular-import landmine — this module loads before
+    workload_training under workload.py's import order."""
+    from air_quality_etl_pipeline_spark.oracle_fragments import (
+        QC_B as _QC_B,
+        QC_BUCKET as _QC_BUCKET,
+        QC_GRAMS as _QC_GRAMS,
+        qc_qln as _qc_qln,
     )
 
     oracle = f"""
@@ -615,6 +615,174 @@ def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 50 != 0)
     ev = d.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(train, ev, "doc_id", "text", n=3, min_hits=5)
+
+
+def _register_corpus_curation_e2e_v3() -> None:
+    """v3 = v2 + the decontamination stage between dedup and budget
+    (round-12 verdict #8) — the full production chain: scrub → rule
+    gate → trained classifier → exact dedup → eval-set decontamination
+    → budget, still ONE fused DAG."""
+    from air_quality_etl_pipeline_spark.oracle_fragments import (
+        QC_B as _QC_B,
+        QC_BUCKET as _QC_BUCKET,
+        QC_GRAMS as _QC_GRAMS,
+        qc_qln as _qc_qln,
+    )
+
+    g60 = "('0x' || substr(md5(raw), 1, 15))::BIGINT"
+    oracle = f"""
+    WITH scrubbed AS (
+      SELECT doc_id, source, lang,
+             regexp_replace(regexp_replace(text,
+                 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g') AS text
+      FROM documents),
+    corp AS (SELECT * FROM scrubbed WHERE doc_id % 50 <> 0),
+    lab AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM corp WHERE doc_id % 5 <> 0),
+    lg AS ({_QC_GRAMS.format(rel="lab", keep="y")}),
+    lb AS (SELECT {_QC_BUCKET} AS bucket, y FROM lg),
+    cnt AS (SELECT bucket,
+                   CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1,
+                   CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0
+            FROM lb GROUP BY 1),
+    allb AS (SELECT r.range AS bucket,
+                    coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
+             FROM range(0, {_QC_B}) r
+             LEFT JOIN cnt ON r.range = cnt.bucket),
+    tot AS (SELECT CAST(sum(c1) + {_QC_B} AS BIGINT) AS t1b,
+                   CAST(sum(c0) + {_QC_B} AS BIGINT) AS t0b
+            FROM allb),
+    w AS (SELECT bucket,
+                 {_qc_qln("c1 + 1")} - {_qc_qln("t1b")}
+                 - {_qc_qln("c0 + 1")} + {_qc_qln("t0b")} AS wm
+          FROM allb, tot),
+    pr AS (SELECT {_qc_qln("n1")} - {_qc_qln("n0")} AS pm FROM (
+             SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1,
+                    CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0
+             FROM lab)),
+    tokd AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM corp),
+    gated AS (
+      SELECT doc_id, source, text, toks,
+             0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * coalesce(CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / nullif(len(toks), 0), 0.0)
+             + 0.3 * coalesce(CAST(len(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to'], lower(x))))
+                   AS DOUBLE) / nullif(len(toks), 0), 0.0) AS q
+      FROM tokd),
+    kept AS (SELECT doc_id, source, text, toks FROM gated WHERE q >= 0.5),
+    kd AS (SELECT doc_id, list_transform(toks, x -> lower(x)) AS toks
+           FROM kept),
+    kg AS ({_QC_GRAMS.format(rel="kd", keep="doc_id")}),
+    kb AS (SELECT doc_id, {_QC_BUCKET} AS bucket,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM kg GROUP BY 1, 2),
+    ks AS (SELECT doc_id, CAST(sum(cnt * wm) AS BIGINT) AS dot
+           FROM kb JOIN w USING (bucket) GROUP BY 1),
+    cls AS (SELECT doc_id FROM ks, pr WHERE dot + pm > 0),
+    deduped AS (
+      SELECT * FROM (
+        SELECT k.doc_id, k.source, k.toks,
+               row_number() OVER (
+                 PARTITION BY md5(regexp_replace(lower(k.text),
+                                  '[^a-z0-9]', '', 'g'))
+                 ORDER BY k.doc_id) AS rn
+        FROM kept k JOIN cls USING (doc_id)) WHERE rn = 1),
+    craw AS (SELECT doc_id, unnest({_GRAMS3}) AS raw FROM tokd),
+    cg AS (SELECT doc_id, {g60} AS g FROM craw),
+    evt AS (SELECT {_TOKS} AS toks FROM scrubbed WHERE doc_id % 50 = 0),
+    evraw AS (SELECT unnest({_GRAMS3}) AS raw FROM evt),
+    ev AS (SELECT DISTINCT {g60} AS g FROM evraw),
+    contam AS (SELECT doc_id FROM cg JOIN ev USING (g)
+               GROUP BY doc_id HAVING count(DISTINCT g) >= 5),
+    clean AS (SELECT * FROM deduped
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY source
+    """
+
+    @register("corpus_curation_e2e_v3", oracle)
+    def q_corpus_curation_e2e_v3(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The FULL production curation chain (r13, verdict #8): scrub
+        URLs/emails → cheap rule gate → trained NB quality classifier
+        (fit on the 80% labeled split of the train corpus) → exact
+        fingerprint dedup → eval-set DECONTAMINATION (GPT-3 §2.2:
+        drop survivors sharing ≥5 distinct word-3-grams with the
+        held-out eval split, every 50th document) → per-source budget.
+        Still one fused DAG: the eval side reduces to a broadcast
+        60-bit gram-hash set, the train side's gram stream joins it
+        map-side and aggregates to a doc-id-grain contaminated set,
+        and the exclusion is a LEFT ANTI join at the dedup-survivor
+        grain — no text ever shuffles for decontamination, so the
+        stage adds one corpus text re-scan and doc-id-sized exchanges
+        only. Decontamination runs AFTER dedup on purpose: a dropped
+        survivor is NOT replaced by a duplicate sibling (the
+        contaminated content itself is what must leave the corpus)."""
+        from air_quality_etl_pipeline_spark.functions.core import (
+            token_array,
+        )
+        from air_quality_etl_pipeline_spark.operators.cleaning import (
+            dedup_first,
+        )
+        from air_quality_etl_pipeline_spark.operators.packing import (
+            decontaminate,
+        )
+        from air_quality_etl_pipeline_spark.operators.text import (
+            fingerprint,
+            quality_classifier_score,
+            quality_classifier_weights,
+            quality_score,
+            scrub_text,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        scrubbed = d.select(
+            "doc_id", "source", "lang",
+            scrub_text(F.col("text")).alias("text"),
+        )
+        corp = scrubbed.filter(F.col("doc_id") % 50 != 0)
+        labeled = corp.filter(F.col("doc_id") % 5 != 0).withColumn(
+            "y", (F.col("lang") == "en").cast("int")
+        )
+        w = quality_classifier_weights(
+            labeled, label_col="y", n_buckets=_QC_B
+        ).persist()
+        gated = corp.filter(quality_score(F.col("text")) >= 0.5)
+        keyed = gated.select(
+            "doc_id",
+            "source",
+            F.size(token_array(F.col("text"))).alias("n_toks"),
+            fingerprint(F.col("text")).alias("fp"),
+            "text",
+        )
+        scored = quality_classifier_score(
+            keyed, w, n_buckets=_QC_B, keep_cols=["source", "n_toks", "fp"]
+        )
+        kept = scored.filter(F.col("pred") == 1).select(
+            "doc_id", "source", "n_toks", "fp"
+        )
+        deduped = dedup_first(kept, ["fp"], order_by=["doc_id"])
+        ev = scrubbed.filter(F.col("doc_id") % 50 == 0)
+        contam = (
+            decontaminate(corp, ev, "doc_id", "text", n=3, min_hits=5)
+            .filter(F.col("contaminated") == 1)
+            .select("doc_id")
+        )
+        clean = deduped.join(contam, on="doc_id", how="left_anti")
+        return clean.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+
+
+_register_corpus_curation_e2e_v3()
 
 
 @register(

@@ -1040,11 +1040,15 @@ _register_streaming_span_removal()
 
 
 def _register_streaming_quality_score() -> None:
-    """Lazy import of the shared oracle, same pattern as the span
-    streaming twin above."""
-    from air_quality_etl_pipeline_spark.workload_training import (
-        _QC_B,
+    """Shared oracle from the LEAF fragments module (r13) — importing
+    it from workload_training here was a circular-import landmine
+    (this module loads before workload_training under workload.py's
+    import order)."""
+    from air_quality_etl_pipeline_spark.oracle_fragments import (
         QC_SCORE_ORACLE,
+    )
+    from air_quality_etl_pipeline_spark.oracle_fragments import (
+        QC_B as _QC_B,
     )
 
     @register("streaming_quality_score", QC_SCORE_ORACLE)

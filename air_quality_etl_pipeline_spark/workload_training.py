@@ -1629,73 +1629,25 @@ def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Trained quality classifier (CCNet/fastText curation stage — round 11)
 # ---------------------------------------------------------------------------
+# The shared SQL fragments live in the LEAF module oracle_fragments
+# (r13): workload_sources/workload_curation import them during THEIR
+# module init, which runs before this module under workload.py's
+# import order — keeping them here made `import workload_training`
+# circular. The historical names stay as aliases.
 
-from air_quality_etl_pipeline_spark.functions.portable_math import (  # noqa: E402
-    sql_ln_int,
+from air_quality_etl_pipeline_spark.oracle_fragments import (  # noqa: E402
+    QC_SCORE_ORACLE,  # noqa: F401  (re-exported for the streaming twin)
 )
-
-_QC_B = 1024  # feature buckets (hashing trick)
-
-
-def _qc_qln(expr: str) -> str:
-    """micro9-quantized bit-portable ln of a positive int64 SQL expr."""
-    return sql_quantize_micro9(sql_ln_int(expr))
-
-
-#: unigram ∪ bigram gram stream over a relation `{rel}` that carries
-#: (``{keep}``, toks) — the SQL twin of operators.text.hashed_gram_buckets
-_QC_GRAMS = """
-      SELECT {keep}, u.tok AS gram FROM {rel}, unnest(toks) AS u(tok)
-      UNION ALL
-      SELECT {keep}, toks[u.i] || ' ' || toks[u.i + 1] AS gram
-      FROM {rel}, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)"""
-
-_QC_BUCKET = "(('0x' || substr(md5('qc:' || gram), 1, 15))::BIGINT % 1024)"
-
-
-#: Shared by the batch query below and its streaming twin
-#: (workload_sources.q_streaming_quality_score): the streaming twin
-#: scores the same corpus micro-batch-by-micro-batch with the same
-#: once-built weight table, so the SAME oracle applies — that equality
-#: is its exactly-once check.
-QC_SCORE_ORACLE = f"""
-    WITH lab AS (SELECT doc_id, {_LTOKS} AS toks,
-                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-                 FROM documents WHERE doc_id % 5 <> 0),
-    lg AS ({_QC_GRAMS.format(rel="lab", keep="y")}),
-    lb AS (SELECT {_QC_BUCKET} AS bucket, y FROM lg),
-    cnt AS (SELECT bucket,
-                   CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1,
-                   CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0
-            FROM lb GROUP BY 1),
-    allb AS (SELECT r.range AS bucket,
-                    coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
-             FROM range(0, {_QC_B}) r
-             LEFT JOIN cnt ON r.range = cnt.bucket),
-    tot AS (SELECT CAST(sum(c1) + {_QC_B} AS BIGINT) AS t1b,
-                   CAST(sum(c0) + {_QC_B} AS BIGINT) AS t0b
-            FROM allb),
-    w AS (SELECT bucket,
-                 {_qc_qln("c1 + 1")} - {_qc_qln("t1b")}
-                 - {_qc_qln("c0 + 1")} + {_qc_qln("t0b")} AS wm
-          FROM allb, tot),
-    pr AS (SELECT {_qc_qln("n1")} - {_qc_qln("n0")} AS pm FROM (
-             SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1,
-                    CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0
-             FROM lab)),
-    d AS (SELECT doc_id, {_LTOKS} AS toks FROM documents),
-    dg AS ({_QC_GRAMS.format(rel="d", keep="doc_id")}),
-    db AS (SELECT doc_id, {_QC_BUCKET} AS bucket,
-                  CAST(count(*) AS BIGINT) AS cnt
-           FROM dg GROUP BY 1, 2),
-    s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-                 CAST(sum(cnt * wm) AS BIGINT) AS dot
-          FROM db JOIN w USING (bucket) GROUP BY 1)
-    SELECT doc_id, n_grams,
-           CAST(dot + pm AS BIGINT) AS score_micro9,
-           CAST((dot + pm) > 0 AS BIGINT) AS pred
-    FROM s, pr
-    """
+from air_quality_etl_pipeline_spark.oracle_fragments import QC_B as _QC_B  # noqa: E402
+from air_quality_etl_pipeline_spark.oracle_fragments import (  # noqa: E402
+    QC_BUCKET as _QC_BUCKET,  # noqa: F401
+)
+from air_quality_etl_pipeline_spark.oracle_fragments import (  # noqa: E402
+    QC_GRAMS as _QC_GRAMS,
+)
+from air_quality_etl_pipeline_spark.oracle_fragments import (  # noqa: E402
+    qc_qln as _qc_qln,
+)
 
 
 @register("quality_classifier_score", QC_SCORE_ORACLE)

@@ -738,3 +738,17 @@ def test_build_job_audit_still_detects(spark):
     spark.range(10).collect()  # a real job inside the group
     sc.setJobGroup("plan-audit-canary-idle", "idle")
     assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1
+
+
+def test_curation_v3_decontam_stage_plan_shape(spark):
+    # r12 verdict #8: the decontamination stage composed into the
+    # curation DAG must appear as (a) a broadcast join of the eval
+    # gram-hash set against the corpus gram stream and (b) a LEFT ANTI
+    # exclusion at the dedup-survivor grain — with no Python eval and
+    # no cartesian product anywhere in the fused plan
+    df, _ = QUERIES["corpus_curation_e2e_v3"]
+    plan = _plan_of(df(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"LeftAnti", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
