@@ -261,7 +261,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     topk: int = 5,
-    centroid_stride: int = 128,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
     sim_decimals: int = 6,
     exclude_self: bool = True,
@@ -291,8 +291,11 @@ def ivf_pq_topk(
     from air_quality_etl_pipeline_spark.operators.similarity import (
         _norm_expr,
         _pair_cosine,
+        _resolve_stride,
     )
 
+    # None → √N-balanced coarse quantizer (see similarity.balanced_stride)
+    centroid_stride = _resolve_stride(centroid_stride, corpus)
     c = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", _norm_expr("_v"))

@@ -37,6 +37,30 @@ from air_quality_etl_pipeline_spark.functions.core import (
     round_portable,
     safe_div,
 )
+from air_quality_etl_pipeline_spark.operators.cache import register_persist
+
+
+def balanced_stride(n: int) -> int:
+    """√N-balanced coarse-quantizer stride (SCALE.md r12): with a
+    FIXED stride, nlist = N/stride grows ∝ N and rank-1 assignment
+    (corpus × centroids) costs N²/stride — the measured 8.57× cold
+    blow-up for ×10 data. stride = ⌊√N⌋ keeps nlist ≈ √N so
+    assignment is N^1.5 — the classic IVF sizing rule (Jégou et al.,
+    TPAMI'11 pick nlist ∝ √N). ``math.isqrt`` is exact-integer floor,
+    matching SQL ``floor(sqrt(n))`` for every realistic corpus count
+    (agreement pinned in tests against DuckDB)."""
+    import math
+
+    return max(1, math.isqrt(max(0, n)))
+
+
+def _resolve_stride(stride: int | None, corpus: DataFrame) -> int:
+    """``centroid_stride=None`` → deterministic √N auto-sizing from a
+    corpus ``count()`` (one cheap metadata-driven job, amortized over
+    the whole index build). Explicit strides pass through untouched —
+    oracle-twinned registry queries pin theirs so the SQL twin can
+    embed the same literal."""
+    return balanced_stride(corpus.count()) if stride is None else stride
 
 
 def _as_double(c: Column) -> Column:
@@ -215,7 +239,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    centroid_stride: int = 128,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
     sim_decimals: int = 6,
     dims: int | None = None,
@@ -227,7 +251,11 @@ def ivf_topk(
 
     1. *Centroids*: a deterministic sample of the corpus (every
        ``centroid_stride``-th id; a k-means pass would slot in here —
-       determinism is what the oracle needs).
+       determinism is what the oracle needs). The DEFAULT
+       (``centroid_stride=None``) auto-sizes to ⌊√N⌋ from a corpus
+       count (:func:`balanced_stride`) so assignment work is N^1.5 —
+       a fixed stride makes nlist ∝ N and assignment N²/stride, the
+       r12-measured scale-killer.
     2. *Assignment*: every corpus vector joins its nearest centroid
        (broadcast centroids ⨯ corpus, rank-1 by cosine) — this is the
        inverted list: at scale you'd repartition + persist it keyed by
@@ -247,6 +275,7 @@ def ivf_topk(
     applies the id-equality self-exclusion — cross-relation callers
     with independent id spaces must pass ``exclude_self=False``.
     """
+    centroid_stride = _resolve_stride(centroid_stride, corpus)
     c = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", _norm_expr("_v"))
@@ -343,7 +372,7 @@ def ivf_batch_knn_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    centroid_stride: int = 128,
+    centroid_stride: int | None = None,
     nprobe: int = 2,
     sim_decimals: int = 6,
     dims: int | None = None,
@@ -371,6 +400,7 @@ def ivf_batch_knn_bucketed(
     )
 
     spark = corpus.sparkSession
+    centroid_stride = _resolve_stride(centroid_stride, corpus)
     c = corpus.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", _norm_expr("_v"))
@@ -506,7 +536,7 @@ def kmeans_update_step(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_stride: int = 128,
+    centroid_stride: int | None = None,
     dist_decimals: int = 6,
     centroids: DataFrame | None = None,
     assign_mode: str = "catalyst",
@@ -532,10 +562,15 @@ def kmeans_update_step(
     argmin, one (k·dims)-sized aggregation — the textbook scalable
     k-means loop (distances rounded to *dist_decimals* so the argmin is
     engine-portable).
+
+    ``centroid_stride=None`` (with no explicit *centroids*) auto-sizes
+    the seed set to k ≈ √N (:func:`balanced_stride`).
     """
     v = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
+    if centroids is None:
+        centroid_stride = _resolve_stride(centroid_stride, df)
     cents = F.broadcast(
         centroids
         if centroids is not None
@@ -792,7 +827,7 @@ def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_stride: int = 128,
+    centroid_stride: int | None = None,
     iterations: int = 3,
     dist_decimals: int = 6,
     init: str = "stride",
@@ -813,8 +848,12 @@ def kmeans_fit(
     arbitrary); ``init="parallel"`` seeds with
     :func:`kmeans_parallel_init` (k-means‖), which costs *rounds* extra
     passes but starts from well-spread, density-weighted centers.
+    ``centroid_stride=None`` auto-sizes to ⌊√N⌋ (k ≈ √N clusters —
+    see :func:`balanced_stride`; a fixed stride makes every Lloyd
+    pass N²/stride).
     """
     spark = df.sparkSession
+    centroid_stride = _resolve_stride(centroid_stride, df)
     v = df.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
@@ -939,6 +978,21 @@ def label_centroid_micro(
     The closure is self-contained (imports inside, no module refs):
     workers never import this package.
     """
+    from pyspark.sql import types as T
+
+    dt = df.schema[label_col].dataType
+    if not isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # the label is cast to long for the engine-portable output
+        # schema — a string label would cast to NULL and collapse
+        # every document into one group, failing deep inside the
+        # pandas closure (r12 verdict: mirror asof_join's guard)
+        raise ValueError(
+            f"label_centroid_micro label column {label_col!r} must be "
+            f"integer-typed, got {dt.simpleString()}; map string ids "
+            "to a dense long (md5_long / dense_id) first"
+        )
     out_schema = (
         "label long, dim long, sum_micro long, n_vectors long"
     )
@@ -973,6 +1027,7 @@ def bitext_margin_mine(
     vec_col: str = "embedding",
     k: int = 4,
     method: str = "exact",
+    cache_registry: list | None = None,
     **ivf_kwargs,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, ACL'19): mine
@@ -1007,11 +1062,11 @@ def bitext_margin_mine(
     each is referenced twice (neighborhood sums + candidate pairs),
     and under this runtime's no-subtree-reuse behavior an uncached
     second reference would re-run the whole scoring pass. Cache
-    lifecycle is CALLER-OWNED (round-11 advisor): the persists live
-    until the session evicts them — a caller that mines repeatedly in
-    one session (e.g. a stress loop) should
-    ``spark.catalog.clearCache()`` (or materialize and unpersist)
-    between builds to bound cache growth.
+    lifecycle is CALLER-OWNED (round-11 advisor): pass
+    ``cache_registry`` (see :func:`~.cache.owned_caches`) to receive
+    the persisted handles and unpersist them when done — loop callers
+    (stress sweeps) stay bounded that way; without it the persists
+    live until the session evicts them.
 
     *src* and *tgt* may share id values (two independently-numbered
     embedding tables — the natural bitext shape): the kNN passes run
@@ -1049,8 +1104,8 @@ def bitext_margin_mine(
             F.col("neighbor_id").alias("tgt_id"),
             cm.alias("cm"),
         )
-        .persist()
     )
+    fwd = register_persist(fwd, cache_registry)
     bwd = (
         knn(
             src,
@@ -1066,8 +1121,8 @@ def bitext_margin_mine(
             F.col("query_id").alias("tgt_id"),
             cm.alias("cm"),
         )
-        .persist()
     )
+    bwd = register_persist(bwd, cache_registry)
     sum_f = fwd.groupBy("src_id").agg(
         F.sum("cm").cast("long").alias("sum_f")
     )
@@ -1125,11 +1180,12 @@ def doc_centroids(
     then a label-local pivot of ``dims`` rows back to an array — the
     output is document-count-sized, never sentence-count-sized.
 
-    PRECONDITION: *label_col* must be integer-typed (or losslessly
-    castable to long) — :func:`label_centroid_micro` casts it to long
-    for the engine-portable output schema, so a string doc id would
-    null out and collapse every document into one group. Map string
-    ids to a dense long (e.g. ``md5_long`` or ``dense_id``) first.
+    PRECONDITION (enforced — :func:`label_centroid_micro` raises a
+    ValueError otherwise): *label_col* must be integer-typed — the
+    pooling casts it to long for the engine-portable output schema, so
+    a string doc id would null out and collapse every document into
+    one group. Map string ids to a dense long (e.g. ``md5_long`` or
+    ``dense_id``) first.
     """
     c = label_centroid_micro(
         df.select(
@@ -1162,6 +1218,7 @@ def bitext_doc_align(
     vec_col: str = "embedding",
     k: int = 3,
     method: str = "exact",
+    cache_registry: list | None = None,
     **ivf_kwargs,
 ) -> DataFrame:
     """Parallel-DOCUMENT mining — the other half of the
@@ -1180,7 +1237,8 @@ def bitext_doc_align(
     mineable. Both centroid relations are ``persist()``-ed — each is
     referenced by BOTH kNN directions, and under this runtime's
     no-subtree-reuse behavior an uncached second reference would
-    re-run the grouped-map pooling; cache lifecycle is caller-owned,
+    re-run the grouped-map pooling; cache lifecycle is caller-owned —
+    pass ``cache_registry`` (:func:`~.cache.owned_caches`) to bound it,
     as in :func:`bitext_margin_mine`.
 
     Scale: centroid pooling is one label shuffle per side and shrinks
@@ -1188,14 +1246,19 @@ def bitext_doc_align(
     scoring; ``method="ivf"`` then probes inverted lists instead of
     the doc×doc cross product, exactly as in the sentence-grain miner.
 
-    PRECONDITION: *doc_col* must be integer-typed on both sides (see
-    :func:`doc_centroids` — the pooling casts it to long).
+    PRECONDITION (enforced on both sides with a clear ValueError):
+    *doc_col* must be integer-typed (see :func:`doc_centroids` — the
+    pooling casts it to long).
     """
-    s = doc_centroids(src_sents, doc_col, vec_col).persist()
-    t = doc_centroids(tgt_sents, doc_col, vec_col).persist()
+    s = register_persist(
+        doc_centroids(src_sents, doc_col, vec_col), cache_registry
+    )
+    t = register_persist(
+        doc_centroids(tgt_sents, doc_col, vec_col), cache_registry
+    )
     return bitext_margin_mine(
         s, t, id_col=doc_col, vec_col=vec_col, k=k, method=method,
-        **ivf_kwargs,
+        cache_registry=cache_registry, **ivf_kwargs,
     )
 
 

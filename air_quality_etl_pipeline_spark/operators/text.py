@@ -515,6 +515,7 @@ def quality_classifier_weights(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     salt: str = "qc",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Train a linear text-quality classifier (the CCNet/fastText
     curation stage) on a labeled split: multinomial Naive Bayes
@@ -545,10 +546,10 @@ def quality_classifier_weights(
 
     Cache lifecycle is CALLER-OWNED (round-11 advisor): the internal
     ``persist()`` of the ≤ n_buckets-row count relation lives until
-    the session evicts it. Callers that retrain in a loop should
-    materialize the weight table once (persist + count, as the
-    streaming twin does) or ``spark.catalog.clearCache()`` between
-    fits to bound cache growth.
+    the session evicts it — pass ``cache_registry``
+    (:func:`~.cache.owned_caches`) to receive the handle and bound a
+    retraining loop, or materialize the weight table once (persist +
+    count, as the streaming twin does).
     """
     from air_quality_etl_pipeline_spark.functions.portable_math import (
         ln_int_portable,
@@ -564,13 +565,16 @@ def quality_classifier_weights(
     # twice below (per-bucket weights + the totals), and this runtime
     # performs no subtree reuse — uncached, the corpus-sized gram
     # aggregation would execute once per reference
-    cnt = (
-        g.groupBy("bucket")
-        .agg(
+    from air_quality_etl_pipeline_spark.operators.cache import (
+        register_persist,
+    )
+
+    cnt = register_persist(
+        g.groupBy("bucket").agg(
             F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("c1"),
             F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("c0"),
-        )
-        .persist()
+        ),
+        cache_registry,
     )
     # every bucket gets a row (unseen buckets still carry the
     # smoothing-only weight — exactly what an absent feature scores)

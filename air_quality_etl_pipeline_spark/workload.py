@@ -1227,6 +1227,11 @@ from air_quality_etl_pipeline_spark import workload_lakehouse  # noqa: E402,F401
 #: write/stream side-effect queries they are safe to construct
 #: anywhere (plan sweeps, oracle checks) with no filesystem effects.
 REBUILD_PURE_QUERIES: set[str] = {
+    # r13: the √N auto-stride default runs the corpus count() that
+    # sizes the coarse quantizer at BUILD time — rebuild per sample so
+    # every timing pays the sizing job (the bench-honesty fence
+    # test_pure_query_builds_run_no_jobs catches this mechanically)
+    "ann_ivf_topk_auto",
     "dedup_clusters",
     "dedup_canonical_docs",
     "split_leakage_audit",

@@ -68,10 +68,9 @@ SIDE_EFFECT_QUERIES.add("ann_ivf_bucketed_batch")
 # ---- shared SQL fragments -------------------------------------------------
 
 #: whitespace tokens, [] on blank — mirrors functions.core.token_array
-TOKS = (
-    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
-)
+# canonical definition moved to the LEAF oracle_fragments module
+# (r13 circular-import fix); re-exported here for the many importers
+from air_quality_etl_pipeline_spark.oracle_fragments import TOKS  # noqa: E402,F401
 
 
 def _sql_list(words: list[str]) -> str:
@@ -893,8 +892,17 @@ def q_ann_sign_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+#: inline ⌊√N⌋ stride for auto-sized IVF oracles — the exact SQL twin
+#: of operators.similarity.balanced_stride (isqrt == floor(sqrt), the
+#: agreement is pinned in tests/test_ann_recall.py)
+_AUTO_STRIDE_SQL = (
+    "(SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
 def _ivf_oracle(
-    stride: int = 128,
+    stride: int | str = 128,
     nprobe: int = 2,
     k: int = 5,
     query_pred: str = "q.vec_id < 8",
@@ -1102,6 +1110,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_stride=128,
         nprobe=2,
         dims=64,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_ivf_topk_auto", _ivf_oracle(stride=_AUTO_STRIDE_SQL))
+def q_ann_ivf_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the √N-balanced DEFAULT (r13, verdict #1): no stride
+    literal anywhere — the operator auto-sizes the coarse quantizer to
+    ⌊√N⌋ from a corpus count (similarity.balanced_stride), keeping
+    nlist ≈ √N so assignment work is N^1.5 at any scale; the oracle
+    computes the SAME stride inline from COUNT(*). Same routing,
+    tie-break, and rounded-cosine semantics as ``ann_ivf_topk``."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        e, e.filter(F.col("vec_id") < 8), k=5, nprobe=2, dims=64
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 

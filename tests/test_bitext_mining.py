@@ -99,6 +99,31 @@ def test_doc_align_hand_traced(spark):
     assert got == [(0, 0, 1000000, 1000000), (1, 1, 1000000, 1000000)]
 
 
+def test_doc_centroids_reject_string_label(spark):
+    """r12 verdict #3: the integer-label precondition must fail fast
+    with a clear ValueError, not an opaque int(None) TypeError inside
+    the pandas closure — on EITHER side of the doc-align composition."""
+    import pytest
+
+    from air_quality_etl_pipeline_spark.operators.similarity import (
+        bitext_doc_align,
+        doc_centroids,
+    )
+
+    good = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "d long, embedding array<double>"
+    )
+    bad = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "d string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integer-typed"):
+        doc_centroids(bad, "d")
+    with pytest.raises(ValueError, match="integer-typed"):
+        bitext_doc_align(bad, good, doc_col="d", k=1)
+    with pytest.raises(ValueError, match="integer-typed"):
+        bitext_doc_align(good, bad, doc_col="d", k=1)
+
+
 def test_doc_centroids_match_pure_python_reference(spark):
     """The pooling arithmetic contract: centroid[dim] ==
     sum(floor(x*1e6 + 0.5)) / (n * 1e6) computed in exact Python ints
