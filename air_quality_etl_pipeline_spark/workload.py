@@ -879,11 +879,32 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cube_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measures at every grain — the BI layer's arbitrary-slicer
-    re-aggregation, expressed as CUBE (SURVEY §2.5 note)."""
+    re-aggregation, expressed as CUBE (SURVEY §2.5 note).
+
+    r13 plan rework (guide §2.3, aggregate before you expand): a
+    direct ``li.cube(...)`` plans ``Expand`` UNDER the aggregate, so
+    every fact row is replicated ×4 (one copy per grouping set)
+    before the partial aggregation — at 100 TB that quadruples the
+    aggregate's input for a 4-grain rollup of a 2-value × 3-value
+    key space. Instead aggregate once at the finest grain (count +
+    exact decimal sum — both reassociate losslessly), then CUBE the
+    ~|flag|×|status| partial relation: the Expand now replicates a
+    handful of rows, and the fact table is scanned and aggregated
+    exactly once at its own grain. Results are bit-identical (decimal
+    sums are exact, counts sum), verified against the unchanged
+    oracle."""
     li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"),
+        # partial sums stay DECIMAL (exact) — double only at the edge
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_s"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"), _dec_sum("l_quantity", "sum_qty"))
+        base.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.sum("_s").cast("double").alias("sum_qty"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),

@@ -752,3 +752,22 @@ def test_curation_v3_decontam_stage_plan_shape(spark):
     assert re.search(r"LeftAnti", plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_cube_measures_expands_aggregate_not_scan(spark):
+    # r13 rework (optimization guide §2.3, aggregate before you
+    # expand): CUBE's Expand must sit ABOVE the finest-grain partial
+    # aggregate, so the ×4 grouping-set replication multiplies a
+    # |flag|×|status|-sized relation, not every fact row. Operator
+    # order in the formatted plan is bottom-up: the first aggregate
+    # above the scan must come BEFORE (deeper than) the Expand.
+    df, _ = QUERIES["cube_measures"]
+    plan = _plan_of(df(spark, SF))
+    ids = {}
+    for m in re.finditer(r"\((\d+)\) (Expand|Scan parquet|HashAggregate)", plan):
+        ids.setdefault(m.group(2), int(m.group(1)))
+    assert "Expand" in ids and "HashAggregate" in ids, plan
+    # lowest-numbered HashAggregate (the pre-aggregate) must be below
+    # the Expand; the scan feeds the aggregate, not the Expand
+    assert ids["HashAggregate"] < ids["Expand"], plan
+    assert ids["Scan parquet"] < ids["HashAggregate"], plan
