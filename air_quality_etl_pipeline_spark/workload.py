@@ -902,7 +902,9 @@ def q_cube_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("_n").cast("long").alias("n_rows"),
+            # coalesce: the () grouping set emits one row even on empty
+            # input, where count(*) is 0 but a sum of partials is NULL
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
             F.sum("_s").cast("double").alias("sum_qty"),
         )
         .select(
@@ -1022,13 +1024,23 @@ def q_rollup_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to the cube query. Null grouping slots are labeled 'ALL'
     so the subtotal rows hash identically across engines."""
     o = _t(spark, sf_dir, "orders")
+    # r13: aggregate at the finest (y, m) grain BEFORE the rollup so
+    # Expand replicates ~84 partial rows ×3 instead of every order row
+    # (guide §2.3; same rework and equivalence argument as
+    # q_cube_measures — counts and decimal sums reassociate exactly)
+    base = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
+    )
     return (
-        o.rollup(
-            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
-        )
+        base.rollup("y", "m")
         .agg(
-            F.count("*").alias("n_orders"),
-            _dec_sum("o_totalprice", "sum_price"),
+            # coalesce: the () grouping set emits one row even on empty
+            # input, where count(*) is 0 but a sum of partials is NULL
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.sum("_s").cast("double").alias("sum_price"),
         )
         .select(
             F.coalesce(F.col("y").cast("string"), F.lit("ALL")).alias("year"),

@@ -83,12 +83,23 @@ def q_grouping_sets_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-describing (both grouping columns are non-null in the data,
     so '(all)' is unambiguous)."""
     o = _t(spark, sf_dir, "orders")
-    g = o.groupingSets(
+    # r13 (guide §2.3, same rework as q_cube_measures): aggregate once
+    # at the finest (status, priority) grain, then expand the ~15
+    # partial rows over the three grouping sets — Expand no longer
+    # replicates every order row ×3. Counts and decimal sums
+    # reassociate exactly; the () set's empty-input row is restored by
+    # the coalesce.
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
+    )
+    g = base.groupingSets(
         [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
         "o_orderstatus",
         "o_orderpriority",
     ).agg(
-        F.count("*").alias("n_rows"), _dec_sum("o_totalprice", "sum_price")
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.sum("_s").cast("double").alias("sum_price"),
     )
     return g.select(
         F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
@@ -3152,12 +3163,21 @@ def q_cube_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``grouping()`` is used instead of ``grouping_id()`` because the
     bit packing order of the latter is engine-defined."""
     o = _t(spark, sf_dir, "orders")
+    # r13 (guide §2.3, same rework as q_cube_measures): CUBE over the
+    # finest-grain partial counts, not over every order row.
+    # ``grouping()`` flags describe the cube's own grouping columns,
+    # which are identical on the pre-aggregated relation — including
+    # for genuine NULL data values, which form their own base group
+    # and roll up exactly as raw rows would.
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n")
+    )
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
+        base.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.grouping("o_orderstatus").cast("long").alias("g_status"),
             F.grouping("o_orderpriority").cast("long").alias("g_priority"),
-            F.count("*").cast("long").alias("n_orders"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_orders"),
         )
         .select(
             "o_orderstatus",

@@ -754,14 +754,23 @@ def test_curation_v3_decontam_stage_plan_shape(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_cube_measures_expands_aggregate_not_scan(spark):
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cube_measures",
+        "rollup_measures",
+        "grouping_sets_measures",
+        "cube_grouping_flags",
+    ],
+)
+def test_grouping_queries_expand_aggregate_not_scan(spark, name):
     # r13 rework (optimization guide §2.3, aggregate before you
-    # expand): CUBE's Expand must sit ABOVE the finest-grain partial
-    # aggregate, so the ×4 grouping-set replication multiplies a
-    # |flag|×|status|-sized relation, not every fact row. Operator
-    # order in the formatted plan is bottom-up: the first aggregate
-    # above the scan must come BEFORE (deeper than) the Expand.
-    df, _ = QUERIES["cube_measures"]
+    # expand): CUBE/ROLLUP/GROUPING SETS' Expand must sit ABOVE the
+    # finest-grain partial aggregate, so the ×k grouping-set
+    # replication multiplies a key-space-sized relation, not every
+    # fact row. Operator ids in the formatted plan are bottom-up: the
+    # first aggregate above the scan must be deeper than the Expand.
+    df, _ = QUERIES[name]
     plan = _plan_of(df(spark, SF))
     ids = {}
     for m in re.finditer(r"\((\d+)\) (Expand|Scan parquet|HashAggregate)", plan):
