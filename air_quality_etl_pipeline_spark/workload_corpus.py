@@ -1206,55 +1206,86 @@ _BM25_ORACLE = f"""
     """
 
 
-@register("bm25_search", _BM25_ORACLE)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranking (Robertson/Spärck Jones probabilistic relevance,
-    the k1/b form) for a fixed 3-term query — the retrieval scorer a
-    RAG corpus runs next to the inverted index. Postings restrict to
-    the query terms BEFORE any join (three-term relation, broadcast);
-    document lengths and the corpus stats are one aggregate each;
-    per-term scores quantize to DECIMAL(18,9) so the per-doc sum is
-    order-independent, and the top-20 window orders by the ROUNDED
-    score (ties broken by doc_id) so both engines rank identically."""
+def _bm25_doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE tokenize pass for the whole BM25/RRF family: per-document
+    token count plus one tf column per query term (``dl, tf_0..tf_k``).
+
+    Round-14 rework (guide §2.3 "aggregate before you shuffle", §2.4
+    "share one exchange"): the previous shape ran THREE tokenize+
+    explode passes per hybrid_rrf_search execution — the dl aggregate,
+    the (doc, term) tf aggregate, and leg b's tf_sum aggregate. All of
+    them are derivable from this single doc-grain wide aggregate, and
+    because every consumer is built from the SAME DataFrame object the
+    planner reuses one exchange (ReusedExchange in the final plan —
+    AQE stage-cache reuse, receipted by scripts/probe_r14_reuse.py).
+    The shared exchange is doc-grain and narrow (4 ints per doc), so
+    re-reading it per consumer is cheap at any scale — unlike the
+    trigram fused-gram variant, rejected the same round, whose shared
+    exchange was the fat gram vocabulary. Measured (interleaved warm
+    best-of-3, scripts/probe_r14_hybrid.py): hybrid 1.14–1.49 s →
+    0.73–0.76 s at sf0.1; 3.9–4.8 s → 1.9 s warm and 14.8 → 3.8 s
+    cold at sf1. Plan: FileScan 2→1, Exchange 18→9."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(token_array(F.col("text"))).alias("_raw")
     ).select("doc_id", F.lower(F.col("_raw")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
-    tf = (
-        toks.filter(F.col("tok").isin(_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
+
+
+@register("bm25_search", _BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (Robertson/Spärck Jones probabilistic relevance,
+    the k1/b form) for a fixed 3-term query — the retrieval scorer a
+    RAG corpus runs next to the inverted index. Per-term tf, document
+    length, corpus stats and document frequencies all come from ONE
+    tokenize pass (``_bm25_doc_tf``; the stats/df row re-aggregates the
+    same exchange and broadcasts back); per-term scores quantize to
+    DECIMAL(18,9) so the per-doc sum is order-independent (the 0 added
+    for absent terms is exact), and the top-20 window orders by the
+    ROUNDED score (ties broken by doc_id) so both engines rank
+    identically."""
+    wide = _bm25_doc_tf(spark, sf_dir)
+    glob = wide.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    joined = (
-        tf.join(F.broadcast(df_), on="tok")
-        .join(dl, on="doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    joined = wide.crossJoin(F.broadcast(glob))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.ln(
-        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-        / (F.col("df") + 0.5)
-        + 1.0
-    )
-    term_score = (
-        idf
-        * (F.col("tf") * (_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+
+    def term_score(i: int):
+        # identical double-expression order to the pre-r14 per-row
+        # form (idf · saturated-tf), so the DECIMAL(18,9) quantization
+        # sees bit-identical inputs; terms absent from a doc contribute
+        # an exact decimal 0, matching the row-sum over present terms
+        tf = F.col(f"tf_{i}")
+        idf = F.ln(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
         )
-    ).cast("decimal(18,9)")
-    scored = joined.select("doc_id", term_score.alias("term_score"))
-    per_doc = scored.groupBy("doc_id").agg(
-        round_portable(F.sum("term_score").cast("double"), 6).alias(
-            "score"
-        )
-    )
+        s = (
+            idf
+            * (tf * (_BM25_K1 + 1.0))
+            / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl))
+        ).cast("decimal(18,9)")
+        return F.when(tf > 0, s).otherwise(F.lit(0).cast("decimal(18,9)"))
+
+    total = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + term_score(i)
+    per_doc = joined.filter(
+        sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))) > 0
+    ).select("doc_id", round_portable(total.cast("double"), 6).alias("score"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_doc.withColumn("rank", F.row_number().over(w))
@@ -1689,19 +1720,23 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-portable; unmatched docs contribute 0 from the missing
     leg via the full outer join. Ranker outputs are top-k relations
     (k=20), so everything past the two ranking passes is
-    constant-sized."""
-    d = _t(spark, sf_dir, "documents")
+    constant-sized.
+
+    Round 14: both legs read the SAME single-tokenize-pass aggregate
+    (``_bm25_doc_tf``) — leg b's tf_sum is the row-sum of the per-term
+    tf columns (identical to counting matching tokens), so the whole
+    fusion runs ONE corpus pass where the pre-r14 shape ran three
+    (receipts in the helper's docstring)."""
     a = q_bm25_search(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("bm25_rank")
     )
-    toks = d.select(
-        "doc_id", F.explode(token_array(F.col("text"))).alias("_raw")
-    ).select("doc_id", F.lower(F.col("_raw")).alias("tok"))
-    tfb = (
-        toks.filter(F.col("tok").isin(_BM25_TERMS))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("tf_sum"))
-    )
+    wide = _bm25_doc_tf(spark, sf_dir)
+    tfb = wide.select(
+        "doc_id",
+        sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))).alias(
+            "tf_sum"
+        ),
+    ).filter(F.col("tf_sum") > 0)
     wb = Window.orderBy(F.desc("tf_sum"), F.asc("doc_id"))
     b = (
         tfb.withColumn("tf_rank", F.row_number().over(wb).cast("long"))

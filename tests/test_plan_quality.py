@@ -582,7 +582,7 @@ def _live_scan_counts(plan) -> dict[str, int]:
 # localCheckpoint before allowlisting (scripts in SCALE.md §audits).
 REPEATED_SCAN_ALLOWLIST: dict[str, str] = {
     "kl_corpus_divergence": "5 branches: two corpus-arm token counts + vocab union + smoothing totals, each a different aggregate",
-    "hybrid_rrf_search": "5: BM25 arm + embedding arm + doc-length stats, different columns each",
+    "hybrid_rrf_search": "6 static: every reference is the SAME single-tokenize-pass doc-tf subtree (r14 rework); AQE exchange reuse executes it once — runtime FileScan count is 1 (scripts/probe_r14_hybrid.py)",
     "class_separability": "5: per-class centroid/scatter branches over embeddings",
     "set_ops_cohorts": "6: INTERSECT/EXCEPT cohort pairs, each branch a different year filter",
     "semantic_dedup": "6: centroid build + assignment + intra-cluster pair sides",
