@@ -701,7 +701,13 @@ def simhash_bits(
     # plus a ``bits``-term packed projection through the Python Column
     # API costs ~0.9 s of py4j round-trips PER CALL (measured — more
     # than the query's own execution); ``F.expr`` parses each whole
-    # expression JVM-side in one call. Tokens are hashed per occurrence
+    # expression JVM-side in one call. (r14 note: collapsing the 4-op
+    # chain further into ONE `{df}`-parameterized spark.sql() was built
+    # and REVERTED — the temp-view View wrapper it leaves in the plan
+    # made every DOWNSTREAM analyzer pass slower, 0.6 s → 1.1 s of
+    # construction per component-edges build, and CacheManager refuses
+    # to substitute caches under View nodes. Receipts in
+    # OPTIMIZATION_r14.md.) Tokens are hashed per occurrence
     # (md5 is ~100 ns JVM-side): hashing only the distinct vocabulary
     # and broadcast-joining back was measured SLOWER end-to-end — it
     # adds a distinct shuffle job plus a broadcast collect, and the
@@ -794,7 +800,15 @@ def _banded_pairs_from_simhash(
     the tail of :func:`simhash_pairs`, shared with
     :func:`simhash_component_edges` so the cascade never recomputes
     votes. NULL simhash (tokenless docs under ``keep_empty``) and NULL
-    block values never equi-join, so such rows produce no pairs."""
+    block values never equi-join, so such rows produce no pairs.
+
+    Stays on the DataFrame API (r14 note): a single-spark.sql() form
+    was built and REVERTED — ``sh`` arrives PERSISTED from both
+    callers, and a persisted frame consumed through a ``{df}`` temp
+    view is NOT substituted by the CacheManager (withCachedData does
+    not rewrite under the View node the reference resolves to, even
+    though sameResult holds — probed r14), so the SQL form silently
+    re-executed the whole fingerprint pipeline per consumer."""
     n_bands = max_hamming + 1
     width = bits // n_bands
 
@@ -915,9 +929,25 @@ def simhash_component_edges(
         id_col, text_col, *block_cols, fp.alias("_fp")
     )
     # one vote aggregation for ALL rows; fp + blocks ride as carries
-    # (functionally dependent on the id). Persisted because the star
-    # branch and the band branch both consume it — narrow columns
-    # only, the same pattern simhash_pairs uses.
+    # (functionally dependent on the id). MATERIALIZED as an eager
+    # localCheckpoint (r14, was .persist() through r13) — the star
+    # branch and the band branch both consume it, and the checkpoint
+    # does three things the cache did not:
+    #   1. every downstream op builds on a LogicalRDD LEAF, so the
+    #      ~25-op banded/star/sym construction stops re-walking the
+    #      48-aggregate vote subtree in the analyzer (~0.6 s/build of
+    #      driver time at sf0.1 — the r13 verdict's top item);
+    #   2. per-build RDD identity makes the bench's per-sample rebuilds
+    #      HONEST: the persist form was plan-equality re-matched by the
+    #      CacheManager across rebuilds, so bench samples 2-3 silently
+    #      reused sample 1's vote pass (the r13 warm-cache subsidy);
+    #   3. action-time replanning is leaf-rooted (~0.2 s faster).
+    # Interleaved cold receipts (scripts/probe_r14_dedup_phases.py):
+    # dedup_clusters 3.3-4.7 s -> 2.0-2.7 s, dedup_canonical_docs
+    # 3.3-3.5 s -> 2.0-2.2 s per cold sample. Trade: the vote job runs
+    # eagerly at build (REBUILD_PURE queries may run build jobs), and
+    # checkpoint blocks are per-build (GC'd with the frame) instead of
+    # a shared cache entry — a service that builds once is unaffected.
     sh = simhash_bits(
         base,
         id_col,
@@ -926,7 +956,13 @@ def simhash_component_edges(
         hash_family,
         carry_cols=[*block_cols, "_fp"],
         keep_empty=True,
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # Consumers of the PERSISTED sh stay on the DataFrame API: a
+    # spark.sql() form of groups/star/reps was built and REVERTED —
+    # `{df}` temp-view references to a persisted frame (or to a frame
+    # whose subtree is persisted) are not substituted by the
+    # CacheManager (withCachedData does not rewrite under View nodes),
+    # so the SQL form re-executed the vote pass per consumer (r14).
     clonable = sh.filter(F.col("_fp").isNotNull())
     # ONE collapse aggregate delivers both the rep id and the rep's
     # fingerprint row: ids are unique and lead the struct, so

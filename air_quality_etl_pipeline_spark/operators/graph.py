@@ -64,6 +64,12 @@ def connected_components(
     how isolated nodes label themselves (see :func:`dedup_clusters`).
     """
     id_type = edges.schema[src].dataType
+    # DataFrame API on purpose (r14 note): a spark.sql() form of the
+    # symmetrize+distinct was built and REVERTED — the edge lineage
+    # contains PERSISTED fingerprint frames, and the CacheManager does
+    # not substitute caches under the View node a `{df}` temp-view
+    # reference resolves to, so the SQL form re-executed the cascade's
+    # vote pass instead of reading its cache (probed r14).
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
         sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -1731,12 +1731,24 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rank").alias("bm25_rank")
     )
     wide = _bm25_doc_tf(spark, sf_dir)
-    tfb = wide.select(
-        "doc_id",
-        sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))).alias(
-            "tf_sum"
-        ),
-    ).filter(F.col("tf_sum") > 0)
+    # the dl > 0 conjunct is provably true (dl = count(*) of a group
+    # that exists ⇒ ≥ 1) and exists ONLY so this branch still
+    # references dl: without it, column pruning drops count(1) from
+    # this branch's copy of the aggregate, the subtree stops being
+    # canonically equal to leg a's, and the tokenize pass runs twice
+    # (probed r14 — reuse held at sf0.1 only via the small-scan
+    # repartition stage, i.e. not at scale). Value-identical output.
+    tfb = (
+        wide.select(
+            "doc_id",
+            "dl",
+            sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))).alias(
+                "tf_sum"
+            ),
+        )
+        .filter((F.col("tf_sum") > 0) & (F.col("dl") > 0))
+        .select("doc_id", "tf_sum")
+    )
     wb = Window.orderBy(F.desc("tf_sum"), F.asc("doc_id"))
     b = (
         tfb.withColumn("tf_rank", F.row_number().over(wb).cast("long"))

@@ -270,3 +270,40 @@ def test_star_edges_fingerprint_null_safe_and_injective(spark):
     )
     got = sorted((r["id_a"], r["id_b"]) for r in edges.collect())
     assert got == [(5, 6)]
+
+
+def test_component_edges_rebuilds_are_cache_independent(spark, sf_dir):
+    """Round-14 honesty fence for the REBUILD dedup family: the
+    fingerprint frame is materialized by an EAGER localCheckpoint, so
+    (1) every downstream op builds on a LogicalRDD leaf (no analyzer
+    re-walk of the 48-aggregate vote subtree per op), and (2) two
+    REBUILDS of the same query are NOT plan-equal — the r13 warm-cache
+    subsidy (CacheManager re-matching sample 1's internal persists
+    across the bench's per-sample rebuilds) is structurally
+    impossible. A revert to .persist() makes the two builds
+    sameResult again and this test fails."""
+    from air_quality_etl_pipeline_spark.operators.dedup import (
+        simhash_component_edges,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def build():
+        return simhash_component_edges(
+            d, "doc_id", "text", bits=48, max_hamming=3,
+            block_cols=["lang"],
+        )
+
+    e1, e2 = build(), build()
+    p1 = e1._jdf.queryExecution().analyzed()
+    p2 = e2._jdf.queryExecution().analyzed()
+    assert not p1.sameResult(p2), (
+        "two rebuilds are plan-equal: internal materialization is "
+        "cache-rematchable across bench samples again (warm-cache "
+        "subsidy, OPTIMIZATION_r13.md)"
+    )
+    # and the lineage really is truncated: the fingerprint frame is a
+    # LogicalRDD leaf and no parquet scan survives in the edge
+    # relation's analyzed plan
+    assert "LogicalRDD" in p1.toString()
+    assert "parquet" not in p1.toString().lower()

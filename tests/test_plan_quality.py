@@ -780,3 +780,26 @@ def test_grouping_queries_expand_aggregate_not_scan(spark, name):
     # the Expand; the scan feeds the aggregate, not the Expand
     assert ids["HashAggregate"] < ids["Expand"], plan
     assert ids["Scan parquet"] < ids["HashAggregate"], plan
+
+
+def test_hybrid_rrf_runs_one_tokenize_pass(spark):
+    # r14 rework: both RRF legs and the BM25 stats derive from ONE
+    # per-doc token aggregate (_bm25_doc_tf), and because every
+    # consumer is the same subtree, AQE stage reuse executes the
+    # tokenize pass once — the EXECUTED plan must carry exactly one
+    # live documents scan and at least two ReusedExchange markers.
+    # (The STATIC plan legitimately shows ~6 scan references; the
+    # repeated-scan allowlist documents that. This fence pins the
+    # runtime dedup so a change that breaks canonical subtree equality
+    # — e.g. diverging the legs' projections — is caught.)
+    df, _ = QUERIES["hybrid_rrf_search"]
+    d = df(spark, SF)
+    d.collect()
+    final = (
+        d._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan") == 1, final
+    assert final.count("ReusedExchange") >= 2, final
