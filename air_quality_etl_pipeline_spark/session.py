@@ -78,8 +78,10 @@ def get_spark(
         # block in ONE JVM (guide §5); long multi-query sessions (the
         # bench keeps ~54 prepared plans and their caller-owned persists
         # alive by design) showed late-session slowdowns consistent with
-        # GC pressure at 8g in r13 probes — 16g on a 128 GiB box leaves
-        # margin without starving the OS page cache. Still env-tunable.
+        # GC pressure at 8g in r13 probes. The 16g DEFAULT assumes this
+        # rig's 128 GiB box (r13 advisor note): on smaller hosts set
+        # SPARK_DRIVER_MEMORY explicitly (e.g. "4g") — the default is
+        # only a default, and nothing below depends on its exact value.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -902,8 +902,11 @@ def q_cube_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.cube("l_returnflag", "l_linestatus")
         .agg(
-            # coalesce: the () grouping set emits one row even on empty
-            # input, where count(*) is 0 but a sum of partials is NULL
+            # coalesce: schema/nullability hygiene only — sum() is
+            # nullable where count(*) was not, and on any emitted row
+            # sum(_n) is non-NULL (CUBE/ROLLUP over an empty input
+            # emits zero rows, r13 advisor correction), so this keeps
+            # the column non-null-typed without changing any value
             F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
             F.sum("_s").cast("double").alias("sum_qty"),
         )
@@ -1037,8 +1040,11 @@ def q_rollup_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.rollup("y", "m")
         .agg(
-            # coalesce: the () grouping set emits one row even on empty
-            # input, where count(*) is 0 but a sum of partials is NULL
+            # coalesce: schema/nullability hygiene only — sum() is
+            # nullable where count(*) was not, and on any emitted row
+            # sum(_n) is non-NULL (CUBE/ROLLUP over an empty input
+            # emits zero rows, r13 advisor correction), so this keeps
+            # the column non-null-typed without changing any value
             F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_orders"),
             F.sum("_s").cast("double").alias("sum_price"),
         )
@@ -1103,6 +1109,62 @@ def q_star_join_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("r_name").agg(
         F.count("*").alias("n_rows"),
         F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "star_join_wide_preagg",
+    """
+    SELECT r.r_name, count(*) AS n_rows,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def q_star_join_wide_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``star_join_wide`` (r14, VERDICT r13 item 7;
+    guide §2.3 "aggregate before you shuffle" / §3): lineitem revenue
+    pre-aggregates to ORDERKEY grain *below* the orders join, so the
+    join's fact side carries one row per order (3 ints + a decimal)
+    instead of every line item. Result is bit-identical — per-order
+    line counts sum to count(*), and the decimal revenue reassociates
+    exactly — and the oracle is the same SQL as star_join_wide's.
+
+    Why a twin instead of rewriting star_join_wide: at bench scale
+    orders/customer sit under the broadcast threshold, so the original
+    plan never shuffles the fact and the pre-aggregate would only add
+    an exchange it cannot pay for (r13 audit: all four joins
+    BroadcastHashJoin). The twin carries the strategy that wins once
+    orders/customer no longer broadcast — at sf1-cold the join inputs
+    drop from 6 M line rows to 1.5 M order rows ahead of the
+    sort-merge join (receipts in OPTIMIZATION_r14.md); at 100 TB the
+    saved shuffle is (lines − orders) × row width."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    lrev = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_li"), F.sum(rev).alias("_rev")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        lrev.join(o, lrev["l_orderkey"] == o["o_orderkey"], "inner")
+        .join(c, o["o_custkey"] == c["c_custkey"], "inner")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "inner")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")
+    )
+    return joined.groupBy("r_name").agg(
+        F.sum("_n_li").cast("long").alias("n_rows"),
+        F.sum("_rev").cast("double").alias("revenue"),
     )
 
 

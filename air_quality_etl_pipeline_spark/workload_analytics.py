@@ -932,34 +932,46 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_profile_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data-quality profile: null counts, distinct
-    cardinalities, and value ranges in ONE scan + ONE aggregate — the
-    generalization of the reference's per-layer QA row counts
-    (``Automated_Bronze_to_Silver...py:211-213``). At 100 TB this is the
-    cheap pre-flight check before a pipeline run; everything partial-
-    aggregates except the two exact distinct counts (which Spark plans
-    as expand+two-phase — still one visible shuffle)."""
+    cardinalities, and value ranges — the generalization of the
+    reference's per-layer QA row counts
+    (``Automated_Bronze_to_Silver...py:211-213``). At 100 TB this is
+    the cheap pre-flight check before a pipeline run.
+
+    r14 rework (guide §2.3, same class as the r13 cube fix): the flat
+    two-count-distinct form planned Expand ×3 directly over the scan —
+    every fact row replicated once per distinct aggregate. Aggregating
+    first at the (returnflag, linestatus) grain makes every measure a
+    reassociable partial (counts sum, null-counts sum, min/max of
+    minima/maxima, the null_returnflag tally a conditional sum over
+    group keys), and the two exact distinct counts run over the ~6-row
+    group relation — the Expand now replicates ~6 rows, not the fact
+    table. Pinned registry-wide by
+    test_plan_quality.py::test_no_expand_directly_over_data_sized_scans."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("l_quantity").isNull().cast("long")).alias(
-            "null_quantity"
-        ),
-        F.sum(F.col("l_returnflag").isNull().cast("long")).alias(
-            "null_returnflag"
-        ),
-        F.sum(F.col("l_shipdate").isNull().cast("long")).alias(
-            "null_shipdate"
-        ),
+    g = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("_nq"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("_nd"),
+        F.min(F.col("l_shipdate").cast("date")).alias("_mind"),
+        F.max(F.col("l_shipdate").cast("date")).alias("_maxd"),
+    )
+    return g.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.sum("_nq").cast("long").alias("null_quantity"),
+        F.sum(
+            F.when(F.col("l_returnflag").isNull(), F.col("_n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("null_returnflag"),
+        F.sum("_nd").cast("long").alias("null_shipdate"),
         F.countDistinct("l_returnflag").cast("long").alias(
             "distinct_returnflag"
         ),
         F.countDistinct("l_linestatus").cast("long").alias(
             "distinct_linestatus"
         ),
-        F.date_format(F.min(F.col("l_shipdate").cast("date")), "yyyy-MM-dd")
-        .alias("min_shipdate"),
-        F.date_format(F.max(F.col("l_shipdate").cast("date")), "yyyy-MM-dd")
-        .alias("max_shipdate"),
+        F.date_format(F.min("_mind"), "yyyy-MM-dd").alias("min_shipdate"),
+        F.date_format(F.max("_maxd"), "yyyy-MM-dd").alias("max_shipdate"),
     )
 
 
@@ -1454,22 +1466,48 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt): three wide measure columns become (measure,
-    value) rows via Spark's native unpivot — a single generate step in
-    the scan, not three self-unions of the table — then aggregate per
-    measure. The oracle IS the three-way union, proving equivalence."""
+    """Unpivot (melt) of three wide measure columns to (measure,
+    value) rows, aggregated per measure. The oracle IS the three-way
+    union, proving equivalence.
+
+    r14 rework (guide §2.3, same class as the r13 cube fix): the
+    unpivot-then-aggregate form planned the unpivot's Expand ×3
+    directly over the scan — every fact row tripled just to be
+    aggregated straight back down to a 3-row result. Aggregate FIRST
+    (one pass: count + the three decimal sums, all reassociable), then
+    melt the single summary row — the generate runs over 1 row. Same
+    per-measure values: the per-row DECIMAL(18,2) cast is unchanged
+    and each measure's n_rows is count(*), exactly the oracle's
+    union-all semantics. Pinned registry-wide by the Expand lint."""
     li = _t(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        [],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-        "measure",
-        "value",
+    wide = li.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_se"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("_sd"),
     )
-    return long.groupBy("measure").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_value"),
+    melted = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("measure"),
+                        F.col("_n").alias("n_rows"),
+                        F.col(c).alias("_sum"),
+                    )
+                    for m, c in [
+                        ("l_quantity", "_sq"),
+                        ("l_extendedprice", "_se"),
+                        ("l_discount", "_sd"),
+                    ]
+                ]
+            )
+        ).alias("r")
+    )
+    return melted.select(
+        "r.measure",
+        "r.n_rows",
+        F.col("r._sum").cast("double").alias("sum_value"),
     )
 
 

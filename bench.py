@@ -34,6 +34,10 @@ HEADLINE = [
     "share_of_total",
     "merge_upsert",
     "star_join_wide",
+    # round-14: the 100 TB star-join strategy twin (lineitem revenue
+    # pre-aggregated to orderkey grain BELOW the orders join — VERDICT
+    # r13 item 7); additive entry, star_join_wide itself unchanged
+    "star_join_wide_preagg",
     # LLM-data extensions
     "text_stats",
     "lang_id",

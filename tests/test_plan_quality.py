@@ -803,3 +803,38 @@ def test_hybrid_rrf_runs_one_tokenize_pass(spark):
     )
     assert final.count("FileScan") == 1, final
     assert final.count("ReusedExchange") >= 2, final
+
+
+# Expand nodes whose input is legitimately data-sized. Add a name ONLY
+# with the irreducibility argument — "it's a distinct count" is not
+# enough (profile_nulls' enum distincts pre-aggregate; r14).
+EXPAND_ALLOWLIST: dict[str, str] = {
+    "dataset_card_summary": "distinct-FINGERPRINT count is corpus-cardinality by definition; the Expand input is already the narrow doc-grain (lang, source, fp, n_toks) projection, so there is no coarser grain to pre-aggregate to",
+}
+
+
+def test_no_expand_directly_over_data_sized_scans(registry_plans):
+    # registry-wide lint for the r13/r14 Expand bug class (VERDICT r13
+    # item 8): CUBE/ROLLUP/GROUPING SETS, multi-count-DISTINCT rewrites
+    # and unpivots all plan an Expand that REPLICATES its input xk —
+    # fine over an aggregate's key space, a 100 TB scale-killer over
+    # raw fact rows. Operator ids in the formatted plan are bottom-up,
+    # so any plan containing an Expand must have an aggregate BELOW it
+    # (lower id), unless the input is audited data-sized-irreducible
+    # above. Caught live: profile_nulls (Expand x3 of lineitem from
+    # two enum count-distincts) and unpivot_measures (unpivot x3 then
+    # re-aggregate), both reworked r14.
+    offenders = {}
+    for name, plan in registry_plans.items():
+        if "Expand" not in plan or name in EXPAND_ALLOWLIST:
+            continue
+        ids: dict[str, int] = {}
+        for m in re.finditer(
+            r"\((\d+)\) (Expand|HashAggregate|ObjectHashAggregate|SortAggregate)",
+            plan,
+        ):
+            kind = "Agg" if m.group(2) != "Expand" else "Expand"
+            ids[kind] = min(ids.get(kind, 1 << 30), int(m.group(1)))
+        if "Expand" in ids and ids.get("Agg", 1 << 30) > ids["Expand"]:
+            offenders[name] = ids
+    assert not offenders, offenders
