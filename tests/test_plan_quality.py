@@ -838,3 +838,22 @@ def test_no_expand_directly_over_data_sized_scans(registry_plans):
         if "Expand" in ids and ids.get("Agg", 1 << 30) > ids["Expand"]:
             offenders[name] = ids
     assert not offenders, offenders
+
+
+def test_star_join_preagg_aggregates_below_join(spark):
+    # r14 scale twin (VERDICT r13 item 7): the orderkey-grain revenue
+    # pre-aggregate must sit BELOW every join (operator ids are
+    # bottom-up: the deepest aggregate precedes the first join), so the
+    # join's fact side is order-grain, not line-grain, in any regime.
+    df, _ = QUERIES["star_join_wide_preagg"]
+    plan = _plan_of(df(spark, SF))
+    agg_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)]
+    join_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+            plan,
+        )
+    ]
+    assert agg_ids and join_ids, plan
+    assert min(agg_ids) < min(join_ids), plan
